@@ -1,0 +1,604 @@
+"""Plan construction and execution: proj-string -> Operation.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3.1):
+  1. parse      — proj_create / pj_init_ctx (src/init.cpp:522-836)
+  2. resolve    — registry lookup + default ellipsoid + generic params
+                  (src/init.cpp:600-820)
+  3. specialize — projection setup computes derived constants
+  4. execute    — vectorized prepare -> kernel -> finalize over NumPy
+                  batches (src/fwd.cpp:41-157, src/inv.cpp:39-134)
+
+Steps 1-3 run once on the Spark driver; step 4 runs inside Arrow-batched
+UDFs on executors.  A whole pipeline executes inside ONE UDF invocation
+(kernel fusion for free, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from proj_4_spark.engine import projstring as PS
+from proj_4_spark.kernels import common as C
+from proj_4_spark.kernels.base import (
+    PJ,
+    ProjError,
+    UNITS_CARTESIAN,
+    UNITS_CLASSIC,
+    UNITS_PROJECTED,
+    UNITS_RADIANS,
+    UNITS_TO_METER,
+)
+from proj_4_spark.kernels.ellipsoid import DEFAULT_ELLPS, ellipsoid_from_params
+
+PJ_EPS_LAT = 1e-12  # src/proj_internal.h (lat overrange tolerance, fwd.cpp:55)
+
+# ops that do not require an ellipsoid/earth model at all
+_NO_ELLPS_NEEDED = {
+    "axisswap", "unitconvert", "noop", "pipeline", "push", "pop",
+    "helmert", "molobadekas", "affine", "geogoffset",
+}
+
+
+def _registry():
+    """Operator registry (analogue of src/pj_list.h resolved by
+    locate_constructor, src/init.cpp:501-510).  Imported lazily to avoid
+    circular imports."""
+    from proj_4_spark.kernels import aea as k_aea
+    from proj_4_spark.kernels import axisswap as k_axisswap
+    from proj_4_spark.kernels import cart as k_cart
+    from proj_4_spark.kernels import eqc as k_eqc
+    from proj_4_spark.kernels import gridshift as k_grid
+    from proj_4_spark.kernels import helmert as k_helmert
+    from proj_4_spark.kernels import latlong as k_latlong
+    from proj_4_spark.kernels import lcc as k_lcc
+    from proj_4_spark.kernels import merc as k_merc
+    from proj_4_spark.kernels import misc as k_misc
+    from proj_4_spark.kernels import molodensky as k_molo
+    from proj_4_spark.kernels import stere as k_stere
+    from proj_4_spark.kernels import tmerc as k_tmerc
+    from proj_4_spark.kernels import unitconvert as k_unitconvert
+
+    return {
+        "tmerc": k_tmerc.setup_tmerc,
+        "etmerc": k_tmerc.setup_etmerc,
+        "utm": k_tmerc.setup_utm,
+        "merc": k_merc.setup_merc,
+        "webmerc": k_merc.setup_webmerc,
+        "lcc": k_lcc.setup_lcc,
+        "aea": k_aea.setup_aea,
+        "leac": k_aea.setup_leac,
+        "latlong": k_latlong.setup_latlong,
+        "latlon": k_latlong.setup_latlong,
+        "longlat": k_latlong.setup_latlong,
+        "lonlat": k_latlong.setup_latlong,
+        "cart": k_cart.setup_cart,
+        "geocent": k_cart.setup_geocent,
+        "noop": k_cart.setup_noop,
+        "geoc": k_cart.setup_geoc,
+        "axisswap": k_axisswap.setup_axisswap,
+        "unitconvert": k_unitconvert.setup_unitconvert,
+        "helmert": k_helmert.setup_helmert,
+        "molobadekas": k_helmert.setup_molobadekas,
+        "molodensky": k_molo.setup_molodensky,
+        "eqc": k_eqc.setup_eqc,
+        "cea": k_eqc.setup_cea,
+        "stere": k_stere.setup_stere,
+        "ups": k_stere.setup_ups,
+        "laea": k_stere.setup_laea,
+        "sterea": k_stere.setup_sterea,
+        "gnom": k_misc.setup_gnom,
+        "ortho": k_misc.setup_ortho,
+        "moll": k_misc.setup_moll,
+        "sinu": k_misc.setup_sinu,
+        "eqearth": k_misc.setup_eqearth,
+        "robin": k_misc.setup_robin,
+        "affine": k_misc.setup_affine,
+        "geogoffset": k_misc.setup_geogoffset,
+        "hgridshift": k_grid.setup_hgridshift,
+        "vgridshift": k_grid.setup_vgridshift,
+    }
+
+
+class Operation:
+    """Executable operation: generic prepare/finalize around a kernel.
+
+    apply(x, y, z, t, direction) -> (x, y, z, t) over float64 arrays.
+    Angular I/O is radians (callers convert degrees at the edges, as the
+    reference CLIs do — src/apps/proj.cpp:144-152).
+    """
+
+    def __init__(self, P: PJ):
+        self.P = P
+
+    @property
+    def name(self) -> str:
+        return self.P.name
+
+    # angular-I/O predicates used by the gie harness (src/apps/gie.cpp:988-996)
+    def angular_input(self, direction: str) -> bool:
+        u = self.P.left if direction == "fwd" else self.P.right
+        return u == UNITS_RADIANS
+
+    def angular_output(self, direction: str) -> bool:
+        u = self.P.right if direction == "fwd" else self.P.left
+        return u == UNITS_RADIANS
+
+    def apply(self, x, y, z, t, direction: str = "fwd"):
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = np.asarray(z, dtype=np.float64).copy()
+        t = np.asarray(t, dtype=np.float64).copy()
+        if direction == "fwd":
+            return self._fwd(x, y, z, t)
+        elif direction == "inv":
+            return self._inv(x, y, z, t)
+        raise ValueError(f"direction must be fwd|inv, got {direction!r}")
+
+    # --- forward path: src/fwd.cpp:237-263 --------------------------------
+    def _fwd(self, x, y, z, t):
+        P = self.P
+        if not P.skip_fwd_prepare:
+            x, y, z, t = self._fwd_prepare(x, y, z, t)
+        x, y, z, t = self._dispatch(x, y, z, t, "fwd")
+        if not P.skip_fwd_finalize:
+            x, y, z, t = self._fwd_finalize(x, y, z, t)
+        return x, y, z, t
+
+    def _inv(self, x, y, z, t):
+        P = self.P
+        if not P.skip_inv_prepare:
+            x, y, z, t = self._inv_prepare(x, y, z, t)
+        x, y, z, t = self._dispatch(x, y, z, t, "inv")
+        if not P.skip_inv_finalize:
+            x, y, z, t = self._inv_finalize(x, y, z, t)
+        return x, y, z, t
+
+    def _dispatch(self, x, y, z, t, direction):
+        """Highest-arity kernel dispatch (pj_fwd4d, src/fwd.cpp:245-251)."""
+        P = self.P
+        err = np.isnan(x) | np.isnan(y)
+        fns = (
+            (P.fwd4d, P.fwd3d, P.fwd)
+            if direction == "fwd"
+            else (P.inv4d, P.inv3d, P.inv)
+        )
+        fn = next((f for f in fns if f is not None), None)
+        if fn is None:
+            raise ProjError("no_kernel", f"{P.name} has no {direction} kernel")
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            x, y, z, t = fn(x, y, z, t, P)
+        # propagate pre-existing errors (all-NaN coordinate)
+        if err.any():
+            x = np.where(err, np.nan, x)
+            y = np.where(err, np.nan, y)
+        return x, y, z, t
+
+    # --- fwd_prepare, src/fwd.cpp:41-102 -----------------------------------
+    def _fwd_prepare(self, x, y, z, t):
+        P = self.P
+        err = np.isnan(x) | np.isnan(y) | np.isnan(z)
+        if P.left == UNITS_RADIANS:
+            over_limit = (np.abs(y) - C.M_HALFPI > PJ_EPS_LAT) | (x > 10) | (x < -10)
+            err = err | over_limit
+            y = np.clip(y, -C.M_HALFPI, C.M_HALFPI)
+            if P.geoc:
+                from proj_4_spark.kernels.latlong import geocentric_latitude
+
+                y = geocentric_latitude(P, "inv", y)
+            if not P.over:
+                x = C.adjlon(x)
+            if P.hgridshift is not None:
+                x, y, z, t = P.hgridshift.apply(x, y, z, t, "inv")
+            elif P.helmert is not None or (P.cart_wgs84 is not None and P.cart is not None):
+                x, y, z, t = P.cart_wgs84.apply(x, y, z, t, "fwd")
+                if P.helmert is not None:
+                    x, y, z, t = P.helmert.apply(x, y, z, t, "inv")
+                x, y, z, t = P.cart.apply(x, y, z, t, "inv")
+            if P.vgridshift is not None:
+                x, y, z, t = P.vgridshift.apply(x, y, z, t, "fwd")
+            x = x - P.from_greenwich - P.lam0
+            if not P.over:
+                x = C.adjlon(x)
+        elif P.left == UNITS_CARTESIAN and P.helmert is not None:
+            x, y, z, t = P.helmert.apply(x, y, z, t, "inv")
+        if err.any():
+            x = np.where(err, np.nan, x)
+            y = np.where(err, np.nan, y)
+        return x, y, z, t
+
+    # --- fwd_finalize, src/fwd.cpp:105-157 ----------------------------------
+    def _fwd_finalize(self, x, y, z, t):
+        P = self.P
+        u = P.right
+        if u == UNITS_CARTESIAN:
+            if P.is_geocent and P.cart is not None:
+                x, y, z, t = P.cart.apply(x, y, z, t, "fwd")
+            x = x * P.fr_meter
+            y = y * P.fr_meter
+            z = z * P.fr_meter
+        elif u in (UNITS_CLASSIC, UNITS_PROJECTED):
+            if u == UNITS_CLASSIC:
+                x = x * P.a
+                y = y * P.a
+            x = P.fr_meter * (x + P.x0)
+            y = P.fr_meter * (y + P.y0)
+            z = P.vfr_meter * (z + P.z0)
+        elif u == UNITS_RADIANS:
+            z = P.vfr_meter * (z + P.z0)
+            if P.is_long_wrap_set:
+                wrapped = P.long_wrap_center + C.adjlon(x - P.long_wrap_center)
+                x = np.where(np.isnan(x), x, wrapped)
+        if P.axisswap is not None:
+            x, y, z, t = P.axisswap.apply(x, y, z, t, "fwd")
+        return x, y, z, t
+
+    # --- inv_prepare, src/inv.cpp:39-94 --------------------------------------
+    def _inv_prepare(self, x, y, z, t):
+        P = self.P
+        err = np.isnan(x) | np.isnan(y) | np.isnan(z)
+        if P.axisswap is not None:
+            x, y, z, t = P.axisswap.apply(x, y, z, t, "inv")
+        u = P.right
+        if u == UNITS_CARTESIAN:
+            x = x * P.to_meter
+            y = y * P.to_meter
+            z = z * P.to_meter
+            if P.is_geocent and P.cart is not None:
+                x, y, z, t = P.cart.apply(x, y, z, t, "inv")
+        elif u in (UNITS_PROJECTED, UNITS_CLASSIC):
+            x = P.to_meter * x - P.x0
+            y = P.to_meter * y - P.y0
+            z = P.vto_meter * z - P.z0
+            if u == UNITS_CLASSIC:
+                x = x * P.ra
+                y = y * P.ra
+        elif u == UNITS_RADIANS:
+            z = P.vto_meter * z - P.z0
+        if err.any():
+            x = np.where(err, np.nan, x)
+            y = np.where(err, np.nan, y)
+        return x, y, z, t
+
+    # --- inv_finalize, src/inv.cpp:98-134 ------------------------------------
+    def _inv_finalize(self, x, y, z, t):
+        P = self.P
+        if P.left == UNITS_RADIANS:
+            x = x + P.from_greenwich + P.lam0
+            if not P.over:
+                x = C.adjlon(x)
+            if P.vgridshift is not None:
+                x, y, z, t = P.vgridshift.apply(x, y, z, t, "inv")
+            if P.hgridshift is not None:
+                x, y, z, t = P.hgridshift.apply(x, y, z, t, "fwd")
+            elif P.helmert is not None or (P.cart_wgs84 is not None and P.cart is not None):
+                x, y, z, t = P.cart.apply(x, y, z, t, "fwd")
+                if P.helmert is not None:
+                    x, y, z, t = P.helmert.apply(x, y, z, t, "fwd")
+                x, y, z, t = P.cart_wgs84.apply(x, y, z, t, "inv")
+            if P.geoc:
+                from proj_4_spark.kernels.latlong import geocentric_latitude
+
+                y = geocentric_latitude(P, "fwd", y)
+        return x, y, z, t
+
+    def roundtrip(self, x, y, z, t, n: int = 1, direction: str = "fwd"):
+        """n forward/inverse round trips (proj_roundtrip,
+        src/4D_api.cpp:171-201); returns final coordinates in input space."""
+        other = "inv" if direction == "fwd" else "fwd"
+        for _ in range(n):
+            x, y, z, t = self.apply(x, y, z, t, direction)
+            x, y, z, t = self.apply(x, y, z, t, other)
+        return x, y, z, t
+
+
+class PipelineOperation(Operation):
+    """+proj=pipeline: ordered step composition with push/pop slots.
+
+    Reference: src/pipeline.cpp:166-199 (fwd/inv), 423-520 (argument
+    handling).  All steps execute inside one UDF stage — the step loop is
+    Python but every iteration is whole-column NumPy.
+    """
+
+    def __init__(self, P: PJ, steps: list[tuple[Operation, dict]]):
+        super().__init__(P)
+        self.steps = steps  # (op, flags) flags: inv, omit_fwd, omit_inv, push, pop, v_mask
+
+    def _run(self, x, y, z, t, direction: str):
+        stack: list[list] = [[], [], [], []]  # 4-slot coordinate stack
+        seq = self.steps if direction == "fwd" else list(reversed(self.steps))
+        for op, flags in seq:
+            if direction == "fwd" and flags.get("omit_fwd"):
+                continue
+            if direction == "inv" and flags.get("omit_inv"):
+                continue
+            kind = flags.get("kind")
+            # push/pop swap roles in the inverse direction (pipeline.cpp)
+            eff_kind = kind
+            if direction == "inv" and kind == "push":
+                eff_kind = "pop"
+            elif direction == "inv" and kind == "pop":
+                eff_kind = "push"
+            if eff_kind == "push":
+                for i, comp in enumerate((x, y, z, t)):
+                    if flags["v_mask"][i]:
+                        stack[i].append(comp.copy())
+                continue
+            if eff_kind == "pop":
+                comps = [x, y, z, t]
+                for i in range(4):
+                    if flags["v_mask"][i] and stack[i]:
+                        comps[i] = stack[i].pop()
+                x, y, z, t = comps
+                continue
+            step_dir = direction
+            if flags.get("inv"):
+                step_dir = "inv" if direction == "fwd" else "fwd"
+            x, y, z, t = op.apply(x, y, z, t, step_dir)
+        return x, y, z, t
+
+    def _fwd(self, x, y, z, t):
+        if not self.P.skip_fwd_prepare:
+            x, y, z, t = self._fwd_prepare(x, y, z, t)
+        x, y, z, t = self._run(x, y, z, t, "fwd")
+        if not self.P.skip_fwd_finalize:
+            x, y, z, t = self._fwd_finalize(x, y, z, t)
+        return x, y, z, t
+
+    def _inv(self, x, y, z, t):
+        if not self.P.skip_inv_prepare:
+            x, y, z, t = self._inv_prepare(x, y, z, t)
+        x, y, z, t = self._run(x, y, z, t, "inv")
+        if not self.P.skip_inv_finalize:
+            x, y, z, t = self._inv_finalize(x, y, z, t)
+        return x, y, z, t
+
+
+def _apply_generic_params(P: PJ) -> None:
+    """Generic parameter handling; src/init.cpp:716-820."""
+    P.lam0 = P.param_r("lon_0")
+    P.phi0 = P.param_r("lat_0")
+    P.x0 = P.param_f("x_0")
+    P.y0 = P.param_f("y_0")
+    P.z0 = P.param_f("z_0")
+    P.t0 = P.param_f("t_0")
+
+    if P.has("k_0"):
+        P.k0 = P.param_f("k_0")
+    elif P.has("k"):
+        P.k0 = P.param_f("k")
+    else:
+        P.k0 = 1.0
+    if P.k0 <= 0.0:
+        raise ProjError("k_less_than_zero")
+
+    def _ratio(v: str) -> float:
+        # pj_atof ratio syntax: "2.0/0.2" (src/pj_param.cpp)
+        if "/" in v:
+            num, den = v.split("/", 1)
+            return float(num) / float(den)
+        return float(v)
+
+    if P.has("units"):
+        name = str(P.params["units"])
+        if name not in UNITS_TO_METER:
+            raise ProjError("unknown_unit_id", name)
+        P.to_meter = UNITS_TO_METER[name]
+        P.fr_meter = 1.0 / P.to_meter
+    elif P.has("to_meter"):
+        P.to_meter = _ratio(str(P.params["to_meter"]))
+        P.fr_meter = 1.0 / P.to_meter
+
+    if P.has("vunits"):
+        name = str(P.params["vunits"])
+        if name not in UNITS_TO_METER:
+            raise ProjError("unknown_unit_id", name)
+        P.vto_meter = UNITS_TO_METER[name]
+        P.vfr_meter = 1.0 / P.vto_meter
+    elif P.has("vto_meter"):
+        P.vto_meter = _ratio(str(P.params["vto_meter"]))
+        P.vfr_meter = 1.0 / P.vto_meter
+    else:
+        P.vto_meter = P.to_meter
+        P.vfr_meter = P.fr_meter
+
+    if P.has("pm"):
+        P.from_greenwich = PS.prime_meridian_rad(str(P.params["pm"]))
+
+    P.over = P.param_b("over")
+    P.geoc = P.param_b("geoc") and P.es != 0.0
+
+    if P.has("lon_wrap"):
+        P.long_wrap_center = P.param_r("lon_wrap")
+        P.is_long_wrap_set = True
+
+    # +axis=neu etc. attaches a trailing axisswap sub-op (src/init.cpp);
+    # the axisswap op itself consumes +axis directly — no sub-op (recursion)
+    if P.has("axis") and P.params.get("proj") != "axisswap":
+        spec = str(P.params["axis"])
+        if spec != "enu":
+            sub = create_operation(f"+proj=axisswap +axis={spec}")
+            P.axisswap = sub
+
+
+def _make_pj(params: dict) -> PJ:
+    if "init" in params or "datum" in params or "nadgrids" in params or "geoidgrids" in params:
+        # +init presets / datum files need the catalog layer (out of scope v1,
+        # SURVEY.md §7.7) — report as unsupported, not as an error
+        raise ProjError("unsupported", "init/datum/nadgrids presets not supported")
+    name = params.get("proj")
+    if not name:
+        raise ProjError("missing_args", "no +proj")
+    reg = _registry()
+    if name not in reg:
+        raise ProjError("unknown_projection_id", name)
+    if name in _NO_ELLPS_NEEDED and not any(
+        k in params for k in ("ellps", "a", "R", "b", "rf", "f", "es", "e")
+    ):
+        ell = ellipsoid_from_params({"ellps": DEFAULT_ELLPS})
+    else:
+        p = dict(params)
+        if not any(k in p for k in ("ellps", "a", "R")):
+            p["ellps"] = DEFAULT_ELLPS  # src/init.cpp:319-351
+        ell = ellipsoid_from_params(p)
+    P = PJ(name, params, ell)
+    _apply_generic_params(P)
+    reg[name](P)
+    return P
+
+
+_PIPELINE_CONTROL = {"step", "inv", "omit_fwd", "omit_inv"}
+
+
+def _v_mask(params: dict) -> tuple[bool, bool, bool, bool]:
+    """+v_1..+v_4 slot selection for push/pop (src/pipeline.cpp)."""
+    return tuple(f"v_{i + 1}" in params for i in range(4))
+
+
+def peephole(global_params: dict, steps: list[dict]) -> list[dict]:
+    """Plan-time step-list rewrites (SURVEY.md §4.1;
+    PROJStringFormatter::toString, src/iso19111/io.cpp:6917-7120).
+
+    Implemented: drop identity helmert (io.cpp:6927-6937), drop identity
+    unitconvert (6938-6943), drop noop, cancel adjacent inverse pairs of
+    identical steps (self-inverse axisswap 2,1 special case, 6962-6995).
+    """
+    out: list[dict] = []
+    for st in steps:
+        proj = st.get("proj")
+        if proj == "noop":
+            continue
+        if proj == "helmert":
+            keys = set(st) - {"proj"} - _PIPELINE_CONTROL
+            vals_zero = all(
+                float(st.get(k) or 0) == 0.0
+                for k in ("x", "y", "z", "rx", "ry", "rz", "s")
+                if k in st
+            )
+            if keys <= {"x", "y", "z", "rx", "ry", "rz", "s", "convention"} and vals_zero:
+                continue
+        if proj == "unitconvert":
+            if st.get("xy_in") == st.get("xy_out") and st.get("z_in") == st.get("z_out") and not st.get("t_in") and not st.get("t_out"):
+                continue
+        out.append(st)
+
+    # cancel adjacent identical steps where one is inverted
+    def _inverted_pair(a: dict, b: dict) -> bool:
+        ca = {k: v for k, v in a.items() if k != "inv"}
+        cb = {k: v for k, v in b.items() if k != "inv"}
+        if ca != cb:
+            return False
+        return ("inv" in a) != ("inv" in b)
+
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(out) - 1):
+            a, b = out[i], out[i + 1]
+            if _inverted_pair(a, b):
+                del out[i : i + 2]
+                changed = True
+                break
+            # axisswap order=2,1 is self-inverse (io.cpp:6962-6976)
+            if (
+                a.get("proj") == "axisswap"
+                and b.get("proj") == "axisswap"
+                and a.get("order", "2,1") == "2,1"
+                and b.get("order", "2,1") == "2,1"
+            ):
+                del out[i : i + 2]
+                changed = True
+                break
+    return out
+
+
+def create_operation(projstring: str) -> Operation:
+    """proj_create analogue (src/4D_api.cpp:810, src/init.cpp:522-836)."""
+    projstring = projstring.strip()
+    head = PS.parse_projstring(projstring.split("+step")[0])
+    if head.get("proj") == "pipeline":
+        global_params, step_param_list = PS.split_pipeline_steps(projstring)
+        if any(sp.get("proj") == "pipeline" for sp in step_param_list):
+            raise ProjError("malformed_pipeline", "nested pipelines not allowed")
+        if not step_param_list:
+            raise ProjError("malformed_pipeline", "pipeline has no steps")
+        inherit = {
+            k: v
+            for k, v in global_params.items()
+            if k not in ("proj",) and k not in _PIPELINE_CONTROL
+        }
+        # NOTE: peephole() is a *planner-level* rewrite (the reference applies
+        # it when serializing planned pipelines, io.cpp:6917+ — never inside
+        # proj_create).  create_operation executes the string as given.
+        steps: list[tuple[Operation, dict]] = []
+        for sp in step_param_list:
+            flags = {
+                "inv": "inv" in sp,
+                "omit_fwd": "omit_fwd" in sp,
+                "omit_inv": "omit_inv" in sp,
+            }
+            kind = sp.get("proj")
+            if kind in ("push", "pop"):
+                flags["kind"] = kind
+                flags["v_mask"] = _v_mask(sp)
+                steps.append((None, flags))
+                continue
+            merged = dict(sp)
+            for k, v in inherit.items():
+                merged.setdefault(k, v)
+            for ctl in _PIPELINE_CONTROL:
+                merged.pop(ctl, None)
+            op = Operation(_make_pj(merged))
+            steps.append((op, flags))
+        # pipeline PJ: unit tags from steps, with WHATEVER replaced by the
+        # units of neighbouring steps (src/pipeline.cpp:391-417,584-608)
+        ell_params = dict(global_params)
+        ell_params.setdefault("ellps", DEFAULT_ELLPS)
+        Ppl = PJ("pipeline", global_params, ellipsoid_from_params(
+            {k: v for k, v in ell_params.items() if k in ("ellps", "a", "b", "rf", "f", "es", "e", "R")}
+        ))
+        real = [(op, fl) for op, fl in steps if op is not None]
+
+        def pj_left(op, fl):
+            return op.P.right if fl.get("inv") else op.P.left
+
+        def pj_right(op, fl):
+            return op.P.left if fl.get("inv") else op.P.right
+
+        eff = [[pj_left(op, fl), pj_right(op, fl)] for op, fl in real]
+
+        def next_non_whatever(i: int, fwd: bool) -> str:
+            rng = range(i + 1, len(eff)) if fwd else range(i - 1, -1, -1)
+            for j in rng:
+                a, b = (eff[j][0], eff[j][1]) if fwd else (eff[j][1], eff[j][0])
+                if a != b:
+                    return a
+                if a != "whatever":
+                    return a
+                if b != "whatever":
+                    return b
+            return "whatever"
+
+        for i in range(len(eff)):
+            if eff[i][0] == "whatever" and eff[i][1] == "whatever":
+                eff[i][0] = next_non_whatever(i, True)
+                eff[i][1] = next_non_whatever(i, True)
+        for i in range(len(eff) - 1, -1, -1):
+            if eff[i][0] == "whatever" and eff[i][1] == "whatever":
+                eff[i][0] = next_non_whatever(i, False)
+                eff[i][1] = next_non_whatever(i, False)
+        for i in range(len(eff) - 1):
+            a, b = eff[i][1], eff[i + 1][0]
+            if a != "whatever" and b != "whatever" and a != b:
+                raise ProjError("malformed_pipeline",
+                                f"mismatched units between step {i + 1} and {i + 2}")
+        if eff:
+            Ppl.left = eff[0][0]
+            Ppl.right = eff[-1][1]
+        Ppl.skip_fwd_prepare = True
+        Ppl.skip_fwd_finalize = True
+        Ppl.skip_inv_prepare = True
+        Ppl.skip_inv_finalize = True
+        return PipelineOperation(Ppl, steps)
+
+    params = PS.parse_projstring(projstring)
+    return Operation(_make_pj(params))

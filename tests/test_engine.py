@@ -1,0 +1,171 @@
+"""Engine-level unit tests: parser, ellipsoid derivation, pipelines,
+round-trip drift (the BASELINE.json metric: <= 1e-8 deg)."""
+
+import numpy as np
+import pytest
+
+from proj_4_spark.engine.plan import create_operation, peephole
+from proj_4_spark.engine.projstring import dmstor, parse_projstring, split_pipeline_steps
+from proj_4_spark.kernels.base import ProjError
+from proj_4_spark.kernels.common import DEG_TO_RAD, RAD_TO_DEG
+from proj_4_spark.kernels.ellipsoid import ellipsoid_from_params
+
+# (projstring, roundtrip tolerance in degrees).  1e-8 deg is the BASELINE
+# metric; cea-ellipsoidal inherits the truncated authalic series of the
+# reference (src/auth.cpp) whose intrinsic accuracy is ~1e-8 deg.
+RT_PROJS = [
+    ("+proj=utm +zone=32 +ellps=GRS80", 1e-8),
+    ("+proj=tmerc +ellps=GRS80 +lon_0=9", 1e-8),
+    ("+proj=merc +ellps=GRS80", 1e-8),
+    ("+proj=merc +R=6400000", 1e-8),
+    ("+proj=webmerc +ellps=WGS84", 1e-8),
+    ("+proj=lcc +ellps=GRS80 +lat_1=33 +lat_2=45", 1e-8),
+    ("+proj=lcc +ellps=GRS80 +lat_1=33 +lat_0=33", 1e-8),
+    ("+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5", 1e-8),
+    ("+proj=eqc +ellps=GRS80", 1e-8),
+    ("+proj=cea +ellps=GRS80", 5e-8),
+    ("+proj=cea +R=6371000", 1e-8),
+]
+
+
+def _grid(n=200, lon_range=(-20, 20), lat_range=(-75, 75), seed=42):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(*lon_range, n) * DEG_TO_RAD
+    lat = rng.uniform(*lat_range, n) * DEG_TO_RAD
+    return lon, lat
+
+
+@pytest.mark.parametrize("projstr,tol", RT_PROJS)
+def test_roundtrip_below_1e8_deg(projstr, tol):
+    """BASELINE.md metric: fwd+inv round-trip <= 1e-8 degrees."""
+    op = create_operation(projstr)
+    lon, lat = _grid()
+    z = np.zeros_like(lon)
+    t = np.zeros_like(lon)
+    x, y, z1, t1 = op.apply(lon, lat, z, t, "fwd")
+    lon2, lat2, _, _ = op.apply(x, y, z1, t1, "inv")
+    assert np.nanmax(np.abs(lon2 - lon)) * RAD_TO_DEG < tol
+    assert np.nanmax(np.abs(lat2 - lat)) * RAD_TO_DEG < tol
+
+
+def test_roundtrip_approx_tmerc_near_meridian():
+    """Evenden-Snyder is only accurate near the central meridian (the whole
+    point of +algo=auto, tmerc.cpp:574-591) — test within +/-3 deg."""
+    op = create_operation("+proj=tmerc +ellps=GRS80 +approx +lon_0=9")
+    lon, lat = _grid(200, lon_range=(6, 12), lat_range=(-75, 75))
+    z = np.zeros_like(lon)
+    t = np.zeros_like(lon)
+    x, y, z1, t1 = op.apply(lon, lat, z, t, "fwd")
+    lon2, lat2, _, _ = op.apply(x, y, z1, t1, "inv")
+    assert np.nanmax(np.abs(lon2 - lon)) * RAD_TO_DEG < 1e-8
+    assert np.nanmax(np.abs(lat2 - lat)) * RAD_TO_DEG < 1e-8
+
+
+def test_parse_projstring_first_wins():
+    p = parse_projstring("+proj=utm +zone=32 +zone=33")
+    assert p["zone"] == "32"
+
+
+def test_dmstor():
+    assert abs(dmstor("12.5") - 12.5 * DEG_TO_RAD) < 1e-15
+    assert abs(dmstor("12d30'S") + 12.5 * DEG_TO_RAD) < 1e-15
+    assert abs(dmstor("0dE")) == 0.0
+
+
+def test_ellipsoid_derivation():
+    e = ellipsoid_from_params({"ellps": "GRS80"})
+    assert e.a == 6378137.0
+    assert abs(e.rf - 298.257222101) < 1e-9
+    assert abs(e.b - 6356752.314140356) < 1e-6
+    s = ellipsoid_from_params({"R": "6400000"})
+    assert s.es == 0.0 and s.a == 6400000.0
+
+
+def test_unknown_projection_raises():
+    with pytest.raises(ProjError):
+        create_operation("+proj=nosuchproj")
+
+
+def test_pipeline_roundtrip_and_push_pop():
+    op = create_operation(
+        "+proj=pipeline +ellps=GRS80 "
+        "+step +proj=cart "
+        "+step +proj=cart +inv"
+    )
+    lon, lat = _grid(50)
+    z = np.linspace(-100, 100, 50)
+    t = np.zeros(50)
+    lon2, lat2, z2, _ = op.apply(lon, lat, z, t, "fwd")
+    assert np.allclose(lon2, lon, atol=1e-12)
+    assert np.allclose(lat2, lat, atol=1e-12)
+    assert np.allclose(z2, z, atol=1e-6)
+
+
+def test_pipeline_utm_equivalent():
+    direct = create_operation("+proj=utm +zone=32 +ellps=GRS80")
+    pipe = create_operation(
+        "+proj=pipeline +ellps=GRS80 +step +proj=utm +zone=32"
+    )
+    lon, lat = _grid(50, lon_range=(6, 12), lat_range=(40, 70))
+    z = np.zeros(50)
+    t = np.zeros(50)
+    xd, yd, _, _ = direct.apply(lon, lat, z, t)
+    xp, yp, _, _ = pipe.apply(lon, lat, z, t)
+    assert np.allclose(xd, xp, atol=1e-9)
+    assert np.allclose(yd, yp, atol=1e-9)
+
+
+def test_peephole_drops_identity_steps():
+    g, steps = split_pipeline_steps(
+        "+proj=pipeline +step +proj=noop +step +proj=helmert +x=0 +y=0 +z=0 "
+        "+step +proj=utm +zone=32 +ellps=GRS80"
+    )
+    out = peephole(g, steps)
+    assert len(out) == 1 and out[0]["proj"] == "utm"
+
+
+def test_peephole_cancels_inverse_pair():
+    g, steps = split_pipeline_steps(
+        "+proj=pipeline +step +proj=cart +step +proj=cart +inv"
+    )
+    out = peephole(g, steps)
+    assert out == []
+
+
+def test_error_propagates_as_nan():
+    op = create_operation("+proj=merc +ellps=GRS80")
+    # lat > 90 deg must error (fwd.cpp:53-58), lon=999 out of range
+    x, y, _, _ = op.apply(
+        np.array([0.0, 999 * DEG_TO_RAD]),
+        np.array([91 * DEG_TO_RAD, 0.0]),
+        np.zeros(2), np.zeros(2),
+    )
+    assert np.isnan(x).all() and np.isnan(y).all()
+
+
+def test_helmert_seven_param():
+    # classic 7-param position_vector shift roundtrip
+    op = create_operation(
+        "+proj=helmert +convention=position_vector "
+        "+x=67.8 +y=-106.3 +z=-119.2 +rx=0.1 +ry=0.2 +rz=0.3 +s=2.5"
+    )
+    x = np.array([4e6]); y = np.array([1e6]); z = np.array([4.5e6]); t = np.zeros(1)
+    X, Y, Z, _ = op.apply(x, y, z, t)
+    x2, y2, z2, _ = op.apply(X, Y, Z, t, "inv")
+    # small-angle (approximate) rotation: the reference inverts via the
+    # transpose (helmert.cpp:430-433), exact only to first order in the
+    # rotation angles -> ~1e-5 m roundtrip drift is reference behaviour
+    assert abs(x2[0] - 4e6) < 1e-4
+    assert abs(y2[0] - 1e6) < 1e-4
+    assert abs(z2[0] - 4.5e6) < 1e-4
+
+    # with +exact the rotation matrix is orthogonal -> exact roundtrip
+    op_exact = create_operation(
+        "+proj=helmert +convention=position_vector +exact "
+        "+x=67.8 +y=-106.3 +z=-119.2 +rx=0.1 +ry=0.2 +rz=0.3 +s=2.5"
+    )
+    X, Y, Z, _ = op_exact.apply(x, y, z, t)
+    x2, y2, z2, _ = op_exact.apply(X, Y, Z, t, "inv")
+    assert abs(x2[0] - 4e6) < 1e-7
+    assert abs(y2[0] - 1e6) < 1e-7
+    assert abs(z2[0] - 4.5e6) < 1e-7

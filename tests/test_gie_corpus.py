@@ -1,0 +1,32 @@
+"""Replay the reference's gie regression corpus (SURVEY.md §5).
+
+Every case whose operation our engine supports must pass the reference's
+own tolerance (geodesic/Euclidean meters, src/apps/gie.cpp:1017-1020).
+Unsupported long-tail projections are counted, not failed.
+"""
+
+import os
+
+import pytest
+
+from proj_4_spark.gie import run_file, summarize
+
+GIE_DIR = "/root/reference/test/gie"
+
+# (file, minimum passes we lock in — ratchet upward as coverage grows)
+CORPUS = [
+    ("builtins.gie", 236),
+    ("more_builtins.gie", 60),
+    ("axisswap.gie", 21),
+    ("unitconvert.gie", 8),
+    ("ellipsoid.gie", 20),
+]
+
+
+@pytest.mark.parametrize("fname,min_pass", CORPUS)
+def test_gie_file(fname, min_pass):
+    path = os.path.join(GIE_DIR, fname)
+    results = run_file(path)
+    s = summarize(results)
+    assert s["fail"] == 0, "\n".join(s["failures"][:20])
+    assert s["pass"] >= min_pass, f"pass count regressed: {s['pass']} < {min_pass}"
