@@ -1,0 +1,127 @@
+"""Spark integration: apply transform pipelines to DataFrames.
+
+Design (SURVEY.md §3.1 "Spark analogue"):
+- Plan construction (proj-string -> Operation) is driver-side and cheap;
+  executors rebuild the plan once per worker from the proj-string via an
+  LRU cache, so UDF closures carry only a short string — no pickled
+  kernel state, trivially broadcastable, and grid data can be loaded
+  worker-side.
+- Execution is ONE Arrow-batched pandas UDF per *whole pipeline*
+  (kernel fusion; never one UDF per step — SURVEY.md §4.3).
+- The UDF returns a struct column so Catalyst sees an ordinary
+  projection: filters still push down, unused input columns still prune,
+  and no shuffle is introduced.
+
+At 100 TB scale this stage is embarrassingly parallel: cost is
+(rows/partition) x kernel flops, Arrow transfer is the only overhead, and
+`spark.sql.files.maxPartitionBytes` controls batch sizing.  No collect,
+no driver loops.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from proj_4_spark.kernels import common as C
+
+_STRUCT4 = "x double, y double, z double, t double"
+
+
+@lru_cache(maxsize=256)
+def _cached_operation(projstring: str):
+    """Executor-side plan cache: one Operation per (worker, projstring)."""
+    from proj_4_spark.engine.plan import create_operation
+
+    return create_operation(projstring)
+
+
+def transform(
+    df,
+    projstring: str,
+    x: str = "x",
+    y: str = "y",
+    z: str | None = None,
+    t: str | None = None,
+    direction: str = "fwd",
+    degrees: bool = True,
+    out_prefix: str = "",
+    keep_errors: bool = True,
+):
+    """Apply a proj-string operation to coordinate columns of ``df``.
+
+    Angular input/output is degrees at the DataFrame edge when
+    ``degrees=True`` (matching the reference CLIs, src/apps/proj.cpp:144-152);
+    radians internally.  Errored rows yield NULLs in the output columns
+    (reference: HUGE_VAL sentinel, src/fwd.cpp:42-43); pass
+    ``keep_errors=False`` to filter them out.
+
+    Returns ``df`` with four new columns ``{out_prefix}{x,y,z,t}``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # validate the proj-string on the driver (fail fast at plan time)
+    op_probe = _cached_operation(projstring)
+    ang_in = op_probe.angular_input(direction)
+    ang_out = op_probe.angular_output(direction)
+
+    @pandas_udf(_STRUCT4)
+    def _tx(xs: pd.Series, ys: pd.Series, zs: pd.Series, ts: pd.Series) -> pd.DataFrame:
+        op = _cached_operation(projstring)
+        xa = xs.to_numpy(dtype=np.float64, na_value=np.nan)
+        ya = ys.to_numpy(dtype=np.float64, na_value=np.nan)
+        za = zs.to_numpy(dtype=np.float64, na_value=np.nan)
+        ta = ts.to_numpy(dtype=np.float64, na_value=np.nan)
+        za = np.where(np.isnan(za), 0.0, za)
+        ta = np.where(np.isnan(ta), 0.0, ta)
+        if degrees and ang_in:
+            xa = xa * C.DEG_TO_RAD
+            ya = ya * C.DEG_TO_RAD
+        ox, oy, oz, ot = op.apply(xa, ya, za, ta, direction)
+        if degrees and ang_out:
+            ox = ox * C.RAD_TO_DEG
+            oy = oy * C.RAD_TO_DEG
+        return pd.DataFrame({"x": ox, "y": oy, "z": oz, "t": ot})
+
+    zcol = F.col(z) if z else F.lit(0.0)
+    tcol = F.col(t) if t else F.lit(0.0)
+    res = df.withColumn("_pj", _tx(F.col(x).cast("double"), F.col(y).cast("double"),
+                                   zcol.cast("double"), tcol.cast("double")))
+    out = (
+        res.withColumn(f"{out_prefix}x", F.col("_pj.x"))
+        .withColumn(f"{out_prefix}y", F.col("_pj.y"))
+        .withColumn(f"{out_prefix}z", F.col("_pj.z"))
+        .withColumn(f"{out_prefix}t", F.col("_pj.t"))
+        .drop("_pj")
+    )
+    if not keep_errors:
+        out = out.where(
+            F.col(f"{out_prefix}x").isNotNull() & ~F.isnan(F.col(f"{out_prefix}x"))
+        )
+    return out
+
+
+def roundtrip_drift_deg(df, projstring: str, lon: str, lat: str, n: int = 1):
+    """Column of max(|dlon|, |dlat|) in degrees after n fwd/inv round trips
+    (proj_roundtrip analogue, src/4D_api.cpp:171-201) — used by tests and
+    data-quality audits at scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _cached_operation(projstring)
+
+    @pandas_udf("double")
+    def _rt(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        op = _cached_operation(projstring)
+        lo = lons.to_numpy(dtype=np.float64, na_value=np.nan) * C.DEG_TO_RAD
+        la = lats.to_numpy(dtype=np.float64, na_value=np.nan) * C.DEG_TO_RAD
+        z = np.zeros_like(lo)
+        t = np.zeros_like(lo)
+        lo2, la2, _, _ = op.roundtrip(lo, la, z, t, n)
+        drift = np.maximum(np.abs(lo2 - lo), np.abs(la2 - la)) * C.RAD_TO_DEG
+        return pd.Series(drift)
+
+    return df.withColumn("rt_drift_deg", _rt(F.col(lon), F.col(lat)))

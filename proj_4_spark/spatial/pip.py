@@ -1,0 +1,100 @@
+"""Broadcast point-in-polygon join.
+
+Plan shape (north_rule / SURVEY.md §2.5):
+  1. broadcast the polygon table (small dimension side — zone rings +
+     bboxes), so the join is a BroadcastNestedLoop/Hash with *bbox range
+     predicates* doing the candidate pruning JVM-side;
+  2. exact test on surviving (point, polygon) candidate pairs with a
+     vectorized NumPy ray-crossing kernel inside one pandas UDF.
+
+At 100 TB the fact side never shuffles: candidates ~= points x avg
+bbox-overlap (<< cross product), and the exact test is Arrow-batched.
+For polygon sets too large to broadcast, pre-join on a shared cell index
+(cells.cell_col at a resolution ~ polygon size) instead — same exact
+kernel downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def point_in_ring_np(px, py, ring_x, ring_y):
+    """Vectorized even-odd (ray crossing) test of points against ONE ring.
+
+    px/py: [n]; ring_x/ring_y: [m] closed or open ring (auto-closed).
+    Boundary convention: the standard even-odd half-open rule (consistent
+    with the driver-side oracle in tests).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if rx[0] != rx[-1] or ry[0] != ry[-1]:
+        rx = np.append(rx, rx[0])
+        ry = np.append(ry, ry[0])
+    x1, y1 = rx[:-1], ry[:-1]       # [m]
+    x2, y2 = rx[1:], ry[1:]
+    # crossings[i] = count over edges; broadcast points x edges
+    pyc = py[:, None]
+    pxc = px[:, None]
+    cond = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (pyc - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+            x2[None, :] - x1[None, :]
+        )
+    hits = cond & (pxc < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
+    """points (doc_id, span_offset, lon, lat) x zones
+    (zone_id, ring:array<struct<lon,lat>>, min_lon..max_lat)
+    -> (doc_id, span_offset, zone_id).
+
+    zones_df is broadcast; bbox predicates prune candidates JVM-side;
+    the exact ray-crossing test runs in one Arrow-batched UDF.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    cand = points_df.join(
+        F.broadcast(
+            zones_df.select(
+                "zone_id",
+                F.col("ring.lon").alias("ring_lon"),
+                F.col("ring.lat").alias("ring_lat"),
+                "min_lon", "min_lat", "max_lon", "max_lat",
+            )
+        ),
+        on=(
+            (F.col(lon) >= F.col("min_lon"))
+            & (F.col(lon) <= F.col("max_lon"))
+            & (F.col(lat) >= F.col("min_lat"))
+            & (F.col(lat) <= F.col("max_lat"))
+        ),
+        how="inner",
+    )
+
+    @pandas_udf("boolean")
+    def _exact(px: pd.Series, py: pd.Series, rlon: pd.Series, rlat: pd.Series) -> pd.Series:
+        n = len(px)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        # group candidate rows by ring to vectorize across points per ring
+        ring_key = rlon.map(lambda a: (len(a), float(a[0]), float(a[-1])))
+        df = pd.DataFrame({"i": np.arange(n), "k": ring_key})
+        for _, grp in df.groupby("k", sort=False):
+            idx = grp["i"].to_numpy()
+            rx = np.asarray(rlon.iloc[idx[0]], dtype=np.float64)
+            ry = np.asarray(rlat.iloc[idx[0]], dtype=np.float64)
+            out[idx] = point_in_ring_np(pxv[idx], pyv[idx], rx, ry)
+        return pd.Series(out)
+
+    return cand.where(
+        _exact(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat"))
+    ).drop("ring_lon", "ring_lat", "min_lon", "min_lat", "max_lon", "max_lat")
