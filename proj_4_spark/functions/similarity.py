@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:      brute-force exact top-k (the baseline) — dot products
+                    computed JVM-side with F.aggregate/F.zip_with (no
+                    Python in the hot path)
+- lsh_bucket_topk:  random-hyperplane LSH bucketing, the scale path:
+                    candidates only within matching sign-buckets, exact
+                    re-rank inside buckets.  At 100 TB the bucket join is
+                    a hash join on a short signature key; brute force is
+                    O(n*q) and reserved for oracles.
+- embedding_cosine_dedup: near-dup pairs by cosine >= threshold within
+                    LSH buckets (embedding analogue of minhash dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _norm_col(vec_col):
+    from pyspark.sql import functions as F
+
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot_col(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(emb_df, query_df, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "embedding",
+                raw_cosine: bool = False):
+    """Exact brute-force cosine top-k: broadcast queries x corpus, dot
+    product via zip_with/aggregate (whole-stage codegen), window top-k.
+
+    Scale shape: corpus never shuffles; queries broadcast; the only
+    shuffle is the final top-k window keyed by query (tiny)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    corpus = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("v_norm"),
+    )
+    queries = query_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
+        _norm_col(F.col(q_vec_col)).alias("q_norm"),
+    )
+    cand = corpus.crossJoin(F.broadcast(queries))
+    cand = cand.withColumn(
+        "cosine",
+        _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", cos_out.alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Sign-bucket signature: bit i = (v . plane_i) > 0, packed into a
+    long.  Computed JVM-side via aggregate over zip_with per plane."""
+    from pyspark.sql import functions as F
+
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = _dot_col(vec_col, arr)
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
+                    dim: int | None = None, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id", q_vec_col: str = "embedding",
+                    multiprobe: int = 1):
+    """ANN: hyperplane-LSH bucket join + exact cosine re-rank inside the
+    bucket.  `multiprobe` additionally probes buckets at Hamming
+    distance <= multiprobe from the query signature (recall knob).
+
+    Approximate by construction — the oracle for recall evaluation is
+    cosine_topk."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if dim is None:
+        dim = len(emb_df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    corpus = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("v_norm"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    queries = query_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
+        _norm_col(F.col(q_vec_col)).alias("q_norm"),
+        signature_col(F.col(q_vec_col), planes).alias("q_bucket"),
+    )
+    # multiprobe bucket expansion (flip up to `multiprobe` bits)
+    probes = [F.col("q_bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                   for i in range(n_planes)]
+    queries = queries.withColumn("bucket", F.explode(F.array(*probes)))
+
+    cand = corpus.join(F.broadcast(queries), "bucket")
+    cand = cand.withColumn(
+        "cosine", _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.groupBy("q_id", "vec_id").agg(F.first("cosine").alias("cosine"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_cosine_dedup(emb_df, threshold: float = 0.95, n_planes: int = 12,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           seed: int = 42, dim: int | None = None):
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
+    self-join + exact verification; returns (id_a, id_b, cosine)."""
+    from pyspark.sql import functions as F
+
+    if dim is None:
+        dim = len(emb_df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    tagged = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("n"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = tagged.select("bucket", F.col("vec_id").alias("id_a"),
+                      F.col("v").alias("va"), F.col("n").alias("na"))
+    b = tagged.select("bucket", F.col("vec_id").alias("id_b"),
+                      F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.withColumn(
+        "cosine", _dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )
