@@ -420,17 +420,36 @@ def _apply_generic_params(P: PJ) -> None:
             P.axisswap = sub
 
 
+# ops whose own setup consumes towgs84/grids params — no emulation hooks
+_NO_EMULATION = {
+    "helmert", "molobadekas", "hgridshift", "vgridshift", "molodensky",
+    "cart", "axisswap", "unitconvert", "noop", "pipeline", "push", "pop",
+    "affine", "geogoffset",
+}
+
+
 def _make_pj(params: dict) -> PJ:
-    if "init" in params or "datum" in params or "nadgrids" in params or "geoidgrids" in params:
-        # +init presets / datum files need the catalog layer (out of scope v1,
+    if "init" in params:
+        # +init presets need the catalog layer (out of scope v1,
         # SURVEY.md §7.7) — report as unsupported, not as an error
-        raise ProjError("unsupported", "init/datum/nadgrids presets not supported")
+        raise ProjError("unsupported", "init presets not supported")
     name = params.get("proj")
     if not name:
         raise ProjError("missing_args", "no +proj")
     reg = _registry()
     if name not in reg:
         raise ProjError("unknown_projection_id", name)
+
+    # +datum expansion (pj_datum_set, src/datum_set.cpp): datum definition
+    # params are appended — explicit user params win
+    if "datum" in params:
+        dname = str(params["datum"])
+        if dname not in DATUMS:
+            raise ProjError("unknown_datum", dname)
+        params = dict(params)
+        for k, v in DATUMS[dname].items():
+            params.setdefault(k, v)
+
     if name in _NO_ELLPS_NEEDED and not any(
         k in params for k in ("ellps", "a", "R", "b", "rf", "f", "es", "e")
     ):
@@ -443,7 +462,84 @@ def _make_pj(params: dict) -> PJ:
     P = PJ(name, params, ell)
     _apply_generic_params(P)
     reg[name](P)
+    if name not in _NO_EMULATION and "break_cs2cs_recursion" not in params:
+        _cs2cs_emulation_setup(P)
     return P
+
+
+# Static datum registry; src/datums.cpp:44-69
+DATUMS: dict[str, dict[str, str]] = {
+    "WGS84": {"towgs84": "0,0,0", "ellps": "WGS84"},
+    "GGRS87": {"towgs84": "-199.87,74.79,246.62", "ellps": "GRS80"},
+    "NAD83": {"towgs84": "0,0,0", "ellps": "GRS80"},
+    "NAD27": {"nadgrids": "@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat",
+              "ellps": "clrk66"},
+    "potsdam": {"nadgrids": "@BETA2007.gsb", "ellps": "bessel"},
+    "carthage": {"towgs84": "-263.0,6.0,431.0", "ellps": "clrk80ign"},
+    "hermannskogel": {"towgs84": "577.326,90.129,463.919,5.137,1.474,5.297,2.4232",
+                      "ellps": "bessel"},
+    "ire65": {"towgs84": "482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15",
+              "ellps": "mod_airy"},
+    "nzgd49": {"towgs84": "59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993",
+               "ellps": "intl"},
+    "OSGB36": {"towgs84": "446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",
+               "ellps": "airy"},
+}
+
+
+def _skip_prep_fin(op: "Operation") -> "Operation":
+    """Helper sub-ops run bare kernels (skip_prep_fin, src/4D_api.cpp:597-607)."""
+    op.P.skip_fwd_prepare = True
+    op.P.skip_fwd_finalize = True
+    op.P.skip_inv_prepare = True
+    op.P.skip_inv_finalize = True
+    return op
+
+
+def _cs2cs_emulation_setup(P: PJ) -> None:
+    """Wire the helper sub-PJ graph for cs2cs-style modifiers
+    (+geoidgrids/+nadgrids/+towgs84): src/4D_api.cpp:610-808.
+
+    The hooks are consumed by fwd_prepare/inv_finalize
+    (src/fwd.cpp:74-85, src/inv.cpp:117-124).
+    """
+    params = P.params
+
+    if "geoidgrids" in params and params["geoidgrids"]:
+        P.vgridshift = _skip_prep_fin(
+            create_operation(f"+proj=vgridshift +grids={params['geoidgrids']}")
+        )
+
+    if "nadgrids" in params and params["nadgrids"]:
+        P.hgridshift = _skip_prep_fin(
+            create_operation(f"+proj=hgridshift +grids={params['nadgrids']}")
+        )
+
+    do_cart = False
+    if P.hgridshift is None and "towgs84" in params and params["towgs84"]:
+        vals = [float(v) for v in str(params["towgs84"]).split(",")]
+        while len(vals) < 7:
+            vals.append(0.0)
+        if all(v == 0 for v in vals):
+            # null shift: still change ellipsoids if not WGS84
+            # (src/4D_api.cpp:686-694)
+            if not (abs(P.a - 6378137.0) < 1e-8 and abs(P.es - 0.0066943799901413) < 1e-15):
+                do_cart = True
+        else:
+            P.helmert = _skip_prep_fin(create_operation(
+                f"+proj=helmert +exact +towgs84={params['towgs84']} "
+                f"+convention=position_vector"
+            ))
+
+    if P.is_geocent or P.helmert is not None or do_cart:
+        if P.cart is None:
+            P.cart = _skip_prep_fin(create_operation(
+                f"+proj=cart +a={P.a!r} +es={P.es!r}"
+            ))
+        if not P.is_geocent:
+            P.cart_wgs84 = _skip_prep_fin(
+                create_operation("+proj=cart +ellps=WGS84")
+            )
 
 
 _PIPELINE_CONTROL = {"step", "inv", "omit_fwd", "omit_inv"}

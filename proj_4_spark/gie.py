@@ -87,6 +87,7 @@ def parse_gie_file(path: str) -> list[GieCase]:
             # spaces around '=' ("x =  0.0127" -> "x=0.0127")
             rest = rest.replace("\\", " ")
             rest = re.sub(r"\s*=\s*", "=", rest)
+            rest = re.sub(r",\s+", ",", rest)  # "towgs84=1, 2, 3" lists
             rest = " ".join(rest.split())
             operation = rest
             op_line = lineno
@@ -212,17 +213,30 @@ def _dist(op: Operation, got, exp, ndim: int, angular: bool) -> float:
 
 
 def run_case(case: GieCase) -> GieResult:
+    if case.require_grids:
+        from proj_4_spark.sources.grids import resolve_grid_path
+
+        for g in case.require_grids:
+            try:
+                resolve_grid_path(g)
+            except FileNotFoundError:
+                return GieResult(case, "skip_grid", g)
     op_or_err = _get_op(case.operation)
     if isinstance(op_or_err, ProjError):
-        if case.expect_failure:
-            # operation that fails at setup satisfies `expect failure`
-            return GieResult(case, "pass", f"setup failed as expected: {op_or_err}")
-        if op_or_err.errno == "unsupported" or op_or_err.errno == "unknown_projection_id":
+        # unsupported op: always a skip — never claim an expected-failure
+        # pass for an operation we simply don't implement
+        if op_or_err.errno in ("unsupported", "unknown_projection_id"):
             return GieResult(case, "skip_unsupported", str(op_or_err))
+        if case.expect_failure:
+            # supported operation that fails at setup satisfies
+            # `expect failure` (bad args, invalid ellipsoid, ...)
+            return GieResult(case, "pass", f"setup failed as expected: {op_or_err}")
+        if op_or_err.errno == "failed_to_load_grid":
+            # grid not present in this sandbox (only downsampled fixtures
+            # ship with the reference) — same semantics as require_grid
+            return GieResult(case, "skip_grid", str(op_or_err))
         return GieResult(case, "fail", f"setup error: {op_or_err}")
     op = op_or_err
-    if case.require_grids:
-        return GieResult(case, "skip_grid", ",".join(case.require_grids))
 
     direction = "fwd" if case.direction == "forward" else "inv"
     angular_in = op.angular_input(direction)

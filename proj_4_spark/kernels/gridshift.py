@@ -1,17 +1,334 @@
-"""Horizontal/vertical grid-shift ops — placeholder filled in milestone 3.
+"""Horizontal/vertical grid-shift operators (vectorized).
 
-Reference: src/transformations/hgridshift.cpp, vgridshift.cpp,
-src/grids.cpp:2875-3054 (bilinear interpolation + fixed-point inverse).
+The reference's only "join": point -> subgrid resolution (findGrid,
+src/grids.cpp:3058-3074) + bilinear interpolation (pj_hgrid_interpolate,
+src/grids.cpp:2875-2944) + fixed-point inverse (<=10 iterations @ 1e-12,
+pj_hgrid_apply_internal, src/grids.cpp:2948-3054).
+
+Vectorization: one NumPy gather per subgrid over the rows it owns
+(SURVEY.md §1.3 "broadcast hash join against a raster").  Grid values
+stay float32 until the bilinear combine (as the C's valueAt does).
 """
 
 from __future__ import annotations
 
-from proj_4_spark.kernels.base import PJ, ProjError
+import numpy as np
+
+from proj_4_spark.kernels import common as C
+from proj_4_spark.kernels.base import PJ, ProjError, UNITS_RADIANS
+
+_REL_TOL = 1e-5        # REL_TOLERANCE_HGRIDSHIFT, grids.cpp:2398
+_MAX_ITER = 10         # grids.cpp:2948
+_TOL = 1e-12           # grids.cpp:2949
+
+
+def _interp_grid(tlam, tphi, grid):
+    """pj_hgrid_interpolate over arrays; src/grids.cpp:2875-2944.
+
+    tlam/tphi are offsets from the grid's SW corner (radians).
+    Returns (dlam, dphi) with NaN where outside (beyond the +-1-cell
+    edge tolerance).
+    """
+    gl = tlam / grid.resx
+    gp = tphi / grid.resy
+    ix = np.floor(gl)
+    iy = np.floor(gp)
+    ix = np.where(np.isnan(ix), 0.0, ix).astype(np.int64)
+    iy = np.where(np.isnan(iy), 0.0, iy).astype(np.int64)
+    fl = gl - ix
+    fp = gp - iy
+
+    bad = np.zeros(gl.shape, dtype=bool)
+    tol = 10 * _REL_TOL
+
+    # west edge: ix == -1 with frct close to 1 snaps in (grids.cpp:2890-2895)
+    snap_w = (ix == -1) & (fl > 1 - tol)
+    ix = np.where(snap_w, ix + 1, ix)
+    fl = np.where(snap_w, 0.0, fl)
+    bad |= ix < 0
+    # east edge (grids.cpp:2896-2902)
+    snap_e = (ix + 1 == grid.width) & (fl < tol)
+    ix = np.where(snap_e, ix - 1, ix)
+    fl = np.where(snap_e, 1.0, fl)
+    bad |= ix + 1 >= grid.width
+    # south edge
+    snap_s = (iy == -1) & (fp > 1 - tol)
+    iy = np.where(snap_s, iy + 1, iy)
+    fp = np.where(snap_s, 0.0, fp)
+    bad |= iy < 0
+    # north edge
+    snap_n = (iy + 1 == grid.height) & (fp < tol)
+    iy = np.where(snap_n, iy - 1, iy)
+    fp = np.where(snap_n, 1.0, fp)
+    bad |= iy + 1 >= grid.height
+
+    ixs = np.clip(ix, 0, grid.width - 2)
+    iys = np.clip(iy, 0, grid.height - 2)
+    f00lon = grid.lon_shift[iys, ixs]
+    f00lat = grid.lat_shift[iys, ixs]
+    f10lon = grid.lon_shift[iys, ixs + 1]
+    f10lat = grid.lat_shift[iys, ixs + 1]
+    f01lon = grid.lon_shift[iys + 1, ixs]
+    f01lat = grid.lat_shift[iys + 1, ixs]
+    f11lon = grid.lon_shift[iys + 1, ixs + 1]
+    f11lat = grid.lat_shift[iys + 1, ixs + 1]
+
+    # weights exactly as grids.cpp:2932-2940
+    m10 = fl
+    m11 = m10.copy()
+    m01 = 1.0 - fl
+    m00 = m01.copy()
+    m11 = m11 * fp
+    m01 = m01 * fp
+    fp1 = 1.0 - fp
+    m00 = m00 * fp1
+    m10 = m10 * fp1
+    dlam = m00 * f00lon + m10 * f10lon + m01 * f01lon + m11 * f11lon
+    dphi = m00 * f00lat + m10 * f10lat + m01 * f01lat + m11 * f11lat
+    dlam = np.where(bad, np.nan, dlam)
+    dphi = np.where(bad, np.nan, dphi)
+    return dlam, dphi
+
+
+def _find_grid_index(grids, lam, phi):
+    """Vectorized findGrid: index of the most-refined containing subgrid
+    per point, -1 where none (gridAt semantics, grids.cpp:2402-2431)."""
+    idx = np.full(lam.shape, -1, dtype=np.int64)
+    best_res = np.full(lam.shape, np.inf)
+    for gi, g in enumerate(grids):
+        inside = g.contains(lam, phi)
+        finer = inside & (g.resx < best_res)
+        idx = np.where(finer, gi, idx)
+        best_res = np.where(finer, g.resx, best_res)
+    return idx
+
+
+def hgrid_apply(grids, lam, phi, direction: str):
+    """pj_hgrid_apply over arrays; src/grids.cpp:2951-3090.
+
+    fwd: add interpolated deltas; inv: fixed-point iteration (<=10 @1e-12)
+    with per-lane freeze and edge fallback to the first approximation.
+    Out-of-all-grids points -> NaN (PJD_ERR_GRID_AREA).
+    """
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    out_lam = np.full_like(lam, np.nan)
+    out_phi = np.full_like(phi, np.nan)
+
+    gidx = _find_grid_index(grids, lam, phi)
+    for gi, g in enumerate(grids):
+        sel = gidx == gi
+        if not sel.any():
+            continue
+        ll = lam[sel]
+        pp = phi[sel]
+        eps = (g.resx + g.resy) * _REL_TOL
+        tb_lam = ll - g.west
+        tb_lam = np.where(tb_lam + eps < 0, tb_lam + 2 * np.pi, tb_lam)
+        tb_lam = np.where(tb_lam - eps > g.east - g.west, tb_lam - 2 * np.pi, tb_lam)
+        tb_phi = pp - g.south
+
+        dlam, dphi = _interp_grid(tb_lam, tb_phi, g)
+        if direction == "fwd":
+            out_lam[sel] = ll + dlam
+            out_phi[sel] = pp + dphi
+            continue
+
+        # inverse: t = tb - delta, iterate (grids.cpp:2991-3044)
+        t_lam = tb_lam - dlam
+        t_phi = tb_phi - dphi
+        active = np.isfinite(t_lam)
+        edge_fallback = np.zeros_like(active)
+        count = np.zeros(t_lam.shape, dtype=np.int64)
+        for _ in range(_MAX_ITER):
+            if not active.any():
+                break
+            dl, dp = _interp_grid(t_lam[active], t_phi[active], g)
+            # lanes stepping outside the grid: stop, keep first approx
+            # (the C would try a sibling grid; with none it breaks and
+            # uses the current estimate, grids.cpp:3003-3009,3046-3049)
+            out_of_grid = np.isnan(dl)
+            dif_lam = t_lam[active] + dl - tb_lam[active]
+            dif_phi = t_phi[active] + dp - tb_phi[active]
+            new_tlam = t_lam[active] - dif_lam
+            new_tphi = t_phi[active] - dif_phi
+            t_lam[active] = np.where(out_of_grid, t_lam[active], new_tlam)
+            t_phi[active] = np.where(out_of_grid, t_phi[active], new_tphi)
+            ef = edge_fallback[active]
+            edge_fallback[active] = ef | out_of_grid
+            converged = (dif_lam * dif_lam + dif_phi * dif_phi) <= _TOL * _TOL
+            count_a = count[active] + 1
+            count[active] = count_a
+            still = ~(converged | out_of_grid) & (count_a < _MAX_ITER)
+            nxt = active.copy()
+            nxt[active] = still
+            active = nxt
+        # non-convergence after MAX_ITER -> error (grids.cpp:3036-3044)
+        nonconv = (count >= _MAX_ITER) & ~edge_fallback
+        res_lam = C.adjlon(t_lam + g.west)
+        res_phi = t_phi + g.south
+        res_lam = np.where(nonconv, np.nan, res_lam)
+        res_phi = np.where(nonconv, np.nan, res_phi)
+        out_lam[sel] = res_lam
+        out_phi[sel] = res_phi
+
+    return out_lam, out_phi
+
+
+def vgrid_value(grids, lam, phi, vmultiplier: float):
+    """read_vgrid_value over arrays; src/grids.cpp:3141-3276.
+
+    Bilinear with nodata-aware weight renormalization; NaN where no grid
+    covers the point or all four corners are nodata.
+    """
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    out = np.full_like(lam, np.nan)
+
+    remaining = np.ones(lam.shape, dtype=bool)
+    for g in grids:
+        sel = remaining & g.contains(lam, phi)
+        if not sel.any():
+            continue
+        ll = lam[sel]
+        pp = phi[sel]
+        gx = (ll - g.west) / g.resx
+        if g.full_world:
+            gx = np.mod(np.mod(gx + g.width, g.width) + g.width, g.width)
+        else:
+            gx = np.where(ll < g.west, (ll + 2 * np.pi - g.west) / g.resx, gx)
+            gx = np.where(ll > g.east, (ll - 2 * np.pi - g.west) / g.resx, gx)
+        gy = (pp - g.south) / g.resy
+        ix = np.floor(gx).astype(np.int64)
+        iy = np.floor(gy).astype(np.int64)
+        ok = (ix >= 0) & (ix < g.width) & (iy >= 0) & (iy < g.height)
+        ixs = np.clip(ix, 0, g.width - 1)
+        iys = np.clip(iy, 0, g.height - 1)
+        fx = gx - ixs
+        fy = gy - iys
+        ix2 = ixs + 1
+        if g.full_world:
+            ix2 = np.where(ix2 >= g.width, 0, ix2)
+        else:
+            ix2 = np.minimum(ix2, g.width - 1)
+        iy2 = np.minimum(iys + 1, g.height - 1)
+
+        va = g.values[iys, ixs]
+        vb = g.values[iys, ix2]
+        vc = g.values[iy2, ixs]
+        vd = g.values[iy2, ix2]
+
+        def nodata(v):
+            vm = v * vmultiplier
+            return (vm > 1000) | (vm < -1000) | (v == np.float32(-88.8888))
+
+        wa = (1.0 - fx) * (1.0 - fy)
+        wb = fx * (1.0 - fy)
+        wc = (1.0 - fx) * fy
+        wd = fx * fy
+        na, nb, nc, nd = nodata(va), nodata(vb), nodata(vc), nodata(vd)
+        value = (
+            np.where(na, 0.0, va * wa) + np.where(nb, 0.0, vb * wb)
+            + np.where(nc, 0.0, vc * wc) + np.where(nd, 0.0, vd * wd)
+        )
+        total_w = (
+            np.where(na, 0.0, wa) + np.where(nb, 0.0, wb)
+            + np.where(nc, 0.0, wc) + np.where(nd, 0.0, wd)
+        )
+        n_weights = 4 - (na.astype(int) + nb.astype(int) + nc.astype(int) + nd.astype(int))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            value = np.where(n_weights == 0, np.nan,
+                             np.where(n_weights != 4, value / total_w, value))
+        value = value * vmultiplier
+        value = np.where(ok, value, np.nan)
+        out[sel] = value
+        remaining[sel] = remaining[sel] & ~np.isfinite(value)
+
+    return out
+
+
+def _parse_t(P: PJ, key: str) -> float:
+    """+t_final supports 'now' (hgridshift.cpp:188-199)."""
+    v = P.params.get(key)
+    if v is None:
+        return 0.0
+    if str(v) == "now":
+        import time as _time
+
+        tm = _time.localtime()
+        return 1900.0 + tm.tm_year - 1900 + tm.tm_yday / 365.0
+    return float(v)
 
 
 def setup_hgridshift(P: PJ) -> PJ:
-    raise ProjError("unsupported", "hgridshift not yet implemented")
+    """src/transformations/hgridshift.cpp:35-214."""
+    from proj_4_spark.sources.grids import load_hgrids
+
+    if not P.has("grids"):
+        raise ProjError("no_args", "hgridshift: +grids parameter missing")
+    if ".tif" in str(P.params["grids"]):
+        raise ProjError("unsupported", "GeoTIFF grids out of scope (SURVEY.md §7.7)")
+    try:
+        grids = load_hgrids(str(P.params["grids"]))
+    except FileNotFoundError as e:
+        raise ProjError("failed_to_load_grid", str(e)) from None
+    except ValueError as e:
+        raise ProjError("unsupported", f"grid format: {e}") from None
+    t_final = _parse_t(P, "t_final")
+    t_epoch = P.param_f("t_epoch")
+
+    def fwd4d(lam, phi, z, t, P_):
+        if t_final != 0 and t_epoch != 0:
+            apply_mask = (t < t_epoch) & (t_final > t_epoch)
+        else:
+            apply_mask = np.ones(np.shape(lam), dtype=bool)
+        nl, np_ = hgrid_apply(grids, lam, phi, "fwd")
+        return (np.where(apply_mask, nl, lam), np.where(apply_mask, np_, phi), z, t)
+
+    def inv4d(lam, phi, z, t, P_):
+        if t_final != 0 and t_epoch != 0:
+            apply_mask = (t < t_epoch) & (t_final > t_epoch)
+        else:
+            apply_mask = np.ones(np.shape(lam), dtype=bool)
+        nl, np_ = hgrid_apply(grids, lam, phi, "inv")
+        return (np.where(apply_mask, nl, lam), np.where(apply_mask, np_, phi), z, t)
+
+    P.fwd4d = fwd4d
+    P.inv4d = inv4d
+    P.left = UNITS_RADIANS
+    P.right = UNITS_RADIANS
+    P.opaque["grids"] = grids
+    return P
 
 
 def setup_vgridshift(P: PJ) -> PJ:
-    raise ProjError("unsupported", "vgridshift not yet implemented")
+    """src/transformations/vgridshift.cpp:175-240: historical default is
+    multiplier=-1 (forward subtracts the offset)."""
+    from proj_4_spark.sources.grids import load_vgrids
+
+    if not P.has("grids"):
+        raise ProjError("no_args", "vgridshift: +grids parameter missing")
+    if ".tif" in str(P.params["grids"]):
+        raise ProjError("unsupported", "GeoTIFF grids out of scope (SURVEY.md §7.7)")
+    try:
+        grids = load_vgrids(str(P.params["grids"]))
+    except FileNotFoundError as e:
+        raise ProjError("failed_to_load_grid", str(e)) from None
+    except ValueError as e:
+        raise ProjError("unsupported", f"grid format: {e}") from None
+    mult = P.param_f("multiplier", -1.0)
+
+    def fwd4d(lam, phi, z, t, P_):
+        dz = vgrid_value(grids, lam, phi, mult)
+        return lam, phi, z + dz, t
+
+    def inv4d(lam, phi, z, t, P_):
+        dz = vgrid_value(grids, lam, phi, mult)
+        return lam, phi, z - dz, t
+
+    P.fwd4d = fwd4d
+    P.inv4d = inv4d
+    P.left = UNITS_RADIANS
+    P.right = UNITS_RADIANS
+    P.opaque["grids"] = grids
+    return P

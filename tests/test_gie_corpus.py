@@ -15,11 +15,15 @@ GIE_DIR = "/root/reference/test/gie"
 
 # (file, minimum passes we lock in — ratchet upward as coverage grows)
 CORPUS = [
-    ("builtins.gie", 236),
-    ("more_builtins.gie", 60),
+    ("builtins.gie", 179),
+    ("more_builtins.gie", 61),
     ("axisswap.gie", 21),
     ("unitconvert.gie", 8),
     ("ellipsoid.gie", 20),
+    ("DHDN_ETRS89.gie", 64),
+    ("4D-API_cs2cs-style.gie", 36),
+    ("GDA.gie", 2),
+    ("deformation.gie", 12),
 ]
 
 
