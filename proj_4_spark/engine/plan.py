@@ -54,6 +54,10 @@ def _registry():
     from proj_4_spark.kernels import merc as k_merc
     from proj_4_spark.kernels import misc as k_misc
     from proj_4_spark.kernels import molodensky as k_molo
+    from proj_4_spark.kernels import azimuthal as k_azim
+    from proj_4_spark.kernels import pseudocyl as k_pcyl
+    from proj_4_spark.kernels import pseudocyl2 as k_pc2
+    from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
     from proj_4_spark.kernels import tmerc as k_tmerc
     from proj_4_spark.kernels import unitconvert as k_unitconvert
@@ -82,18 +86,69 @@ def _registry():
         "molodensky": k_molo.setup_molodensky,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
-        "stere": k_stere.setup_stere,
-        "ups": k_stere.setup_ups,
-        "laea": k_stere.setup_laea,
+        "stere": k_azim.setup_stere,
+        "ups": k_azim.setup_ups,
+        "laea": k_azim.setup_laea,
         "sterea": k_stere.setup_sterea,
         "gnom": k_misc.setup_gnom,
         "ortho": k_misc.setup_ortho,
-        "moll": k_misc.setup_moll,
-        "sinu": k_misc.setup_sinu,
-        "eqearth": k_misc.setup_eqearth,
+        "moll": k_pcyl.setup_moll,
+        "wag4": k_pcyl.setup_wag4,
+        "wag5": k_pcyl.setup_wag5,
+        "sinu": k_pcyl.setup_sinu,
+        "gn_sinu": k_pcyl.setup_gn_sinu,
+        "eck6": k_pcyl.setup_eck6,
+        "mbtfps": k_pcyl.setup_mbtfps,
+        "eqearth": k_pcyl.setup_eqearth,
         "robin": k_misc.setup_robin,
         "affine": k_misc.setup_affine,
         "geogoffset": k_misc.setup_geogoffset,
+        "eck1": k_pc2.setup_eck1,
+        "eck2": k_pc2.setup_eck2,
+        "eck3": k_pc2.setup_eck3,
+        "eck4": k_pc2.setup_eck4,
+        "eck5": k_pc2.setup_eck5,
+        "kav7": k_pc2.setup_kav7,
+        "putp1": k_pc2.setup_putp1,
+        "putp2": k_pc2.setup_putp2,
+        "putp3": k_pc2.setup_putp3,
+        "putp3p": k_pc2.setup_putp3p,
+        "putp4p": k_pc2.setup_putp4p,
+        "weren": k_pc2.setup_weren,
+        "putp5": k_pc2.setup_putp5,
+        "putp5p": k_pc2.setup_putp5p,
+        "putp6": k_pc2.setup_putp6,
+        "putp6p": k_pc2.setup_putp6p,
+        "mill": k_pc2.setup_mill,
+        "gall": k_pc2.setup_gall,
+        "wag1": k_pc2.setup_wag1,
+        "wag2": k_pc2.setup_wag2,
+        "wag3": k_pc2.setup_wag3,
+        "wag6": k_pc2.setup_wag6,
+        "wag7": k_pc2.setup_wag7,
+        "urmfps": k_pc2.setup_urmfps,
+        "cc": k_pc3.setup_cc,
+        "tcc": k_pc3.setup_tcc,
+        "tcea": k_pc3.setup_tcea,
+        "loxim": k_pc3.setup_loxim,
+        "collg": k_pc3.setup_collg,
+        "crast": k_pc3.setup_crast,
+        "fahey": k_pc3.setup_fahey,
+        "fouc_s": k_pc3.setup_fouc_s,
+        "wink1": k_pc3.setup_wink1,
+        "wink2": k_pc3.setup_wink2,
+        "boggs": k_pc3.setup_boggs,
+        "denoy": k_pc3.setup_denoy,
+        "aitoff": k_pc3.setup_aitoff,
+        "wintri": k_pc3.setup_wintri,
+        "hammer": k_pc3.setup_hammer,
+        "nell": k_pc3.setup_nell,
+        "nell_h": k_pc3.setup_nell_h,
+        "mbt_fps": k_pc3.setup_mbt_fps,
+        "natearth": k_pc3.setup_natearth,
+        "natearth2": k_pc3.setup_natearth2,
+        "comill": k_pc3.setup_comill,
+        "times": k_pc3.setup_times,
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
     }

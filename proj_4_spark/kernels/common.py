@@ -229,6 +229,52 @@ def hypot(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return np.hypot(x, y)
 
 
+def generic_inverse_2d(fwd, P, x, y, lam_init, phi_init):
+    """Vectorized port of pj_generic_inverse_2d (src/generic_inverse.cpp:44):
+    2D Newton-Raphson with numerically-estimated Jacobian, 15 iterations,
+    +-0.3 rad step clamp, lam/phi clamped to valid ranges.
+
+    fwd(lam, phi) -> (X, Y) evaluates the projection kernel (no
+    prepare/finalize).
+    """
+    lam = np.array(lam_init, dtype=np.float64, copy=True)
+    phi = np.array(phi_init, dtype=np.float64, copy=True)
+    dl_X = np.zeros_like(lam)
+    dl_Y = np.zeros_like(lam)
+    dp_X = np.zeros_like(lam)
+    dp_Y = np.zeros_like(lam)
+    for _ in range(15):
+        Xa, Ya = fwd(lam, phi)
+        dX = Xa - x
+        dY = Ya - y
+        done = (np.abs(dX) < 1e-10) & (np.abs(dY) < 1e-10)
+        if done.all():
+            break
+        recompute = (np.abs(dX) > 1e-6) | (np.abs(dY) > 1e-6)
+        if recompute.any():
+            dLam = np.where(lam > 0, -1e-6, 1e-6)
+            X2, Y2 = fwd(lam + dLam, phi)
+            dXl = (X2 - Xa) / dLam
+            dYl = (Y2 - Ya) / dLam
+            dPhi = np.where(phi > 0, -1e-6, 1e-6)
+            X2, Y2 = fwd(lam, phi + dPhi)
+            dXp = (X2 - Xa) / dPhi
+            dYp = (Y2 - Ya) / dPhi
+            det = dXl * dYp - dXp * dYl
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nz = (det != 0) & recompute
+                dl_X = np.where(nz, dYp / det, dl_X)
+                dl_Y = np.where(nz, -dXp / det, dl_Y)
+                dp_X = np.where(nz, -dYl / det, dp_X)
+                dp_Y = np.where(nz, dXl / det, dp_Y)
+        upd = ~done
+        delta_lam = np.clip(dX * dl_X + dY * dl_Y, -0.3, 0.3)
+        lam = np.where(upd & (x != 0), np.clip(lam - delta_lam, -M_PI, M_PI), lam)
+        delta_phi = np.clip(dX * dp_X + dY * dp_Y, -0.3, 0.3)
+        phi = np.where(upd & (y != 0), np.clip(phi - delta_phi, -M_HALFPI, M_HALFPI), phi)
+    return lam, phi
+
+
 def geodesic_inverse_vincenty(
     lon1, lat1, lon2, lat2, a: float, f: float
 ) -> np.ndarray:
