@@ -42,10 +42,14 @@ class GieCase:
 
 
 def _parse_tolerance(rest: str) -> float:
-    m = re.match(r"\s*([-+0-9.eE]+)\s*([a-z]*)", rest)
+    """strtod_scaled semantics (src/apps/gie.cpp:461-505): the value is
+    strtod'ed; the unit must be the SECOND whitespace column.  'tolerance
+    1cm' therefore scales by nothing (1 m!) — reproduced faithfully."""
+    cols = rest.split()
+    m = re.match(r"\s*([-+0-9.eE]+)", cols[0])
     v = float(m.group(1))
-    unit = m.group(2) or "m"
-    return v * _TOL_UNITS[unit]
+    unit = cols[1] if len(cols) > 1 else ""
+    return v * _TOL_UNITS.get(unit, 1.0)
 
 
 def _parse_coords(rest: str) -> list[float]:
@@ -99,7 +103,8 @@ def parse_gie_file(path: str) -> list[GieCase]:
         elif cmd == "tolerance":
             tolerance = _parse_tolerance(rest)
         elif cmd == "direction":
-            direction = "inverse" if rest.strip().startswith("inv") else "forward"
+            d = rest.strip()
+            direction = "inverse" if d.startswith(("inv", "rev")) else "forward"
         elif cmd == "accept":
             accept = _parse_coords(rest)
         elif cmd == "ignore":
@@ -265,7 +270,13 @@ def run_case(case: GieCase) -> GieResult:
         return GieResult(case, "pass" if ok else "fail",
                          f"roundtrip drift {d:.3e} m vs tol {tol:.3e}", d)
 
-    ox, oy, oz, ot = op.apply(x, y, z, t, direction)
+    try:
+        ox, oy, oz, ot = op.apply(x, y, z, t, direction)
+    except ProjError as e:
+        # e.g. no inverse kernel (non-invertible affine, fwd-only ops)
+        if case.expect_failure:
+            return GieResult(case, "pass", f"failed as expected: {e}")
+        return GieResult(case, "fail", f"runtime error: {e}")
     got = [float(ox[0]), float(oy[0]), float(oz[0]), float(ot[0])]
 
     if case.expect_failure:
