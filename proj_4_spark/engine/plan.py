@@ -57,6 +57,9 @@ def _registry():
     from proj_4_spark.kernels import azimuthal as k_azim
     from proj_4_spark.kernels import pseudocyl as k_pcyl
     from proj_4_spark.kernels import pseudocyl2 as k_pc2
+    from proj_4_spark.kernels import conic2 as k_conic2
+    from proj_4_spark.kernels import misc2 as k_misc2
+    from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
     from proj_4_spark.kernels import tmerc as k_tmerc
@@ -149,6 +152,30 @@ def _registry():
         "natearth2": k_pc3.setup_natearth2,
         "comill": k_pc3.setup_comill,
         "times": k_pc3.setup_times,
+        "eqdc": k_conic2.setup_eqdc,
+        "cass": k_conic2.setup_cass,
+        "poly": k_conic2.setup_poly,
+        "bonne": k_conic2.setup_bonne,
+        "vandg": k_conic2.setup_vandg,
+        "somerc": k_obl.setup_somerc,
+        "krovak": k_obl.setup_krovak,
+        "nicol": k_misc2.setup_nicol,
+        "bacon": k_misc2.setup_bacon,
+        "apian": k_misc2.setup_apian,
+        "ortel": k_misc2.setup_ortel,
+        "august": k_misc2.setup_august,
+        "lagrng": k_misc2.setup_lagrng,
+        "vandg2": k_misc2.setup_vandg2,
+        "vandg3": k_misc2.setup_vandg3,
+        "vandg4": k_misc2.setup_vandg4,
+        "mbtfpp": k_misc2.setup_mbtfpp,
+        "mbtfpq": k_misc2.setup_mbtfpq,
+        "fouc": k_misc2.setup_fouc,
+        "kav5": k_misc2.setup_kav5,
+        "qua_aut": k_misc2.setup_qua_aut,
+        "mbt_s": k_misc2.setup_mbt_s,
+        "oea": k_misc2.setup_oea,
+        "tpeqd": k_misc2.setup_tpeqd,
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
     }
