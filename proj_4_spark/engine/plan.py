@@ -59,6 +59,8 @@ def _registry():
     from proj_4_spark.kernels import pseudocyl2 as k_pc2
     from proj_4_spark.kernels import conic2 as k_conic2
     from proj_4_spark.kernels import misc2 as k_misc2
+    from proj_4_spark.kernels import adams as k_adams
+    from proj_4_spark.kernels import misc3 as k_misc3
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -176,6 +178,24 @@ def _registry():
         "mbt_s": k_misc2.setup_mbt_s,
         "oea": k_misc2.setup_oea,
         "tpeqd": k_misc2.setup_tpeqd,
+        "euler": k_misc3.setup_euler,
+        "murd1": k_misc3.setup_murd1,
+        "murd2": k_misc3.setup_murd2,
+        "murd3": k_misc3.setup_murd3,
+        "pconic": k_misc3.setup_pconic,
+        "tissot": k_misc3.setup_tissot,
+        "vitk1": k_misc3.setup_vitk1,
+        "airy": k_misc3.setup_airy,
+        "gins8": k_misc3.setup_gins8,
+        "lask": k_misc3.setup_lask,
+        "larr": k_misc3.setup_larr,
+        "tobmerc": k_misc3.setup_tobmerc,
+        "rpoly": k_misc3.setup_rpoly,
+        "guyou": k_adams.setup_guyou,
+        "peirce_q": k_adams.setup_peirce_q,
+        "adams_hemi": k_adams.setup_adams_hemi,
+        "adams_ws1": k_adams.setup_adams_ws1,
+        "adams_ws2": k_adams.setup_adams_ws2,
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
     }

@@ -15,15 +15,23 @@ GIE_DIR = "/root/reference/test/gie"
 
 # (file, minimum passes we lock in — ratchet upward as coverage grows)
 CORPUS = [
-    ("builtins.gie", 179),
-    ("more_builtins.gie", 61),
-    ("axisswap.gie", 21),
-    ("unitconvert.gie", 8),
-    ("ellipsoid.gie", 20),
+    ("4D-API_cs2cs-style.gie", 51),
     ("DHDN_ETRS89.gie", 64),
-    ("4D-API_cs2cs-style.gie", 36),
     ("GDA.gie", 2),
+    ("adams_hemi.gie", 703),
+    ("adams_ws1.gie", 703),
+    ("adams_ws2.gie", 724),
+    ("axisswap.gie", 21),
+    ("builtins.gie", 1250),
+    ("defmodel.gie", 0),
     ("deformation.gie", 12),
+    ("ellipsoid.gie", 20),
+    ("geotiff_grids.gie", 0),
+    ("guyou.gie", 705),
+    ("more_builtins.gie", 110),
+    ("peirce_q.gie", 391),
+    ("tinshift.gie", 0),
+    ("unitconvert.gie", 8),
 ]
 
 
