@@ -61,6 +61,8 @@ def _registry():
     from proj_4_spark.kernels import misc2 as k_misc2
     from proj_4_spark.kernels import adams as k_adams
     from proj_4_spark.kernels import misc3 as k_misc3
+    from proj_4_spark.kernels import misc4 as k_misc4
+    from proj_4_spark.kernels import misc5 as k_misc5
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -196,6 +198,14 @@ def _registry():
         "adams_hemi": k_adams.setup_adams_hemi,
         "adams_ws1": k_adams.setup_adams_ws1,
         "adams_ws2": k_adams.setup_adams_ws2,
+        "ocea": k_misc4.setup_ocea,
+        "lcca": k_misc4.setup_lcca,
+        "nsper": k_misc4.setup_nsper,
+        "tpers": k_misc4.setup_tpers,
+        "omerc": k_misc5.setup_omerc,
+        "hatano": k_misc5.setup_hatano,
+        "patterson": k_misc5.setup_patterson,
+        "urm5": k_misc5.setup_urm5,
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
     }
@@ -209,8 +219,11 @@ class Operation:
     reference CLIs do — src/apps/proj.cpp:144-152).
     """
 
-    def __init__(self, P: PJ):
+    def __init__(self, P: PJ, inverted: bool = False):
         self.P = P
+        # operation-level +inv flag (P->inverted; proj_trans swaps
+        # directions, src/4D_api.cpp)
+        self.inverted = inverted
 
     @property
     def name(self) -> str:
@@ -218,14 +231,20 @@ class Operation:
 
     # angular-I/O predicates used by the gie harness (src/apps/gie.cpp:988-996)
     def angular_input(self, direction: str) -> bool:
+        if self.inverted:
+            direction = "inv" if direction == "fwd" else "fwd"
         u = self.P.left if direction == "fwd" else self.P.right
         return u == UNITS_RADIANS
 
     def angular_output(self, direction: str) -> bool:
+        if self.inverted:
+            direction = "inv" if direction == "fwd" else "fwd"
         u = self.P.right if direction == "fwd" else self.P.left
         return u == UNITS_RADIANS
 
     def apply(self, x, y, z, t, direction: str = "fwd"):
+        if self.inverted:
+            direction = "inv" if direction == "fwd" else "fwd"
         x = np.asarray(x, dtype=np.float64).copy()
         y = np.asarray(y, dtype=np.float64).copy()
         z = np.asarray(z, dtype=np.float64).copy()
@@ -401,8 +420,9 @@ class PipelineOperation(Operation):
     Python but every iteration is whole-column NumPy.
     """
 
-    def __init__(self, P: PJ, steps: list[tuple[Operation, dict]]):
-        super().__init__(P)
+    def __init__(self, P: PJ, steps: list[tuple[Operation, dict]],
+                 inverted: bool = False):
+        super().__init__(P, inverted)
         self.steps = steps  # (op, flags) flags: inv, omit_fwd, omit_inv, push, pop, v_mask
 
     def _run(self, x, y, z, t, direction: str):
@@ -796,7 +816,7 @@ def create_operation(projstring: str) -> Operation:
         Ppl.skip_fwd_finalize = True
         Ppl.skip_inv_prepare = True
         Ppl.skip_inv_finalize = True
-        return PipelineOperation(Ppl, steps)
+        return PipelineOperation(Ppl, steps, inverted="inv" in global_params)
 
     params = PS.parse_projstring(projstring)
-    return Operation(_make_pj(params))
+    return Operation(_make_pj(params), inverted="inv" in params)
