@@ -1,0 +1,130 @@
+"""Physical-plan quality gates (the 100-TB checklist, SURVEY.md §4.3):
+filters push to the parquet scan, unused columns prune out of ReadSchema,
+small dims broadcast, transform UDFs stay projections (no shuffle).
+"""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan_through_transform(spark):
+    """A filter under a pandas-UDF transform must still reach the parquet
+    scan as PushedFilters (the UDF is a projection, not a barrier)."""
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").where("event_id < 1000")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    out = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat")
+    txt = formatted(out)
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,1000)]" in txt
+
+
+def test_column_pruning_through_transform(spark):
+    """Selecting 2 derived columns must prune the scan to event_id only."""
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    out = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat").select("x", "y")
+    txt = formatted(out)
+    assert "ReadSchema: struct<event_id:bigint>" in txt, txt[-2000:]
+
+
+def test_transform_plan_has_no_shuffle(spark):
+    """The whole-pipeline UDF is embarrassingly parallel: no Exchange."""
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    out = transform(
+        pts,
+        "+proj=pipeline +ellps=GRS80 +step +proj=cart "
+        "+step +proj=helmert +x=10 +y=-20 +z=30 +step +proj=cart +inv",
+        x="lon", y="lat",
+    )
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    # exactly one Python/Arrow eval for the whole 3-step pipeline (fusion)
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+
+
+def test_small_dim_broadcasts(spark):
+    """nation joined to orders+customer must be a broadcast hash join."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name").agg(F.sum("o_totalprice").alias("rev"))
+    )
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_join_is_broadcast(spark):
+    """PIP candidate join broadcasts the polygon side (no shuffle of the
+    point side)."""
+    from proj_4_spark.sources import fixtures as FX
+    from proj_4_spark.spatial.pip import pip_join
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    zones = spark.read.parquet(zpath)
+    pts = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_offset"),
+        (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+        (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+    )
+    plan = plan_of(pip_join(pts, zones))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the fact side must not be exchanged before the join
+    before_join = plan.split("Join")[0]
+    assert "Exchange hashpartitioning" not in before_join
+
+
+def test_cell_and_tile_exprs_are_codegen(spark):
+    """Cell/tile assignment must stay inside WholeStageCodegen (no UDF)."""
+    from proj_4_spark.spatial.cells import cell_col
+    from proj_4_spark.spatial.tiles import tile_cols
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    df = pts.withColumn("cell", cell_col(F.col("lon"), F.col("lat"), 7))
+    tx, ty = tile_cols(F.col("lon") * 111319.49, F.col("lat") * 111319.49, 8)
+    df = df.withColumn("tx", tx).withColumn("ty", ty)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan
+    # "*(1)" prefix marks whole-stage-codegen stages in the simple plan
+    assert "*(1) Project" in plan

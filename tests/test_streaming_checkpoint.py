@@ -1,0 +1,124 @@
+"""Streaming (rate/memory sources) + checkpoint/lineage tests."""
+
+import os
+import tempfile
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_windowed_cell_counts_stream_matches_batch(spark, events, tmp_path):
+    """Streaming windowed agg over a bounded memory stream must equal the
+    batch equivalent (exactly-once semantics on a replayable source)."""
+    from proj_4_spark.spatial.cells import cell_col
+    from proj_4_spark.streaming.events import windowed_cell_counts
+
+    src = events.limit(2000).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        ((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+    src.write.mode("overwrite").parquet(str(tmp_path / "events_in"))
+
+    stream = (
+        spark.readStream.schema(src.schema).parquet(str(tmp_path / "events_in"))
+    )
+    q = (
+        windowed_cell_counts(stream, res=4, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from cellcounts").toPandas()
+    expect = (
+        src.withColumn("cell", cell_col(F.col("lon"), F.col("lat"), 4))
+        .groupBy(F.window("ts", "1 hour"), "cell")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "cell", "n")
+        .toPandas()
+    )
+    g = got.sort_values(["window_start", "cell"]).reset_index(drop=True)
+    e = expect.sort_values(["window_start", "cell"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["cell"].to_numpy() == e["cell"].to_numpy()).all()
+    assert (g["n"].to_numpy() == e["n"].to_numpy()).all()
+
+
+def test_stream_transform_stateless(spark, tmp_path):
+    from proj_4_spark.streaming.events import stream_transform
+
+    src_df = spark.range(0, 100).select(
+        (F.col("id") % 60 - 30.0).cast("double").alias("lon"),
+        (F.col("id") % 80 - 40.0).cast("double").alias("lat"),
+    )
+    src_df.write.mode("overwrite").parquet(str(tmp_path / "pts"))
+    stream = spark.readStream.schema(src_df.schema).parquet(str(tmp_path / "pts"))
+    q = (
+        stream_transform(stream, "+proj=webmerc +ellps=WGS84", x="lon", y="lat")
+        .writeStream.format("memory")
+        .queryName("wmstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wmstream").toPandas()
+    assert len(got) == 100
+    assert got["out_x"].notna().all()
+
+
+def test_checkpoint_resume_anti_join(spark, tmp_path):
+    from proj_4_spark.docs.synth import synthesize_spark
+    from proj_4_spark.sources.checkpoint import remaining_docs, write_snapshot
+
+    docs = synthesize_spark(spark, 500, partitions=4)
+    base = str(tmp_path / "snapshots")
+    # first run processes half
+    first_half = docs.where("doc_id < 'doc-000000000250'")
+    write_snapshot(first_half.select("doc_id"), base, "stage1")
+    rest = remaining_docs(docs, spark, base, "stage1")
+    assert rest.count() == 250
+    assert rest.agg(F.min("doc_id")).first()[0] == "doc-%012d" % 250
+    # nothing processed yet for an unknown stage -> full input
+    assert remaining_docs(docs, spark, base, "nope").count() == 500
+
+
+def test_partition_lineage_metrics(spark, tmp_path):
+    from proj_4_spark.docs.media import explode_media_points
+    from proj_4_spark.docs.synth import synthesize_spark
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.sources.checkpoint import (
+        read_lineage,
+        transform_error_counts,
+        with_partition_lineage,
+    )
+
+    docs = synthesize_spark(spark, 400, partitions=4)
+    pts = explode_media_points(docs)
+    mdir = str(tmp_path / "metrics")
+    tracked = with_partition_lineage(pts, "run-1", "extract", metrics_dir=mdir)
+    n = tracked.count()
+    lineage = read_lineage(spark, mdir, "run-1", "extract").toPandas()
+    assert lineage["n_rows"].sum() == n
+    assert (lineage["partition_id"] >= 0).all()
+
+    wm = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                   out_prefix="wm_")
+    errs = transform_error_counts(wm, "wm_x").toPandas()
+    assert errs["n_rows"].sum() == n
+    # pathological fixture rows (lon=999, |lat|=90) must surface as errors
+    assert errs["n_errors"].sum() > 0
