@@ -111,11 +111,17 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
         _norm_col(F.col(q_vec_col)).alias("q_norm"),
         signature_col(F.col(q_vec_col), planes).alias("q_bucket"),
     )
-    # multiprobe bucket expansion (flip up to `multiprobe` bits)
+    # multiprobe bucket expansion: probe all buckets within Hamming
+    # distance <= multiprobe of the query signature
     probes = [F.col("q_bucket")]
     if multiprobe >= 1:
         probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
                    for i in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [
+            F.col("q_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
     queries = queries.withColumn("bucket", F.explode(F.array(*probes)))
 
     cand = corpus.join(F.broadcast(queries), "bucket")
