@@ -62,6 +62,8 @@ def _registry():
     from proj_4_spark.kernels import adams as k_adams
     from proj_4_spark.kernels import misc3 as k_misc3
     from proj_4_spark.kernels import misc4 as k_misc4
+    from proj_4_spark.kernels import aeqd as k_aeqd
+    from proj_4_spark.kernels import datum2 as k_datum2
     from proj_4_spark.kernels import misc5 as k_misc5
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
@@ -90,7 +92,9 @@ def _registry():
         "unitconvert": k_unitconvert.setup_unitconvert,
         "helmert": k_helmert.setup_helmert,
         "molobadekas": k_helmert.setup_molobadekas,
-        "molodensky": k_molo.setup_molodensky,
+        "molodensky": k_datum2.setup_molodensky,
+        "ob_tran": k_datum2.setup_ob_tran,
+        "aeqd": k_aeqd.setup_aeqd,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,

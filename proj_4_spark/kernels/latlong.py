@@ -37,6 +37,8 @@ def setup_latlong(P: PJ) -> PJ:
     P.is_latlong = True
     P.x0 = 0.0
     P.y0 = 0.0
+    P.fwd = _identity4
+    P.inv = _identity4
     P.fwd4d = _identity4
     P.inv4d = _identity4
     P.left = UNITS_RADIANS
