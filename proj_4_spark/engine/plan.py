@@ -65,6 +65,7 @@ def _registry():
     from proj_4_spark.kernels import aeqd as k_aeqd
     from proj_4_spark.kernels import datum2 as k_datum2
     from proj_4_spark.kernels import misc5 as k_misc5
+    from proj_4_spark.kernels import misc6 as k_misc6
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -95,6 +96,9 @@ def _registry():
         "molodensky": k_datum2.setup_molodensky,
         "ob_tran": k_datum2.setup_ob_tran,
         "aeqd": k_aeqd.setup_aeqd,
+        "geos": k_misc6.setup_geos,
+        "goode": k_misc6.setup_goode,
+        "calcofi": k_misc6.setup_calcofi,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
