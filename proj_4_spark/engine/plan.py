@@ -66,6 +66,7 @@ def _registry():
     from proj_4_spark.kernels import datum2 as k_datum2
     from proj_4_spark.kernels import misc5 as k_misc5
     from proj_4_spark.kernels import misc6 as k_misc6
+    from proj_4_spark.kernels import misc7 as k_misc7
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -99,6 +100,8 @@ def _registry():
         "geos": k_misc6.setup_geos,
         "goode": k_misc6.setup_goode,
         "calcofi": k_misc6.setup_calcofi,
+        "igh": k_misc7.setup_igh,
+        "ccon": k_misc7.setup_ccon,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
