@@ -49,6 +49,7 @@ def _registry():
     from proj_4_spark.kernels import eqc as k_eqc
     from proj_4_spark.kernels import gridshift as k_grid
     from proj_4_spark.kernels import helmert as k_helmert
+    from proj_4_spark.kernels import horner as k_horner
     from proj_4_spark.kernels import latlong as k_latlong
     from proj_4_spark.kernels import lcc as k_lcc
     from proj_4_spark.kernels import merc as k_merc
@@ -102,6 +103,7 @@ def _registry():
         "calcofi": k_misc6.setup_calcofi,
         "igh": k_misc7.setup_igh,
         "ccon": k_misc7.setup_ccon,
+        "horner": k_horner.setup_horner,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
