@@ -68,6 +68,8 @@ def _registry():
     from proj_4_spark.kernels import misc5 as k_misc5
     from proj_4_spark.kernels import misc6 as k_misc6
     from proj_4_spark.kernels import misc7 as k_misc7
+    from proj_4_spark.kernels import misc8 as k_misc8
+    from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -104,6 +106,13 @@ def _registry():
         "igh": k_misc7.setup_igh,
         "ccon": k_misc7.setup_ccon,
         "horner": k_horner.setup_horner,
+        "nzmg": k_misc8.setup_nzmg,
+        "gstmerc": k_misc8.setup_gstmerc,
+        "mil_os": k_mods.setup_mil_os,
+        "lee_os": k_mods.setup_lee_os,
+        "gs48": k_mods.setup_gs48,
+        "alsk": k_mods.setup_alsk,
+        "gs50": k_mods.setup_gs50,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
