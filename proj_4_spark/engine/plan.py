@@ -69,6 +69,7 @@ def _registry():
     from proj_4_spark.kernels import misc6 as k_misc6
     from proj_4_spark.kernels import misc7 as k_misc7
     from proj_4_spark.kernels import misc8 as k_misc8
+    from proj_4_spark.kernels import misc9 as k_misc9
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
@@ -113,6 +114,8 @@ def _registry():
         "gs48": k_mods.setup_gs48,
         "alsk": k_mods.setup_alsk,
         "gs50": k_mods.setup_gs50,
+        "rouss": k_misc9.setup_rouss,
+        "col_urban": k_misc9.setup_col_urban,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
