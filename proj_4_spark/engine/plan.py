@@ -71,6 +71,7 @@ def _registry():
     from proj_4_spark.kernels import misc8 as k_misc8
     from proj_4_spark.kernels import misc9 as k_misc9
     from proj_4_spark.kernels import mod_ster as k_mods
+    from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -116,6 +117,7 @@ def _registry():
         "gs50": k_mods.setup_gs50,
         "rouss": k_misc9.setup_rouss,
         "col_urban": k_misc9.setup_col_urban,
+        "qsc": k_qsc.setup_qsc,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
         "stere": k_azim.setup_stere,
