@@ -106,6 +106,7 @@ def _registry():
         "goode": k_misc6.setup_goode,
         "calcofi": k_misc6.setup_calcofi,
         "igh": k_misc7.setup_igh,
+        "igh_o": k_misc7.setup_igh_o,
         "ccon": k_misc7.setup_ccon,
         "horner": k_horner.setup_horner,
         "nzmg": k_misc8.setup_nzmg,

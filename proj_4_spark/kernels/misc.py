@@ -170,16 +170,103 @@ def ortho_s_inverse(x, y, z, t, P: PJ):
     return lam, phi, z, t
 
 
+def ortho_e_forward(lam, phi, z, t, P: PJ):
+    """ortho.cpp:133-157 (EPSG GN7-2 ellipsoidal orthographic)."""
+    Q = P.opaque
+    sinph0, cosph0 = Q["sinph0"], Q["cosph0"]
+    cosphi = np.cos(phi)
+    sinphi = np.sin(phi)
+    coslam = np.cos(lam)
+    sinlam = np.sin(lam)
+    bad = sinph0 * sinphi + cosph0 * cosphi * coslam < -_EPS10
+    nu = 1.0 / np.sqrt(1.0 - P.es * sinphi * sinphi)
+    x = nu * cosphi * sinlam
+    y = nu * (sinphi * cosph0 - cosphi * sinph0 * coslam) + P.es * (
+        Q["nu0"] * sinph0 - nu * sinphi) * cosph0
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y), z, t
+
+
+def ortho_e_inverse(x, y, z, t, P: PJ):
+    """ortho.cpp:160-276: closed-form polar/equatorial cases + 2D Newton
+    with the analytic Jacobian for the oblique case."""
+    Q = P.opaque
+    mode = Q["mode"]
+    sinph0, cosph0 = Q["sinph0"], Q["cosph0"]
+    if mode in ("n_pole", "s_pole"):
+        sgn = 1.0 if mode == "n_pole" else -1.0
+        rh2 = x * x + y * y
+        bad = (rh2 - 1.0) > _EPS10
+        edge = rh2 >= 1.0 - 1e-15
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arccos(np.sqrt(np.clip(
+                rh2 * P.one_es / (1 - P.es * np.minimum(rh2, 1 - 1e-16)), 0, 1))) * sgn
+        phi = np.where(edge, 0.0, phi)
+        lam = np.arctan2(x, y * -sgn)
+        return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi), z, t
+    if mode == "equit":
+        bad = x * x + (y * (P.a / P.b)) ** 2 > 1 + 1e-11
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinphi2 = np.where(y == 0, 0.0, 1.0 / (((1 - P.es) / np.where(y == 0, 1.0, y)) ** 2 + P.es))
+        at_pole = sinphi2 > 1 - 1e-11
+        phi = np.arcsin(np.sqrt(np.clip(sinphi2, 0, 1))) * np.where(y > 0, 1.0, -1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinlam = x * np.sqrt((1 - P.es * sinphi2) / np.maximum(1 - sinphi2, 1e-300))
+        lam = np.where(np.abs(sinlam) - 1 > -1e-15,
+                       C.M_HALFPI * np.where(x > 0, 1.0, -1.0),
+                       np.arcsin(np.clip(sinlam, -1, 1)))
+        phi = np.where(at_pole, C.M_HALFPI * np.where(y > 0, 1.0, -1.0), phi)
+        lam = np.where(at_pole, 0.0, lam)
+        return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi), z, t
+    # oblique: recenter, spherical first guess, Newton with analytic Jacobian
+    yr = (y - Q["y_shift"]) / Q["y_scale"]
+    bad = x * x + yr * yr > 1 + 1e-11
+    lam, phi, _, _ = ortho_s_inverse(x, yr, z, t, P)
+    conv = np.zeros(lam.shape, dtype=bool)
+    for _ in range(20):
+        cosphi = np.cos(phi)
+        sinphi = np.sin(phi)
+        coslam = np.cos(lam)
+        sinlam = np.sin(lam)
+        omes2 = 1.0 - P.es * sinphi * sinphi
+        nu = 1.0 / np.sqrt(omes2)
+        xn = nu * cosphi * sinlam
+        yn = nu * (sinphi * cosph0 - cosphi * sinph0 * coslam) + P.es * (
+            Q["nu0"] * sinph0 - nu * sinphi) * cosph0
+        rho = (1.0 - P.es) * nu / omes2
+        J11 = -rho * sinphi * sinlam
+        J12 = nu * cosphi * coslam
+        J21 = rho * (cosphi * cosph0 + sinphi * sinph0 * coslam)
+        J22 = nu * sinph0 * cosph0 * sinlam
+        D = J11 * J22 - J12 * J21
+        dx = x - xn
+        dy = y - yn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dphi = (J22 * dx - J12 * dy) / D
+            dlam = (-J21 * dx + J11 * dy) / D
+        upd = ~conv
+        phi = np.where(upd, np.clip(phi + dphi, -C.M_HALFPI, C.M_HALFPI), phi)
+        lam = np.where(upd, lam + dlam, lam)
+        conv = conv | ((np.abs(dphi) < 1e-12) & (np.abs(dlam) < 1e-12))
+        if conv.all():
+            break
+    lam = np.where(conv, lam, np.nan)
+    phi = np.where(conv, phi, np.nan)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi), z, t
+
+
 def setup_ortho(P: PJ) -> PJ:
-    """ortho.cpp (spherical branch; the EPSG ellipsoidal variant is
-    out of scope v1)."""
-    if P.es != 0.0:
-        raise ProjError("unsupported", "ellipsoidal ortho not implemented")
+    """ortho.cpp:281-308 (spherical + EPSG ellipsoidal variants)."""
     Q = P.opaque
     Q["mode"] = _azi_mode(P)
     Q["sinph0"] = math.sin(P.phi0)
     Q["cosph0"] = math.cos(P.phi0)
-    P.fwd, P.inv = ortho_s_forward, ortho_s_inverse
+    if P.es == 0:
+        P.fwd, P.inv = ortho_s_forward, ortho_s_inverse
+    else:
+        Q["nu0"] = 1.0 / math.sqrt(1.0 - P.es * Q["sinph0"] ** 2)
+        Q["y_shift"] = P.es * Q["nu0"] * Q["sinph0"] * Q["cosph0"]
+        Q["y_scale"] = 1.0 / math.sqrt(1.0 - P.es * Q["cosph0"] ** 2)
+        P.fwd, P.inv = ortho_e_forward, ortho_e_inverse
     P.left = UNITS_RADIANS
     P.right = UNITS_CLASSIC
     return P
