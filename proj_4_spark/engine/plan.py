@@ -70,8 +70,10 @@ def _registry():
     from proj_4_spark.kernels import misc7 as k_misc7
     from proj_4_spark.kernels import misc8 as k_misc8
     from proj_4_spark.kernels import misc9 as k_misc9
+    from proj_4_spark.kernels import misc10 as k_misc10
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
+    from proj_4_spark.kernels import robin as k_robin
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -118,6 +120,8 @@ def _registry():
         "gs50": k_mods.setup_gs50,
         "rouss": k_misc9.setup_rouss,
         "col_urban": k_misc9.setup_col_urban,
+        "bertin1953": k_misc10.setup_bertin1953,
+        "labrd": k_misc10.setup_labrd,
         "qsc": k_qsc.setup_qsc,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,
@@ -135,7 +139,7 @@ def _registry():
         "eck6": k_pcyl.setup_eck6,
         "mbtfps": k_pcyl.setup_mbtfps,
         "eqearth": k_pcyl.setup_eqearth,
-        "robin": k_misc.setup_robin,
+        "robin": k_robin.setup_robin,
         "affine": k_misc.setup_affine,
         "geogoffset": k_misc.setup_geogoffset,
         "eck1": k_pc2.setup_eck1,

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from proj_4_spark.kernels import common as C
+from proj_4_spark.kernels.base import ProjError
 
 _STRUCT4 = "x double, y double, z double, t double"
 
@@ -63,7 +64,14 @@ def transform(
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    # validate the proj-string on the driver (fail fast at plan time)
+    # validate direction + proj-string on the driver (fail fast at plan
+    # time, not as an executor traceback at collect time)
+    _DIRS = {"fwd": "fwd", "forward": "fwd",
+             "inv": "inv", "inverse": "inv", "reverse": "inv"}
+    if direction not in _DIRS:
+        raise ValueError(
+            f"direction must be one of {sorted(_DIRS)}, got {direction!r}")
+    direction = _DIRS[direction]
     op_probe = _cached_operation(projstring)
     ang_in = op_probe.angular_input(direction)
     ang_out = op_probe.angular_output(direction)
@@ -80,7 +88,15 @@ def transform(
         if degrees and ang_in:
             xa = xa * C.DEG_TO_RAD
             ya = ya * C.DEG_TO_RAD
-        ox, oy, oz, ot = op.apply(xa, ya, za, ta, direction)
+        try:
+            ox, oy, oz, ot = op.apply(xa, ya, za, ta, direction)
+        except ProjError:
+            # whole-batch structural error (e.g. no inverse kernel):
+            # reference proj_trans sets errno and emits HUGE_VAL points
+            # rather than aborting the stream (src/4D_api.cpp) — here
+            # that is NaN rows, filterable via keep_errors=False.
+            nan = np.full(len(xa), np.nan)
+            ox, oy, oz, ot = nan, nan.copy(), nan.copy(), nan.copy()
         if degrees and ang_out:
             ox = ox * C.RAD_TO_DEG
             oy = oy * C.RAD_TO_DEG

@@ -22,13 +22,13 @@ CORPUS = [
     ("adams_ws1.gie", 703),
     ("adams_ws2.gie", 724),
     ("axisswap.gie", 21),
-    ("builtins.gie", 1554),
+    ("builtins.gie", 1776),
     ("defmodel.gie", 0),
     ("deformation.gie", 12),
     ("ellipsoid.gie", 20),
     ("geotiff_grids.gie", 0),
     ("guyou.gie", 705),
-    ("more_builtins.gie", 121),
+    ("more_builtins.gie", 130),
     ("peirce_q.gie", 391),
     ("tinshift.gie", 0),
     ("unitconvert.gie", 8),
