@@ -71,6 +71,8 @@ def _registry():
     from proj_4_spark.kernels import misc8 as k_misc8
     from proj_4_spark.kernels import misc9 as k_misc9
     from proj_4_spark.kernels import misc10 as k_misc10
+    from proj_4_spark.kernels import healpix as k_healpix
+    from proj_4_spark.kernels import space as k_space
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import robin as k_robin
@@ -122,6 +124,13 @@ def _registry():
         "col_urban": k_misc9.setup_col_urban,
         "bertin1953": k_misc10.setup_bertin1953,
         "labrd": k_misc10.setup_labrd,
+        "healpix": k_healpix.setup_healpix,
+        "rhealpix": k_healpix.setup_rhealpix,
+        "chamb": k_misc10.setup_chamb,
+        "bipc": k_misc10.setup_bipc,
+        "imw_p": k_misc10.setup_imw_p,
+        "lsat": k_space.setup_lsat,
+        "misrsom": k_space.setup_misrsom,
         "qsc": k_qsc.setup_qsc,
         "eqc": k_eqc.setup_eqc,
         "cea": k_eqc.setup_cea,

@@ -22,10 +22,10 @@ CORPUS = [
     ("adams_ws1.gie", 703),
     ("adams_ws2.gie", 724),
     ("axisswap.gie", 21),
-    ("builtins.gie", 1776),
+    ("builtins.gie", 1881),
     ("defmodel.gie", 0),
     ("deformation.gie", 12),
-    ("ellipsoid.gie", 20),
+    ("ellipsoid.gie", 22),
     ("geotiff_grids.gie", 0),
     ("guyou.gie", 705),
     ("more_builtins.gie", 130),
