@@ -98,6 +98,12 @@ def _registry():
         "cart": k_cart.setup_cart,
         "geocent": k_cart.setup_geocent,
         "noop": k_cart.setup_noop,
+        "set": k_cart.setup_set,
+        # standalone push/pop: surface-identity with a private stack
+        # (pipeline.cpp PROJECTION(push/pop)); pipeline steps intercept
+        # these by name before registry lookup
+        "push": k_cart.setup_noop,
+        "pop": k_cart.setup_noop,
         "geoc": k_cart.setup_geoc,
         "axisswap": k_axisswap.setup_axisswap,
         "unitconvert": k_unitconvert.setup_unitconvert,
@@ -249,6 +255,7 @@ def _registry():
         "urm5": k_misc5.setup_urm5,
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
+        "deformation": k_grid.setup_deformation,
     }
 
 
@@ -587,15 +594,26 @@ def _apply_generic_params(P: PJ) -> None:
 _NO_EMULATION = {
     "helmert", "molobadekas", "hgridshift", "vgridshift", "molodensky",
     "cart", "axisswap", "unitconvert", "noop", "pipeline", "push", "pop",
-    "affine", "geogoffset",
+    "affine", "geogoffset", "deformation",
 }
 
 
 def _make_pj(params: dict) -> PJ:
     if "init" in params:
-        # +init presets need the catalog layer (out of scope v1,
-        # SURVEY.md §7.7) — report as unsupported, not as an error
-        raise ProjError("unsupported", "init presets not supported")
+        # +init expansion (src/init.cpp): the section's params are
+        # APPENDED to the paralist, so explicit params win (first-wins)
+        from proj_4_spark.engine.projstring import parse_projstring
+        from proj_4_spark.sources.initfiles import resolve_init
+
+        try:
+            frag = resolve_init(str(params["init"]))
+        except (KeyError, FileNotFoundError, LookupError, ValueError) as e:
+            # catalog/database layer is out of scope v1 (SURVEY.md §7.7)
+            raise ProjError("unsupported", f"init preset: {e}") from None
+        merged = {k: v for k, v in params.items() if k != "init"}
+        for k, v in parse_projstring(frag).items():
+            merged.setdefault(k, v)
+        params = merged
     name = params.get("proj")
     if not name:
         raise ProjError("missing_args", "no +proj")

@@ -12,11 +12,18 @@ import re
 from proj_4_spark.kernels import common as C
 
 
+def _shrink(s: str) -> str:
+    """pj_shrink (src/internal.cpp:198-262): ';' counts as whitespace and
+    '=' greedily consumes surrounding whitespace ('x = 1; y = 2' works)."""
+    s = s.replace(";", " ")
+    return re.sub(r"\s*=\s*", "=", s)
+
+
 def parse_projstring(s: str) -> dict[str, str | None]:
     """Tokenize '+key=value +flag ...' into a dict (first occurrence wins,
     matching paralist lookup order, src/pj_param.cpp)."""
     params: dict[str, str | None] = {}
-    for tok in s.split():
+    for tok in _shrink(s).split():
         tok = tok.lstrip("+")
         if not tok:
             continue
@@ -36,7 +43,7 @@ def split_pipeline_steps(s: str) -> tuple[dict, list[dict]]:
     Step params take precedence over pipeline globals (paralist append
     order: step args first, then globals).
     """
-    parts = re.split(r"(?:^|\s)\+?step(?:\s|$)", s)
+    parts = re.split(r"(?:^|\s)\+?step(?:\s|$)", _shrink(s))
     global_params = parse_projstring(parts[0])
     steps = [parse_projstring(p) for p in parts[1:] if p.strip()]
     return global_params, steps

@@ -163,3 +163,27 @@ def setup_geoc(P: PJ) -> PJ:
     P.left = UNITS_RADIANS
     P.right = UNITS_RADIANS
     return P
+
+
+def setup_set(P: PJ) -> PJ:
+    """Set coordinate components; src/conversions/set.cpp:22-75.
+    fwd == inv: any of v_1..v_4 present overwrites that component."""
+    vals = [(i, float(P.params[f"v_{i}"]))
+            for i in (1, 2, 3, 4) if P.has(f"v_{i}")]
+
+    def set4(a, b, c, d, _P):
+        out = [np.asarray(a).copy(), np.asarray(b).copy(),
+               np.asarray(c).copy(), np.asarray(d).copy()]
+        for i, v in vals:
+            out[i - 1] = np.full_like(out[i - 1], v)
+        return tuple(out)
+
+    P.fwd4d = set4
+    P.inv4d = set4
+    P.left = "whatever"
+    P.right = "whatever"
+    P.skip_fwd_prepare = True
+    P.skip_fwd_finalize = True
+    P.skip_inv_prepare = True
+    P.skip_inv_finalize = True
+    return P

@@ -332,3 +332,150 @@ def setup_vgridshift(P: PJ) -> PJ:
     P.right = UNITS_RADIANS
     P.opaque["grids"] = grids
     return P
+
+
+def hgrid_raw_value(grids, lam, phi):
+    """pj_hgrid_value (src/grids.cpp:3095-3139): raw bilinear grid values
+    WITHOUT the NTv2 west-positive compensation (compensateNTConvention
+    = false).  Our readers bake that compensation into lon_shift at load
+    time, so raw east-value = -lon_shift; lat is never compensated.
+    Out-of-grid lanes -> NaN (PJD_ERR_GRID_AREA)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    out_e = np.full_like(lam, np.nan)
+    out_n = np.full_like(phi, np.nan)
+    gidx = _find_grid_index(grids, lam, phi)
+    for gi, g in enumerate(grids):
+        sel = gidx == gi
+        if not sel.any():
+            continue
+        ll = lam[sel]
+        pp = phi[sel]
+        eps = (g.resx + g.resy) * _REL_TOL
+        tb_lam = ll - g.west
+        tb_lam = np.where(tb_lam + eps < 0, tb_lam + 2 * np.pi, tb_lam)
+        tb_lam = np.where(tb_lam - eps > g.east - g.west, tb_lam - 2 * np.pi, tb_lam)
+        tb_phi = pp - g.south
+        dlam, dphi = _interp_grid(tb_lam, tb_phi, g)
+        out_e[sel] = -dlam
+        out_n[sel] = dphi
+    return out_e, out_n
+
+
+def setup_deformation(P: PJ) -> PJ:
+    """Kinematic grid shift; src/transformations/deformation.cpp.
+
+    Cartesian in/out.  X_out = X_in + dt*V where V is the ENU velocity
+    (mm/yr in the grids, CTable2 horizontal + GTX vertical) rotated to
+    XYZ at the point's geodetic position (deformation.cpp:146-211).  The
+    reverse iteration including its verbatim `out += dif` update
+    (deformation.cpp:214-254) and the first-guess z sign are reproduced.
+    """
+    from proj_4_spark.kernels.cart import cart_fwd3d, cart_inv3d
+    from proj_4_spark.sources.grids import load_hgrids, load_vgrids
+
+    has_xy = P.has("xy_grids")
+    has_z = P.has("z_grids")
+    has_g = P.has("grids")
+    if not has_g and (not has_xy or not has_z):
+        raise ProjError("no_args", "deformation: need +grids or +xy_grids/+z_grids")
+    if has_g:
+        # generic (GeoTIFF) velocity grids are out of scope in v1
+        raise ProjError("failed_to_load_grid",
+                        "generic +grids deformation models unsupported (SURVEY.md §7.7)")
+    try:
+        hgrids = load_hgrids(str(P.params["xy_grids"]))
+        vgrids = load_vgrids(str(P.params["z_grids"]))
+    except FileNotFoundError as e:
+        raise ProjError("failed_to_load_grid", str(e)) from None
+    except ValueError as e:
+        raise ProjError("failed_to_load_grid", f"grid format: {e}") from None
+
+    dt = P.param_f("dt", np.inf) if P.has("dt") else np.inf
+    if P.has("t_obs"):
+        raise ProjError("missing_args", "+t_obs is deprecated, use +dt")
+    t_epoch = P.param_f("t_epoch", np.inf) if P.has("t_epoch") else np.inf
+    if not np.isfinite(dt) and not np.isfinite(t_epoch):
+        raise ProjError("missing_args", "deformation: +dt or +t_epoch required")
+    if np.isfinite(dt) and np.isfinite(t_epoch):
+        raise ProjError("mutually_exclusive_args", "+dt and +t_epoch are exclusive")
+
+    def shift_xyz(x, y, z):
+        """get_grid_shift (deformation.cpp:146-211)."""
+        lam, phi, zz, _ = cart_inv3d(x, y, z, np.zeros_like(x), P)
+        e, n = hgrid_raw_value(hgrids, lam, phi)
+        u = vgrid_value(vgrids, lam, phi, 1.0)
+        e = e / 1000.0
+        n = n / 1000.0
+        u = u / 1000.0
+        sp = np.sin(phi)
+        cp = np.cos(phi)
+        sl = np.sin(lam)
+        cl = np.cos(lam)
+        vx = -sp * cl * n - sl * e + cp * cl * u
+        vy = -sp * sl * n + cl * e + cp * sl * u
+        vz = cp * n + sp * u
+        return vx, vy, vz
+
+    def _fwd(x, y, z, dts):
+        vx, vy, vz = shift_xyz(x, y, z)
+        return x + dts * vx, y + dts * vy, z + dts * vz
+
+    def _rev(x, y, z, dts):
+        """reverse_shift (deformation.cpp:214-254), per-lane frozen."""
+        vx, vy, vz = shift_xyz(x, y, z)
+        z0 = vz
+        ox = x - dts * vx
+        oy = y - dts * vy
+        oz = z + dts * vz
+        active = np.isfinite(ox)
+        for _ in range(10):
+            if not active.any():
+                break
+            dx, dy, dz_ = shift_xyz(ox, oy, oz)
+            nanlane = active & ~np.isfinite(dx)
+            difx = ox + dts * dx - x
+            dify = oy + dts * dy - y
+            difz = oz - dts * dz_ - z
+            upd = active & ~nanlane
+            ox = np.where(upd, ox + difx, ox)
+            oy = np.where(upd, oy + dify, oy)
+            oz = np.where(upd, oz + difz, oz)
+            conv = np.hypot(difx, dify) <= 1e-8
+            active = upd & ~conv
+        oz = z - dts * z0
+        return ox, oy, oz
+
+    def fwd3d(x, y, z, t, P_):
+        if not np.isfinite(dt):
+            nan = np.full_like(x, np.nan)
+            return nan, nan.copy(), nan.copy(), t
+        nx, ny, nz = _fwd(x, y, z, dt)
+        return nx, ny, nz, t
+
+    def inv3d(x, y, z, t, P_):
+        if not np.isfinite(dt):
+            nan = np.full_like(x, np.nan)
+            return nan, nan.copy(), nan.copy(), t
+        nx, ny, nz = _rev(x, y, z, dt)
+        return nx, ny, nz, t
+
+    def fwd4d(x, y, z, t, P_):
+        dts = dt if np.isfinite(dt) else t - t_epoch
+        nx, ny, nz = _fwd(x, y, z, dts)
+        return nx, ny, nz, t
+
+    def inv4d(x, y, z, t, P_):
+        dts = dt if np.isfinite(dt) else t - t_epoch
+        nx, ny, nz = _rev(x, y, z, dts)
+        return nx, ny, nz, t
+
+    P.fwd3d = fwd3d
+    P.inv3d = inv3d
+    P.fwd4d = fwd4d
+    P.inv4d = inv4d
+    P.left = "cartesian"
+    P.right = "cartesian"
+    P.opaque["hgrids"] = hgrids
+    P.opaque["vgrids"] = vgrids
+    return P
