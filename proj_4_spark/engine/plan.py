@@ -73,6 +73,7 @@ def _registry():
     from proj_4_spark.kernels import misc10 as k_misc10
     from proj_4_spark.kernels import healpix as k_healpix
     from proj_4_spark.kernels import space as k_space
+    from proj_4_spark.kernels import tinshift as k_tinshift
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import robin as k_robin
@@ -256,6 +257,7 @@ def _registry():
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
         "deformation": k_grid.setup_deformation,
+        "tinshift": k_tinshift.setup_tinshift,
     }
 
 
