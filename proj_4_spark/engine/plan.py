@@ -74,6 +74,7 @@ def _registry():
     from proj_4_spark.kernels import healpix as k_healpix
     from proj_4_spark.kernels import space as k_space
     from proj_4_spark.kernels import tinshift as k_tinshift
+    from proj_4_spark.kernels import defmodel as k_defmodel
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import robin as k_robin
@@ -257,7 +258,9 @@ def _registry():
         "hgridshift": k_grid.setup_hgridshift,
         "vgridshift": k_grid.setup_vgridshift,
         "deformation": k_grid.setup_deformation,
+        "xyzgridshift": k_grid.setup_xyzgridshift,
         "tinshift": k_tinshift.setup_tinshift,
+        "defmodel": k_defmodel.setup_defmodel,
     }
 
 
@@ -596,7 +599,7 @@ def _apply_generic_params(P: PJ) -> None:
 _NO_EMULATION = {
     "helmert", "molobadekas", "hgridshift", "vgridshift", "molodensky",
     "cart", "axisswap", "unitconvert", "noop", "pipeline", "push", "pop",
-    "affine", "geogoffset", "deformation",
+    "affine", "geogoffset", "deformation", "xyzgridshift",
 }
 
 

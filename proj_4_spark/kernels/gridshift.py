@@ -185,9 +185,18 @@ def vgrid_value(grids, lam, phi, vmultiplier: float):
     phi = np.asarray(phi, dtype=np.float64)
     out = np.full_like(lam, np.nan)
 
-    remaining = np.ones(lam.shape, dtype=bool)
-    for g in grids:
-        sel = remaining & g.contains(lam, phi)
+    # deepest/most-refined containing grid per point (gridAt child
+    # recursion, grids.cpp:1439-1462); no fallthrough to coarser grids
+    # when the value is nodata (C returns HUGE_VAL there)
+    gidx = np.full(lam.shape, -1, dtype=np.int64)
+    best_res = np.full(lam.shape, np.inf)
+    for gi, g in enumerate(grids):
+        inside = g.contains(lam, phi)
+        finer = inside & (g.resx < best_res)
+        gidx = np.where(finer, gi, gidx)
+        best_res = np.where(finer, g.resx, best_res)
+    for gi, g in enumerate(grids):
+        sel = gidx == gi
         if not sel.any():
             continue
         ll = lam[sel]
@@ -219,6 +228,8 @@ def vgrid_value(grids, lam, phi, vmultiplier: float):
         vd = g.values[iy2, ix2]
 
         def nodata(v):
+            if g.nodata is not None:  # explicit GTiff nodata tag
+                return v == np.float32(g.nodata)
             vm = v * vmultiplier
             return (vm > 1000) | (vm < -1000) | (v == np.float32(-88.8888))
 
@@ -242,7 +253,6 @@ def vgrid_value(grids, lam, phi, vmultiplier: float):
         value = value * vmultiplier
         value = np.where(ok, value, np.nan)
         out[sel] = value
-        remaining[sel] = remaining[sel] & ~np.isfinite(value)
 
     return out
 
@@ -266,14 +276,16 @@ def setup_hgridshift(P: PJ) -> PJ:
 
     if not P.has("grids"):
         raise ProjError("no_args", "hgridshift: +grids parameter missing")
-    if ".tif" in str(P.params["grids"]):
-        raise ProjError("unsupported", "GeoTIFF grids out of scope (SURVEY.md §7.7)")
     try:
         grids = load_hgrids(str(P.params["grids"]))
     except FileNotFoundError as e:
         raise ProjError("failed_to_load_grid", str(e)) from None
     except ValueError as e:
-        raise ProjError("unsupported", f"grid format: {e}") from None
+        # corrupt/truncated grid files are load failures; only genuinely
+        # unknown formats stay "unsupported"
+        errno = ("failed_to_load_grid"
+                 if ".tif" in str(P.params["grids"]).lower() else "unsupported")
+        raise ProjError(errno, f"grid format: {e}") from None
     t_final = _parse_t(P, "t_final")
     t_epoch = P.param_f("t_epoch")
 
@@ -308,23 +320,31 @@ def setup_vgridshift(P: PJ) -> PJ:
 
     if not P.has("grids"):
         raise ProjError("no_args", "vgridshift: +grids parameter missing")
-    if ".tif" in str(P.params["grids"]):
-        raise ProjError("unsupported", "GeoTIFF grids out of scope (SURVEY.md §7.7)")
     try:
         grids = load_vgrids(str(P.params["grids"]))
     except FileNotFoundError as e:
         raise ProjError("failed_to_load_grid", str(e)) from None
     except ValueError as e:
-        raise ProjError("unsupported", f"grid format: {e}") from None
+        # corrupt/truncated grid files are load failures; only genuinely
+        # unknown formats stay "unsupported"
+        errno = ("failed_to_load_grid"
+                 if ".tif" in str(P.params["grids"]).lower() else "unsupported")
+        raise ProjError(errno, f"grid format: {e}") from None
     mult = P.param_f("multiplier", -1.0)
 
     def fwd4d(lam, phi, z, t, P_):
         dz = vgrid_value(grids, lam, phi, mult)
-        return lam, phi, z + dz, t
+        # grid error poisons the whole coordinate (proj_coord_error,
+        # all components HUGE_VAL in the reference)
+        bad = np.isnan(dz)
+        return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
+                z + dz, t)
 
     def inv4d(lam, phi, z, t, P_):
         dz = vgrid_value(grids, lam, phi, mult)
-        return lam, phi, z - dz, t
+        bad = np.isnan(dz)
+        return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
+                z - dz, t)
 
     P.fwd4d = fwd4d
     P.inv4d = inv4d
@@ -337,9 +357,11 @@ def setup_vgridshift(P: PJ) -> PJ:
 def hgrid_raw_value(grids, lam, phi):
     """pj_hgrid_value (src/grids.cpp:3095-3139): raw bilinear grid values
     WITHOUT the NTv2 west-positive compensation (compensateNTConvention
-    = false).  Our readers bake that compensation into lon_shift at load
-    time, so raw east-value = -lon_shift; lat is never compensated.
-    Out-of-grid lanes -> NaN (PJD_ERR_GRID_AREA)."""
+    = false).  NTv1/NTv2/CTable2 readers bake that compensation into
+    lon_shift at load time, so their raw east-value = -lon_shift; GTiff
+    hgrids ignore the flag in C (grids.cpp:2094-2106) so raw == baked.
+    Lat is never compensated.  Out-of-grid lanes -> NaN
+    (PJD_ERR_GRID_AREA)."""
     lam = np.asarray(lam, dtype=np.float64)
     phi = np.asarray(phi, dtype=np.float64)
     out_e = np.full_like(lam, np.nan)
@@ -357,7 +379,7 @@ def hgrid_raw_value(grids, lam, phi):
         tb_lam = np.where(tb_lam - eps > g.east - g.west, tb_lam - 2 * np.pi, tb_lam)
         tb_phi = pp - g.south
         dlam, dphi = _interp_grid(tb_lam, tb_phi, g)
-        out_e[sel] = -dlam
+        out_e[sel] = -dlam if getattr(g, "raw_lon_negated", True) else dlam
         out_n[sel] = dphi
     return out_e, out_n
 
@@ -379,13 +401,15 @@ def setup_deformation(P: PJ) -> PJ:
     has_g = P.has("grids")
     if not has_g and (not has_xy or not has_z):
         raise ProjError("no_args", "deformation: need +grids or +xy_grids/+z_grids")
-    if has_g:
-        # generic (GeoTIFF) velocity grids are out of scope in v1
-        raise ProjError("failed_to_load_grid",
-                        "generic +grids deformation models unsupported (SURVEY.md §7.7)")
+    hgrids = vgrids = ggrids = None
     try:
-        hgrids = load_hgrids(str(P.params["xy_grids"]))
-        vgrids = load_vgrids(str(P.params["z_grids"]))
+        if has_g:
+            from proj_4_spark.sources.grids import load_generic_grids
+
+            ggrids = load_generic_grids(str(P.params["grids"]))
+        else:
+            hgrids = load_hgrids(str(P.params["xy_grids"]))
+            vgrids = load_vgrids(str(P.params["z_grids"]))
     except FileNotFoundError as e:
         raise ProjError("failed_to_load_grid", str(e)) from None
     except ValueError as e:
@@ -403,8 +427,28 @@ def setup_deformation(P: PJ) -> PJ:
     def shift_xyz(x, y, z):
         """get_grid_shift (deformation.cpp:146-211)."""
         lam, phi, zz, _ = cart_inv3d(x, y, z, np.zeros_like(x), P)
-        e, n = hgrid_raw_value(hgrids, lam, phi)
-        u = vgrid_value(vgrids, lam, phi, 1.0)
+        if ggrids is not None:
+            # generic grid path (deformation.cpp:84-144): samples
+            # east/north/up_velocity in mm/yr
+            se, sn, su = 0, 1, 2
+            if ggrids:
+                g0 = ggrids[0]
+                for i in range(g0.samples):
+                    d = g0.item("DESCRIPTION", i)
+                    if d == "east_velocity":
+                        se = i
+                    elif d == "north_velocity":
+                        sn = i
+                    elif d == "up_velocity":
+                        su = i
+                unit = g0.item("UNITTYPE", se)
+                if unit and unit != "millimetres per year":
+                    raise ProjError("failed_to_load_grid",
+                                    f"deformation: unit {unit} not handled")
+            e, n, u = generic_grid_values(ggrids, lam, phi, (se, sn, su))
+        else:
+            e, n = hgrid_raw_value(hgrids, lam, phi)
+            u = vgrid_value(vgrids, lam, phi, 1.0)
         e = e / 1000.0
         n = n / 1000.0
         u = u / 1000.0
@@ -478,4 +522,136 @@ def setup_deformation(P: PJ) -> PJ:
     P.right = "cartesian"
     P.opaque["hgrids"] = hgrids
     P.opaque["vgrids"] = vgrids
+    P.opaque["ggrids"] = ggrids
+    return P
+
+
+def generic_grid_values(grids, lam, phi, idx123):
+    """pj_bilinear_interpolation_three_samples over arrays
+    (src/grids.cpp:3365-3445): plain bilinear of three samples, +-2pi
+    longitude wrap, int truncation of the cell index, no edge snapping.
+    Out-of-all-grids lanes -> NaN."""
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    outs = [np.full_like(lam, np.nan) for _ in idx123]
+    gidx = np.full(lam.shape, -1, dtype=np.int64)
+    best_res = np.full(lam.shape, np.inf)
+    for gi, g in enumerate(grids):
+        e = 0.0
+        ll = np.where(lam < g.west, lam + 2 * np.pi, lam)
+        ll = np.where(ll > g.east, ll - 2 * np.pi, ll)
+        inside = ((ll + e >= g.west) & (ll - e <= g.east)
+                  & (phi + e >= g.south) & (phi - e <= g.north))
+        finer = inside & (g.resx < best_res)
+        gidx = np.where(finer, gi, gidx)
+        best_res = np.where(finer, g.resx, best_res)
+    for gi, g in enumerate(grids):
+        sel = gidx == gi
+        if not sel.any():
+            continue
+        ll = lam[sel]
+        pp = phi[sel]
+        gx = (ll - g.west) / g.resx
+        gx = np.where(ll < g.west, (ll + 2 * np.pi - g.west) / g.resx, gx)
+        gx = np.where(ll > g.east, (ll - 2 * np.pi - g.west) / g.resx, gx)
+        gy = (pp - g.south) / g.resy
+        ix = np.clip(np.trunc(gx).astype(np.int64), 0, g.width - 1)
+        iy = np.clip(np.trunc(gy).astype(np.int64), 0, g.height - 1)
+        ix2 = np.minimum(ix + 1, g.width - 1)
+        iy2 = np.minimum(iy + 1, g.height - 1)
+        fl = gx - ix
+        fp = gy - iy
+        m10 = fl * (1.0 - fp)
+        m11 = fl * fp
+        m01 = (1.0 - fl) * fp
+        m00 = (1.0 - fl) * (1.0 - fp)
+        for k, s in enumerate(idx123):
+            band = g.data[s]
+            v = (m00 * band[iy, ix] + m10 * band[iy, ix2]
+                 + m01 * band[iy2, ix] + m11 * band[iy2, ix2])
+            outs[k][sel] = v
+    return outs
+
+
+def setup_xyzgridshift(P: PJ) -> PJ:
+    """Geocentric grid shift; src/transformations/xyzgridshift.cpp.
+
+    Cartesian in/out; grid samples x/y/z_translation in metres looked up
+    at the geodetic position of the point (in the input CRS when
+    grid_ref=input_crs, else iteratively in the output CRS)."""
+    from proj_4_spark.kernels.cart import cart_inv3d
+    from proj_4_spark.sources.grids import load_generic_grids
+
+    grid_ref_is_input = True
+    gr = P.params.get("grid_ref")
+    if gr is not None:
+        if gr == "output_crs":
+            grid_ref_is_input = False
+        elif gr != "input_crs":
+            raise ProjError("no_args", f"xyzgridshift: bad grid_ref {gr}")
+    if not P.has("grids"):
+        raise ProjError("no_args", "xyzgridshift: +grids parameter missing")
+    try:
+        grids = load_generic_grids(str(P.params["grids"]))
+    except FileNotFoundError as e:
+        raise ProjError("failed_to_load_grid", str(e)) from None
+    except ValueError as e:
+        raise ProjError("failed_to_load_grid", f"grid format: {e}") from None
+    multiplier = P.param_f("multiplier", 1.0)
+
+    def _idx(g):
+        sx, sy, sz = 0, 1, 2
+        for i in range(g.samples):
+            d = g.item("DESCRIPTION", i)
+            if d == "x_translation":
+                sx = i
+            elif d == "y_translation":
+                sy = i
+            elif d == "z_translation":
+                sz = i
+        return sx, sy, sz
+
+    def get_values(x, y, z):
+        lam, phi, _, _ = cart_inv3d(x, y, z, np.zeros_like(x), P)
+        if not grids:
+            return (np.full_like(x, np.nan),) * 3
+        sx, sy, sz = _idx(grids[0])
+        dx, dy, dz = generic_grid_values(grids, lam, phi, (sx, sy, sz))
+        return dx * multiplier, dy * multiplier, dz * multiplier
+
+    def direct(x, y, z, factor):
+        dx, dy, dz = get_values(x, y, z)
+        return x + factor * dx, y + factor * dy, z + factor * dz
+
+    def iterative(x, y, z, factor):
+        """iterative_adjustment (xyzgridshift.cpp:136-161)."""
+        px, py, pz = x.copy(), y.copy(), z.copy()
+        active = np.isfinite(px)
+        for _ in range(10):
+            if not active.any():
+                break
+            dx, dy, dz = get_values(px, py, pz)
+            dx, dy, dz = factor * dx, factor * dy, factor * dz
+            err = ((px - x - dx) ** 2 + (py - y - dy) ** 2
+                   + (pz - z - dz) ** 2)
+            px = np.where(active, x + dx, px)
+            py = np.where(active, y + dy, py)
+            pz = np.where(active, z + dz, pz)
+            active = active & ~(err < 1e-10)
+        return px, py, pz
+
+    def fwd3d(x, y, z, t, P_):
+        nx, ny, nz = (direct(x, y, z, 1.0) if grid_ref_is_input
+                      else iterative(x, y, z, 1.0))
+        return nx, ny, nz, t
+
+    def inv3d(x, y, z, t, P_):
+        nx, ny, nz = (iterative(x, y, z, -1.0) if grid_ref_is_input
+                      else direct(x, y, z, -1.0))
+        return nx, ny, nz, t
+
+    P.fwd3d = fwd3d
+    P.inv3d = inv3d
+    P.left = "cartesian"
+    P.right = "cartesian"
     return P

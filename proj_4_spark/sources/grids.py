@@ -53,13 +53,23 @@ class HGrid:
     lon_shift: np.ndarray  # float32 radians
     lat_shift: np.ndarray  # float32 radians
     children: list = field(default_factory=list)
+    # True for NTv1/NTv2/CTable2 whose stored west-positive lon was
+    # negated at read time; GTiff hgrids store east-positive natively and
+    # their valueAt ignores compensateNTConvention (grids.cpp:2094-2106),
+    # so the "raw" value (hgrid_value path) equals the baked one.
+    raw_lon_negated: bool = True
 
     @property
     def epsilon(self) -> float:
         return (self.resx + self.resy) * 1e-5  # REL_TOLERANCE_HGRIDSHIFT
 
     def contains(self, lam, phi):
+        # isPointInExtent (grids.cpp:1420-1436): geographic extents try a
+        # +-2pi longitude wrap before rejecting (antimeridian grids)
         e = self.epsilon
+        lam = np.asarray(lam)
+        lam = np.where(lam + e < self.west, lam + 2 * np.pi, lam)
+        lam = np.where(lam - e > self.east, lam - 2 * np.pi, lam)
         return (
             (lam + e >= self.west) & (lam - e <= self.east)
             & (phi + e >= self.south) & (phi - e <= self.north)
@@ -80,6 +90,7 @@ class VGrid:
     width: int
     height: int
     values: np.ndarray  # float32 (height, width)
+    nodata: float | None = None  # explicit nodata (GTiff tag); else heuristic
 
     @property
     def full_world(self) -> bool:
@@ -90,14 +101,16 @@ class VGrid:
         return (self.resx + self.resy) * 1e-5
 
     def contains(self, lam, phi):
-        e = self.epsilon
-        lam_in = (lam + e >= self.west) & (lam - e <= self.east)
+        # isPointInExtent with eps = 0 (VerticalShiftGrid::gridAt,
+        # grids.cpp:1439-1462): full-world passes any lon; otherwise try
+        # one +-2pi wrap before rejecting
+        phi_in = (phi >= self.south) & (phi <= self.north)
         if self.full_world:
-            lam_in = lam_in | ((lam + 2 * np.pi + e >= self.west)
-                               & (lam + 2 * np.pi - e <= self.east)) \
-                | ((lam - 2 * np.pi + e >= self.west)
-                   & (lam - 2 * np.pi - e <= self.east))
-        return lam_in & (phi + e >= self.south) & (phi - e <= self.north)
+            return phi_in
+        lam = np.asarray(lam)
+        lam = np.where(lam < self.west, lam + 2 * np.pi, lam)
+        lam = np.where(lam > self.east, lam - 2 * np.pi, lam)
+        return phi_in & (lam >= self.west) & (lam <= self.east)
 
 
 def resolve_grid_path(name: str) -> str:
@@ -288,6 +301,8 @@ def load_hgrids(names: str) -> list[HGrid]:
             raise
         if nm.endswith(".gsb"):
             out.extend(read_ntv2(path))
+        elif _is_tiff(path):
+            out.extend(read_gtiff_hgrids(path))
         else:
             # sniff magic: CTable2, NTv1 ("HEADER"), else NTv2
             with open(path, "rb") as f:
@@ -337,5 +352,134 @@ def load_vgrids(names: str) -> list[VGrid]:
             if optional:
                 continue
             raise
-        out.append(read_gtx(path))
+        if _is_tiff(path):
+            out.extend(read_gtiff_vgrids(path))
+        else:
+            out.append(read_gtx(path))
+    return out
+
+
+def read_gtiff_hgrids(path: str) -> list[HGrid]:
+    """GeoTIFF horizontal shift grids (GTiffHGridShiftSet::open,
+    src/grids.cpp:2150-2300): samples latitude_offset/longitude_offset
+    (defaults 0/1), UNITTYPE arc-second (default)/degree/radian,
+    positive_value east (default)/west."""
+    from proj_4_spark.sources.tiff import read_gtiff_grids
+
+    out: list[HGrid] = []
+    for g in read_gtiff_grids(path):
+        idx_lat, idx_lon = 0, 1
+        found_any = found_lat = found_lon = False
+        for i in range(g.samples):
+            d = g.item("DESCRIPTION", i)
+            if d:
+                found_any = True
+            if d == "latitude_offset":
+                idx_lat, found_lat = i, True
+            elif d == "longitude_offset":
+                idx_lon, found_lon = i, True
+        if found_any and not (found_lat or found_lon):
+            if out:
+                continue  # extra IFD without offset channels: ignored
+            raise ValueError("no longitude_offset/latitude_offset channel")
+        if found_lat != found_lon:
+            raise ValueError("latitude_offset/longitude_offset must both exist")
+        positive_east = True
+        pv = g.item("positive_value", idx_lon)
+        if pv:
+            if pv == "west":
+                positive_east = False
+            elif pv != "east":
+                raise ValueError(f"unsupported positive_value {pv}")
+        unit = g.item("UNITTYPE", idx_lat) or "arc-second"
+        conv = {"arc-second": ARCSEC_TO_RAD, "radian": 1.0,
+                "degree": DEG_TO_RAD}.get(unit)
+        if conv is None:
+            raise ValueError(f"unsupported unit {unit}")
+        # multiply in float64 then round once to float32, exactly like
+        # C's float(value * convFactorToRadian) — NumPy 2 scalar promotion
+        # would otherwise do the multiply in float32 (one-ulp drift)
+        lon = g.data[idx_lon].astype(np.float64) * conv
+        lat = g.data[idx_lat].astype(np.float64) * conv
+        if not positive_east:
+            lon = -lon
+        out.append(HGrid(
+            name=g.name, west=g.west, south=g.south, east=g.east,
+            north=g.north, resx=g.resx, resy=g.resy, width=g.width,
+            height=g.height,
+            lon_shift=np.ascontiguousarray(lon.astype(np.float32)),
+            lat_shift=np.ascontiguousarray(lat.astype(np.float32)),
+            raw_lon_negated=False,
+        ))
+    if not out:
+        raise ValueError("no usable horizontal grid IFD")
+    return out
+
+
+def read_gtiff_vgrids(path: str) -> list[VGrid]:
+    """GeoTIFF vertical shift grids (GTiffVGridShiftSet::open,
+    src/grids.cpp:1258-1342): sample geoid_undulation/vertical_offset
+    (default 0), metres."""
+    from proj_4_spark.sources.tiff import read_gtiff_grids
+
+    out: list[VGrid] = []
+    for g in read_gtiff_grids(path):
+        idx = 0
+        found_any = found = False
+        for i in range(g.samples):
+            d = g.item("DESCRIPTION", i)
+            if d:
+                found_any = True
+            if d in ("geoid_undulation", "vertical_offset"):
+                idx, found = i, True
+        if found_any and not found:
+            if out:
+                continue
+            raise ValueError("no geoid_undulation/vertical_offset channel")
+        out.append(VGrid(
+            name=g.name, west=g.west, south=g.south, east=g.east,
+            north=g.north, resx=g.resx, resy=g.resy, width=g.width,
+            height=g.height,
+            values=np.ascontiguousarray(g.data[idx].astype(np.float32)),
+            nodata=g.nodata,
+        ))
+    if not out:
+        raise ValueError("no usable vertical grid IFD")
+    return out
+
+
+def _is_tiff(path: str) -> bool:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    return magic[:2] in (b"II", b"MM") and len(magic) == 4 and magic[2] in (42, 43, 0) and (
+        magic[2:4] in (b"*\x00", b"+\x00", b"\x00*", b"\x00+"))
+
+
+def load_generic_grids(names: str):
+    """Generic (multi-sample) grids for deformation/xyzgridshift
+    (pj_generic_grid_init); GeoTIFF-backed, plus the 'null' grid."""
+    from proj_4_spark.sources.tiff import GTiffGrid, read_gtiff_grids
+
+    out = []
+    for raw in str(names).split(","):
+        nm = raw.strip()
+        if not nm:
+            continue
+        optional = nm.startswith("@")
+        nm = nm.lstrip("@")
+        if nm == "null":
+            out.append(GTiffGrid(
+                name="null", width=3, height=3, spp=3,
+                data=np.zeros((3, 3, 3), dtype=np.float32), metadata={},
+                nodata=None, is_geographic=True,
+                west=-np.pi, south=-np.pi / 2, east=np.pi, north=np.pi / 2,
+                resx=np.pi, resy=np.pi / 2, description="null"))
+            continue
+        try:
+            path = resolve_grid_path(nm)
+        except FileNotFoundError:
+            if optional:
+                continue
+            raise
+        out.extend(read_gtiff_grids(path))
     return out
