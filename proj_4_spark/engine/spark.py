@@ -75,6 +75,8 @@ def transform(
     op_probe = _cached_operation(projstring)
     ang_in = op_probe.angular_input(direction)
     ang_out = op_probe.angular_output(direction)
+    z_supplied = z is not None
+    t_supplied = t is not None
 
     @pandas_udf(_STRUCT4)
     def _tx(xs: pd.Series, ys: pd.Series, zs: pd.Series, ts: pd.Series) -> pd.DataFrame:
@@ -83,8 +85,14 @@ def transform(
         ya = ys.to_numpy(dtype=np.float64, na_value=np.nan)
         za = zs.to_numpy(dtype=np.float64, na_value=np.nan)
         ta = ts.to_numpy(dtype=np.float64, na_value=np.nan)
-        za = np.where(np.isnan(za), 0.0, za)
-        ta = np.where(np.isnan(ta), 0.0, ta)
+        # Zero-fill ONLY synthesized z/t (no user column): when the user
+        # supplied a column, a null/NaN z must propagate as an error row
+        # like x/y — silently coercing to 0 would produce plausible-but-
+        # wrong output for 3D ops (vgridshift, cart).
+        if not z_supplied:
+            za = np.where(np.isnan(za), 0.0, za)
+        if not t_supplied:
+            ta = np.where(np.isnan(ta), 0.0, ta)
         if degrees and ang_in:
             xa = xa * C.DEG_TO_RAD
             ya = ya * C.DEG_TO_RAD

@@ -107,8 +107,13 @@ def neighbors_col(cell_col_, res: int, ring: int = 1):
     from pyspark.sql import functions as F
 
     n = 1 << res
-    iy = (cell_col_ / (1 << IY_SHIFT)).cast("long") % (1 << (RES_SHIFT - IY_SHIFT))
-    ix = cell_col_ % (1 << IY_SHIFT)
+    # Exact integer decode: shiftright/bitwise, never `/` (double division
+    # rounds above 2^53 — cell ids carry res<<58, so float division can be
+    # off by up to ~128 in ix/iy near row boundaries).
+    iy = F.shiftright(cell_col_, IY_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - IY_SHIFT)) - 1)
+    )
+    ix = cell_col_.bitwiseAND(F.lit((1 << IY_SHIFT) - 1))
     cells = []
     for dy in range(-ring, ring + 1):
         for dx in range(-ring, ring + 1):

@@ -26,8 +26,11 @@ import pandas as pd
 
 from proj_4_spark.spatial import cells
 
-# mean meridional meters per degree (safe lower-bound scale for guarantees)
-M_PER_DEG = 111194.9266
+# MINIMUM meridional meters per degree (at the equator, GRS80): the guard
+# needs a lower bound on the distance to an unexplored cell, so it must use
+# the smallest meters-per-degree anywhere — the mean (111194.93) would
+# overestimate by ~0.56% near the equator and falsely certify completion.
+M_PER_DEG = 110567.0
 
 
 def _dist_udf(a: float, f: float):

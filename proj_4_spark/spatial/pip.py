@@ -78,16 +78,18 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
     )
 
     @pandas_udf("boolean")
-    def _exact(px: pd.Series, py: pd.Series, rlon: pd.Series, rlat: pd.Series) -> pd.Series:
+    def _exact(
+        zid: pd.Series, px: pd.Series, py: pd.Series, rlon: pd.Series, rlat: pd.Series
+    ) -> pd.Series:
         n = len(px)
         out = np.zeros(n, dtype=bool)
         if n == 0:
             return pd.Series(out)
         pxv = px.to_numpy(dtype=np.float64)
         pyv = py.to_numpy(dtype=np.float64)
-        # group candidate rows by ring to vectorize across points per ring
-        ring_key = rlon.map(lambda a: (len(a), float(a[0]), float(a[-1])))
-        df = pd.DataFrame({"i": np.arange(n), "k": ring_key})
+        # group candidate rows by zone_id (unique per ring — a ring-shape
+        # key would collide for distinct polygons sharing a lon profile)
+        df = pd.DataFrame({"i": np.arange(n), "k": zid.to_numpy()})
         for _, grp in df.groupby("k", sort=False):
             idx = grp["i"].to_numpy()
             rx = np.asarray(rlon.iloc[idx[0]], dtype=np.float64)
@@ -96,5 +98,8 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
         return pd.Series(out)
 
     return cand.where(
-        _exact(F.col(lon), F.col(lat), F.col("ring_lon"), F.col("ring_lat"))
+        _exact(
+            F.col("zone_id"), F.col(lon), F.col(lat),
+            F.col("ring_lon"), F.col("ring_lat"),
+        )
     ).drop("ring_lon", "ring_lat", "min_lon", "min_lat", "max_lon", "max_lat")

@@ -91,7 +91,10 @@ def _session_fn(key, pdf_iter, state):
     else:
         state.update((start if start is not None else 0,
                       end if end is not None else 0, n))
-        state.setTimeoutDuration(60 * 1000)
+        # timeout = the session gap itself: a shorter processing-time
+        # timeout would close (and split) a session during an arrival
+        # lull that the 30-min *event-time* gap semantics keep open
+        state.setTimeoutDuration(30 * 60 * 1000)
     if not out:
         yield pd.DataFrame(
             columns=["user_id", "session_start", "session_end", "n_events"]

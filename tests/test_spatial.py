@@ -97,6 +97,57 @@ def test_cell_jvm_matches_numpy(spark, media_pts):
     assert np.array_equal(got[ok], expect[ok])
 
 
+def test_neighbors_col_exact_decode_near_row_boundary(spark):
+    """Regression: neighbors_col once decoded iy via double division —
+    cell ids carry res<<58 (> 2^53), so long->double rounding shifted
+    decoded iy by one for ix within ~128 of a row boundary.  Sweep the
+    worst band (ix near 2^res boundary at high res) and assert the JVM
+    decode matches the exact-shift NumPy twin."""
+    from pyspark.sql import functions as F
+
+    res = 28  # max res: ix spans 2^28, ids near the top of the double gap
+    n = 1 << res
+    ixs = np.arange(n - 300, n, dtype=np.int64)
+    iys = np.arange(300, dtype=np.int64) + (n // 2)
+    ids = (np.int64(res) << cells.RES_SHIFT) | (iys << cells.IY_SHIFT) | ixs
+    expect = cells.neighbors_np(ids, ring=1)
+    df = spark.createDataFrame([(int(c),) for c in ids], "cell long")
+    got = (
+        df.withColumn("nb", cells.neighbors_col(F.col("cell"), res, 1))
+        .orderBy("cell")
+        .toPandas()
+    )
+    expect_sets = [set(map(int, row)) for row in expect[np.argsort(ids)]]
+    got_sets = [set(map(int, row)) for row in got["nb"]]
+    assert got_sets == expect_sets
+
+
+def test_pip_join_distinct_zones_same_lon_profile(spark):
+    """Regression: the exact-test UDF once grouped candidate rows by a
+    (len, first_lon, last_lon) ring key — two lat-stacked zones sharing a
+    lon band collided and points in zone B were tested against zone A's
+    ring.  Build exactly that fixture and assert both memberships."""
+    zones = spark.createDataFrame(
+        [
+            ("zA", [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+             0.0, 0.0, 10.0, 10.0),
+            ("zB", [(0.0, 20.0), (10.0, 20.0), (10.0, 30.0), (0.0, 30.0)],
+             0.0, 20.0, 10.0, 30.0),
+        ],
+        "zone_id string, ring array<struct<lon double, lat double>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    pts = spark.createDataFrame(
+        [("d1", 0, 5.0, 5.0), ("d2", 0, 5.0, 25.0)],
+        "doc_id string, span_offset int, lon double, lat double",
+    )
+    got = sorted(
+        (r.doc_id, r.zone_id)
+        for r in pip_join(pts, zones).select("doc_id", "zone_id").collect()
+    )
+    assert got == [("d1", "zA"), ("d2", "zB")]
+
+
 def test_pip_join_matches_oracle(spark, media_pts):
     import pyarrow.parquet as pq
 
