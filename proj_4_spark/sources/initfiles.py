@@ -52,8 +52,118 @@ def _read_init_file(name: str) -> dict[str, str]:
     return out
 
 
+# Static preset table for the non-formulaic EPSG codes the GIGS suite
+# (and common usage) needs.  Values are the public EPSG dataset
+# definitions, transcribed from the reference's data/sql/conversion.sql +
+# geodetic_crs.sql rows and rendered the way `+init=epsg:` expanded under
+# classic proj.4 init rules (use_proj4_init_rules): sexagesimal-DMS
+# (EPSG uom 9110, DDD.MMSSsss) converted to decimal degrees, foot-based
+# false origins (uom 9002/9003) converted to metres with +units kept.
+#
+# towgs84 values are carried for documentation fidelity with the classic
+# epsg init file; raw pipeline steps never apply them (pj_fwd semantics).
+_EPSG_PRESETS: dict[int, str] = {
+    # --- geographic CRSs ---
+    # GDA94 (data/sql/geodetic_crs.sql '4283': GRS80)
+    4283: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # NAD83(HARN)
+    4152: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # WGS 84 geocentric (test/gigs/5201.gie header)
+    4978: "proj=geocent datum=WGS84 units=m no_defs",
+    # NTF (Paris) — a/b = Clarke 1880 (IGN); test/gigs/5208.gie header
+    4807: ("proj=longlat a=6378249.2 b=6356515 "
+           "towgs84=-168,-60,320,0,0,0,0 pm=paris no_defs"),
+    # NTF
+    4275: ("proj=longlat a=6378249.2 b=6356515 "
+           "towgs84=-168,-60,320,0,0,0,0 no_defs"),
+    # GDM2000
+    4742: "proj=longlat ellps=GRS80 no_defs",
+    # SIRGAS 2000
+    4674: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # Reseau National Belge 1972
+    4313: ("proj=longlat ellps=intl towgs84=-106.8686,52.2978,-103.7239,"
+           "0.3366,-0.457,1.8422,-1.2747 no_defs"),
+    # Amersfoort
+    4289: ("proj=longlat ellps=bessel towgs84=565.417,50.3319,465.552,"
+           "-0.398957,0.343988,-1.8774,4.0725 no_defs"),
+    # Pulkovo 1942
+    4284: ("proj=longlat ellps=krass towgs84=23.92,-141.27,-80.9,"
+           "0,0.35,0.82,-0.12 no_defs"),
+    # HD72 (Hungarian Datum 1972, GRS67 ellipsoid)
+    4237: "proj=longlat ellps=GRS67 towgs84=52.17,-71.82,-14.9,0,0,0,0 no_defs",
+    # ED50
+    4230: "proj=longlat ellps=intl towgs84=-87,-98,-121,0,0,0,0 no_defs",
+    # Batavia (test/gigs/5111.1.gie header)
+    4211: "proj=longlat ellps=bessel towgs84=-377,681,-50,0,0,0,0 no_defs",
+    # POSGAR 98
+    4190: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # Hartebeesthoek94 (WGS84 ellipsoid)
+    4148: "proj=longlat ellps=WGS84 towgs84=0,0,0,0,0,0,0 no_defs",
+    # --- projected CRSs (conversion.sql rows cited per entry) ---
+    # Hartebeesthoek94 / Lo21 — TM South Orientated (conversion 17521)
+    2049: ("proj=tmerc lat_0=0 lon_0=21 k=1 x_0=0 y_0=0 axis=wsu "
+           "ellps=WGS84 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
+    # ED50 / France EuroLambert — LCC 1SP (conversion 18086;
+    # 46.48 DMS = 46.8 deg, 2.2014025 DMS = 2.337229166666667 deg)
+    2192: ("proj=lcc lat_1=46.8 lat_0=46.8 lon_0=2.337229166666667 "
+           "k_0=0.99987742 x_0=600000 y_0=2200000 ellps=intl "
+           "towgs84=-87,-98,-121,0,0,0,0 units=m no_defs"),
+    # NAD83(HARN) / Utah North (ft) — LCC 2SP (conversion 15362; DMS
+    # 40.2/41.47/40.43/-111.3 -> deg; false origin intl ft -> m)
+    2921: ("proj=lcc lat_1=41.78333333333333 lat_2=40.71666666666667 "
+           "lat_0=40.33333333333333 lon_0=-111.5 x_0=500000.0001504 "
+           "y_0=999999.999996 ellps=GRS80 towgs84=0,0,0,0,0,0,0 "
+           "units=ft no_defs"),
+    # Batavia / NEIEZ — Mercator variant A (test/gigs/5111.1.gie header)
+    3001: ("proj=merc lon_0=110 k=0.997 x_0=3900000 y_0=900000 "
+           "ellps=bessel towgs84=-377,681,-50,0,0,0,0 units=m no_defs"),
+    # GDM2000 / East Malaysia BRSO — HOM variant A (conversion 19894;
+    # alpha 53.185691582 DMS = 53.31580995 deg,
+    # gamma 53.07483685 DMS = 53.13010236111111 deg)
+    3376: ("proj=omerc lat_0=4 lonc=115 alpha=53.31580995 "
+           "gamma=53.13010236111111 k=0.99984 x_0=0 y_0=0 no_uoff "
+           "ellps=GRS80 units=m no_defs"),
+    # Pulkovo 1942 / Caspian Sea Mercator — variant B (conversion 19884)
+    3388: ("proj=merc lon_0=51 lat_ts=42 x_0=0 y_0=0 ellps=krass "
+           "towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12 units=m no_defs"),
+    # NAD83(HARN) / Utah North (ftUS) — LCC 2SP (conversion 15297;
+    # false origin ftUS -> m via 1200/3937)
+    3568: ("proj=lcc lat_1=41.78333333333333 lat_2=40.71666666666667 "
+           "lat_0=40.33333333333333 lon_0=-111.5 x_0=500000.00001016 "
+           "y_0=999999.99998984 ellps=GRS80 towgs84=0,0,0,0,0,0,0 "
+           "units=us-ft no_defs"),
+    # GDA94 / Australian Albers (conversion 17365)
+    3577: ("proj=aea lat_1=-18 lat_2=-36 lat_0=0 lon_0=132 x_0=0 y_0=0 "
+           "ellps=GRS80 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
+    # HD72 / EOV — HOM variant B alpha=gamma=90 = Swiss oblique Mercator
+    # (conversion 19931; 47.08398174 DMS = 47.14439372222222 deg,
+    # 19.02548584 DMS = 19.04857177777778 deg)
+    23700: ("proj=somerc lat_0=47.14439372222222 lon_0=19.04857177777778 "
+            "k_0=0.99993 x_0=650000 y_0=200000 ellps=GRS67 "
+            "towgs84=52.17,-71.82,-14.9,0,0,0,0 units=m no_defs"),
+    # GDA94 / MGA zone 54 (conversion 17354 = UTM 54S on GRS80)
+    28354: ("proj=utm zone=54 south ellps=GRS80 towgs84=0,0,0,0,0,0,0 "
+            "units=m no_defs"),
+    # Amersfoort / RD New — Oblique Stereographic (conversion 19914;
+    # 52.0922178 DMS = 52.15616055555555, 5.23155 DMS = 5.38763888888889)
+    28992: ("proj=sterea lat_0=52.15616055555555 lon_0=5.38763888888889 "
+            "k=0.9999079 x_0=155000 y_0=463000 ellps=bessel "
+            "towgs84=565.417,50.3319,465.552,-0.398957,0.343988,"
+            "-1.8774,4.0725 units=m no_defs"),
+    # Belge 1972 / Belgian Lambert 72 — LCC 2SP (conversion 19961; DMS
+    # 4.2202952 = 4.367486666666666, 51.100000204 = 51.16666723333333,
+    # 49.500000204 = 49.8333339)
+    31370: ("proj=lcc lat_1=51.16666723333333 lat_2=49.8333339 lat_0=90 "
+            "lon_0=4.367486666666666 x_0=150000.013 y_0=5400088.438 "
+            "ellps=intl towgs84=-106.8686,52.2978,-103.7239,0.3366,"
+            "-0.457,1.8422,-1.2747 units=m no_defs"),
+}
+
+
 def _epsg_builtin(code: int) -> str | None:
     """Formulaic EPSG families (public EPSG dataset definitions)."""
+    if code in _EPSG_PRESETS:
+        return _EPSG_PRESETS[code]
     if code == 3857:
         return ("proj=webmerc datum=WGS84 units=m no_defs")
     if code == 4326:

@@ -12,6 +12,7 @@ import pytest
 from proj_4_spark.gie import run_file, summarize
 
 GIE_DIR = "/root/reference/test/gie"
+GIGS_DIR = "/root/reference/test/gigs"
 
 # (file, minimum passes we lock in — ratchet upward as coverage grows)
 CORPUS = [
@@ -35,10 +36,30 @@ CORPUS = [
 ]
 
 
-@pytest.mark.parametrize("fname,min_pass", CORPUS)
-def test_gie_file(fname, min_pass):
-    path = os.path.join(GIE_DIR, fname)
-    results = run_file(path)
-    s = summarize(results)
+# GIGS suite (Geospatial Integrity of Geoscience Software): resolves
+# `+init=epsg:` via the static preset catalog in sources/initfiles.py.
+# Only the files the reference itself runs (non-.failing) are replayed.
+GIGS_CORPUS = [
+    ("5101.1-jhs.gie", 177), ("5101.2-jhs.gie", 69), ("5101.3-jhs.gie", 69),
+    ("5101.4-jhs-etmerc.gie", 69), ("5102.1.gie", 57), ("5103.1.gie", 60),
+    ("5103.2.gie", 30), ("5103.3.gie", 30), ("5104.gie", 60),
+    ("5105.2.gie", 36), ("5106.gie", 69), ("5107.gie", 39),
+    ("5109.gie", 39), ("5111.1.gie", 105), ("5112.gie", 15),
+    ("5113.gie", 15), ("5201.gie", 81), ("5208.gie", 42),
+]
+
+
+def _replay(path, min_pass):
+    s = summarize(run_file(path))
     assert s["fail"] == 0, "\n".join(s["failures"][:20])
     assert s["pass"] >= min_pass, f"pass count regressed: {s['pass']} < {min_pass}"
+
+
+@pytest.mark.parametrize("fname,min_pass", CORPUS)
+def test_gie_file(fname, min_pass):
+    _replay(os.path.join(GIE_DIR, fname), min_pass)
+
+
+@pytest.mark.parametrize("fname,min_pass", GIGS_CORPUS)
+def test_gigs_file(fname, min_pass):
+    _replay(os.path.join(GIGS_DIR, fname), min_pass)
