@@ -94,6 +94,139 @@ def _sql_tsfn(phi: str) -> str:
     )
 
 
+def _sql_etmerc_fwd_select(src_sql: str, projstring: str, lon0_deg: float,
+                           x0: float, y0: float) -> str:
+    """Generate a DuckDB SELECT computing the Poder-Engsager etmerc
+    forward (src/projections/tmerc.cpp:334-415) with the series
+    coefficients inlined as plan-time constants from the engine's own
+    setup.  Uses DuckDB lateral column aliases to unroll the gatg and
+    complex-Clenshaw recurrences.  Emits (event_id, fx, fy) in metres.
+    """
+    from proj_4_spark.engine.plan import create_operation
+
+    op = create_operation(projstring)
+    Q = op.P.opaque["exact"]
+    cbg, gtu, Qn, Zb = Q["cbg"], Q["gtu"], Q["Qn"], Q["Zb"]
+    steps = [
+        f"(lon - {lon0_deg!r}) * {_D2R} as lam_",
+        f"lat * {_D2R} as phi_",
+        # gatg(cbg, phi): Clenshaw over sin(2k*phi)
+        "2.0 * cos(2.0 * phi_) as g2c_",
+        f"{cbg[5]!r} as gh1_0_", "0.0 as gh2_0_",
+    ]
+    h1, h2 = "gh1_0_", "gh2_0_"
+    for s, k in enumerate(range(4, -1, -1), 1):
+        steps.append(f"-{h2} + g2c_ * {h1} + {cbg[k]!r} as gh_{s}_")
+        h2, h1 = h1, f"gh_{s}_"
+    steps += [
+        f"phi_ + gh_5_ * sin(2.0 * phi_) as cn0_",
+        "sin(cn0_) as scn_", "cos(cn0_) as ccn_",
+        "sin(lam_) as sce_", "cos(lam_) as cce_",
+        "ccn_ * cce_ as ccc_",
+        "atan2(scn_, ccc_) as cn1_",
+        "1.0 / sqrt(scn_ * scn_ + ccc_ * ccc_) as invd_",
+        "sce_ * ccn_ * invd_ as tce_",
+        "ln(tce_ + sqrt(tce_ * tce_ + 1.0)) as ce1_",  # asinh
+        "2.0 * invd_ as tid_",
+        "tid_ * invd_ as tids_",
+        "ccc_ * tids_ as tmpr_",
+        "scn_ * tmpr_ as sar_",
+        "ccc_ * tmpr_ - 1.0 as car_",
+        "tce_ * tid_ as shi_",
+        "tids_ - 1.0 as chi_",
+        # clenS(gtu, sar_, car_, shi_, chi_)
+        "2.0 * car_ * chi_ as clr_",
+        "-2.0 * sar_ * shi_ as cli_",
+        f"{gtu[5]!r} as hr_0_", "0.0 as hi_0_", "0.0 as hr1_0_", "0.0 as hi1_0_",
+    ]
+    hr, hi, hr1, hi1 = "hr_0_", "hi_0_", "hr1_0_", "hi1_0_"
+    for s, k in enumerate(range(4, -1, -1), 1):
+        # hr2=hr1; hi2=hi1; hr1=hr; hi1=hi; then update hr/hi
+        steps.append(f"-{hr1} + clr_ * {hr} - cli_ * {hi} + {gtu[k]!r} as hr_{s}_")
+        steps.append(f"-{hi1} + cli_ * {hr} + clr_ * {hi} as hi_{s}_")
+        hr1, hi1, hr, hi = hr, hi, f"hr_{s}_", f"hi_{s}_"
+    steps += [
+        "sar_ * chi_ as fr_",
+        "car_ * shi_ as fi_",
+        f"fr_ * {hr} - fi_ * {hi} as dcn_",
+        f"fr_ * {hi} + fi_ * {hr} as dce_",
+        f"{Qn!r} * (ce1_ + dce_) * {_A!r} + {x0!r} as fx",
+        f"({Qn!r} * (cn1_ + dcn_) + {Zb!r}) * {_A!r} + {y0!r} as fy",
+    ]
+    # One nested subselect per step: DuckDB expands lateral column
+    # aliases by duplicating the expression tree, so a flat alias chain
+    # over these recurrences (each step referencing the previous 2-4x)
+    # blows up exponentially; nesting keeps each step computed once.
+    q = f"select event_id, lon, lat from ({src_sql})"
+    for s in steps:
+        q = f"select *, {s} from ({q})"
+    return f"select event_id, fx, fy from ({q})"
+
+
+def _sql_fnv_shingles(text_expr: str = "t") -> str:
+    """DuckDB list expression: all k=5 FNV-1a shingle hashes of a
+    (space-padded) text column, as ubigint — the SQL twin of
+    functions/dedup._shingle_batch (multiset, in window order)."""
+    h = "cast(14695981039346656037 as ubigint)"
+    for j in range(5):
+        b = f"cast(ord(substr({text_expr}, x + {j}, 1)) as ubigint)"
+        h = (f"cast((cast(xor({h}, {b}) as hugeint) * 1099511628211) "
+             f"% 18446744073709551616 as ubigint)")
+    return f"[{h} for x in range(1, length({text_expr}) - 3)]"
+
+
+_PAD5 = ("select doc_id, case when length(text) >= 5 then text "
+         "else text || repeat(' ', 5 - length(text)) end as t from documents")
+
+
+def _sql_minhash_pairs(num_perm: int, bands: int, seed: int = 42) -> str:
+    """DuckDB twin of functions/dedup.minhash_lsh_pairs: recomputes the
+    full signature with the same (a,b) permutation constants and joins
+    docs sharing any band of raw signature values (the Spark side hashes
+    the band to a digest with xxhash64; equality of digests == equality
+    of the band values up to a 2^-64 collision)."""
+    from proj_4_spark.functions.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(num_perm, seed)
+    r = num_perm // bands
+    sig = ", ".join(
+        f"list_min([({int(a[j])} * cast(x % 2147483648 as bigint) + {int(b[j])})"
+        f" % {_MERSENNE} for x in hs]) as s{j}"
+        for j in range(num_perm)
+    )
+    band_union = " union all ".join(
+        f"select doc_id, {bd} as band, "
+        f"[{','.join(f's{j}' for j in range(bd * r, (bd + 1) * r))}] as key from sig"
+        for bd in range(bands)
+    )
+    return (
+        f"with base as ({_PAD5}), "
+        f"sh as (select doc_id, {_sql_fnv_shingles()} as hs from base), "
+        f"sig as (select doc_id, {sig} from sh), "
+        f"banded as ({band_union}) "
+        "select distinct a.doc_id as id_a, b.doc_id as id_b "
+        "from banded a join banded b using (band, key) "
+        "where a.doc_id < b.doc_id"
+    )
+
+
+def _sql_simhash() -> str:
+    """DuckDB twin of functions/dedup.simhash_col (frequency-weighted
+    votes over the shingle multiset, signed majority per bit)."""
+    bits = " + ".join(
+        f"(case when 2 * list_sum([cast((x >> {j}) & 1 as bigint) for x in hs])"
+        f" - len(hs) > 0 then cast({1 << j} as hugeint) else 0 end)"
+        for j in range(64)
+    )
+    return (
+        f"with base as ({_PAD5}), "
+        f"sh as (select doc_id, {_sql_fnv_shingles()} as hs from base), "
+        f"w as (select doc_id, ({bits}) as w from sh) "
+        "select doc_id, cast(case when w >= 9223372036854775808 "
+        "then w - 18446744073709551616 else w end as bigint) as simhash from w"
+    )
+
+
 def _sql_qsfn(sinphi: str) -> str:
     """pj_qsfn SQL twin (src/qsfn.cpp:9-25)."""
     con = f"({_E!r} * {sinphi})"
@@ -134,6 +267,10 @@ def _q_utm_roundtrip(spark, sf_dir):
                      x="f_x", y="f_y", direction="inv", out_prefix="b_")
     return back.select(
         "event_id",
+        # forward VALUES pinned against the plan-time-constant etmerc
+        # series recomputed by DuckDB (not just roundtrip closure)
+        _i(F.col("f_x"), 100).alias("fx_cm"),
+        _i(F.col("f_y"), 100).alias("fy_cm"),
         ((F.abs(F.col("b_x") - F.col("u_lon")) < 1e-7)
          & (F.abs(F.col("b_y") - F.col("u_lat")) < 1e-7)).alias("ok"),
     )
@@ -403,12 +540,24 @@ def _q_ann_cosine(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: signature permutations
-    are not SQL-expressible)."""
+    """MinHash-LSH near-dup candidates; value-verified against a DuckDB
+    oracle that recomputes the full FNV-shingle -> (a*x+b) mod p
+    signatures and band-joins on raw band values."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return __import__(
         "proj_4_spark.functions.dedup", fromlist=["minhash_lsh_pairs"]
     ).minhash_lsh_pairs(docs, "text", "doc_id", num_perm=32, bands=8)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN (the 100-TB scale path; approximate by
+    construction so no exact oracle — recall vs cosine_topk is pinned in
+    tests/test_functions.py::test_lsh_ann_recall)."""
+    from proj_4_spark.functions.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
+    return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2)
 
 
 def _q_simhash(spark, sf_dir):
@@ -517,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "events_hourly": _q_events_window,
@@ -625,8 +775,20 @@ def oracle_sql() -> dict[str, str]:
         token_count_sql,
     )
 
+    utm_src = (
+        "select event_id, (lon / 3.0 + 9.0) as lon, lat "
+        f"from ({GEO_SQL_SRC})"
+    )
+    utm_fwd = _sql_etmerc_fwd_select(
+        utm_src, "+proj=utm +zone=32 +ellps=GRS80",
+        lon0_deg=9.0, x0=500000.0, y0=0.0,
+    )
+
     return {
-        "utm_roundtrip": f"select event_id, true as ok from ({GEO_SQL_SRC})",
+        "utm_roundtrip": (
+            f"select event_id, {sqli('fx', 100)} as fx_cm, "
+            f"{sqli('fy', 100)} as fy_cm, true as ok from ({utm_fwd})"
+        ),
         "merc_fwd": (
             f"select event_id, {merc_x} as x_cm, {merc_y} as y_cm from ({GEO_SQL_SRC})"
         ),
@@ -719,9 +881,12 @@ def oracle_sql() -> dict[str, str]:
             "join customer on o_custkey = c_custkey "
             "join nation on c_nationkey = n_nationkey group by 1"
         ),
-        # knn_cell_partitioned, minhash_lsh_pairs, simhash,
-        # docs_geo_pipeline, multimodal_features: intentionally no oracle
-        # (non-SQL-expressible semantics) -> rows-only check.
+        "minhash_lsh_pairs": _sql_minhash_pairs(num_perm=32, bands=8),
+        "simhash": _sql_simhash(),
+        # knn_cell_partitioned (distance metric not SQL-expressible —
+        # brute-force parity pinned in pytest), ann_lsh_topk (approximate
+        # by construction; recall pinned in pytest), docs_geo_pipeline,
+        # multimodal_features: intentionally no oracle -> rows-only check.
     }
 
 

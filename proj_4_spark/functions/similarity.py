@@ -93,12 +93,16 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
     distance <= multiprobe from the query signature (recall knob).
 
     Approximate by construction — the oracle for recall evaluation is
-    cosine_topk."""
+    cosine_topk.
+
+    `dim` (embedding width) is required: inferring it would cost an
+    extra Spark job per plan construction."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if dim is None:
-        dim = len(emb_df.select(vec_col).first()[0])
+        raise ValueError("dim is required (embedding width; avoids an "
+                         "extra inference job per call)")
     planes = _hyperplanes(dim, n_planes, seed)
 
     corpus = emb_df.select(
@@ -142,11 +146,14 @@ def embedding_cosine_dedup(emb_df, threshold: float = 0.95, n_planes: int = 12,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            seed: int = 42, dim: int | None = None):
     """Near-duplicate vector pairs (cosine >= threshold) via LSH-bucketed
-    self-join + exact verification; returns (id_a, id_b, cosine)."""
+    self-join + exact verification; returns (id_a, id_b, cosine).
+
+    `dim` (embedding width) is required — see lsh_bucket_topk."""
     from pyspark.sql import functions as F
 
     if dim is None:
-        dim = len(emb_df.select(vec_col).first()[0])
+        raise ValueError("dim is required (embedding width; avoids an "
+                         "extra inference job per call)")
     planes = _hyperplanes(dim, n_planes, seed)
     tagged = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),

@@ -85,7 +85,7 @@ def test_lsh_ann_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.where("vec_id < 10").selectExpr("vec_id as q_id", "embedding")
     exact = cosine_topk(emb, queries, k=5).toPandas()
-    approx = lsh_bucket_topk(emb, queries, k=5, n_planes=8, multiprobe=2).toPandas()
+    approx = lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2).toPandas()
     # recall@5 over 10 queries.  NOTE: uniform-random embeddings are the
     # adversarial case for hyperplane LSH (neighbors are barely closer
     # than strangers); real embedding manifolds cluster far better.  The
