@@ -78,6 +78,7 @@ def _registry():
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import robin as k_robin
+    from proj_4_spark.kernels import sch as k_sch
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
     from proj_4_spark.kernels import stere as k_stere
@@ -99,6 +100,7 @@ def _registry():
         "lonlat": k_latlong.setup_latlong,
         "cart": k_cart.setup_cart,
         "geocent": k_cart.setup_geocent,
+        "sch": k_sch.setup_sch,
         "noop": k_cart.setup_noop,
         "set": k_cart.setup_set,
         # standalone push/pop: surface-identity with a private stack
@@ -884,3 +886,57 @@ def create_operation(projstring: str) -> Operation:
 
     params = PS.parse_projstring(projstring)
     return Operation(_make_pj(params), inverted="inv" in params)
+
+
+# --- cs2cs-style CRS-to-CRS transform (src/apps/cs2cs.cpp semantics) --------
+
+_DATUM_KEYS = ("datum", "towgs84", "nadgrids", "geoidgrids")
+
+
+def _has_datum_info(params: dict) -> bool:
+    return any(params.get(k) not in (None, "") for k in _DATUM_KEYS)
+
+
+class CrsToCrsOperation:
+    """Two-CRS transform through the WGS84 hub (classic proj.4
+    pj_transform / PROJ cs2cs with proj-string CRSs).
+
+    PROJ 8 "ballpark" rule (cs2cs via proj_create_crs_to_crs on
+    proj4-style strings): a datum shift is applied only when BOTH sides
+    carry datum information (+datum/+towgs84/+nadgrids/+geoidgrids);
+    otherwise the transform is projection-only — see
+    test/cli/testvarious "NAD27 to raw ellipse" expecting identity.
+    """
+
+    def __init__(self, src: str, dst: str):
+        both = _has_datum_info(PS.parse_projstring(src)) and _has_datum_info(
+            PS.parse_projstring(dst)
+        )
+        if not both:
+            src = src + " +break_cs2cs_recursion"
+            dst = dst + " +break_cs2cs_recursion"
+        self.src = create_operation(src)
+        self.dst = create_operation(dst)
+
+    @staticmethod
+    def _is_3d(op) -> bool:
+        P = getattr(op, "P", None)
+        return P is not None and (
+            P.is_geocent or P.fwd3d is not None or P.inv3d is not None
+        )
+
+    def apply(self, x, y, z, t, direction: str = "fwd"):
+        a, b = (self.src, self.dst) if direction == "fwd" else (self.dst, self.src)
+        z_in = np.asarray(z, dtype=np.float64)
+        ox, oy, oz, ot = b.apply(*a.apply(x, y, z, t, "inv"), "fwd")
+        # geog2D semantics (PROJ pipelines wrap 2D CRS legs in
+        # push/pop v_3): when neither side is a true 3D CRS, the input
+        # ellipsoidal height passes through unchanged — datum-shift z
+        # deltas only apply when a side is geocent / has 3D kernels.
+        if not (self._is_3d(self.src) or self._is_3d(self.dst)):
+            oz = z_in.copy()
+        return ox, oy, oz, ot
+
+
+def create_crs_to_crs(src: str, dst: str) -> CrsToCrsOperation:
+    return CrsToCrsOperation(src, dst)

@@ -119,3 +119,37 @@ def prime_meridian_rad(value: str) -> float:
     if value in PRIME_MERIDIANS:
         return dmstor(PRIME_MERIDIANS[value])
     return dmstor(value)
+
+
+def rtodms(r: float, pos: str = "", neg: str = "", fract: int = 3) -> str:
+    """Radians -> DMS string, matching the reference formatter exactly
+    (src/rtodms.cpp:44-84): field rounding at 10^-fract arc-seconds,
+    trailing zeros of the seconds stripped, and collapse to "DdM'" /
+    "Dd" when seconds / minutes round to zero.  `pos`/`neg` are the
+    hemisphere suffixes ('E'/'W', 'N'/'S'); with no suffixes a leading
+    '-' marks negatives (cs2cs -E output convention)."""
+    import math as _math
+
+    res = 10.0 ** fract
+    conv = 180.0 * 3600.0 * res / _math.pi
+    prefix = ""
+    if r < 0:
+        r = -r
+        if not pos:
+            sign = ""
+            prefix = "-"
+        else:
+            sign = neg
+    else:
+        sign = pos
+    r = _math.floor(r * conv + 0.5)
+    sec = _math.fmod(r / res, 60.0)
+    r = _math.floor(r / (res * 60.0))
+    mn = int(_math.fmod(r, 60.0))
+    deg = int(_math.floor(r / 60.0))
+    if sec != 0.0:
+        s_sec = f"{sec:.{fract}f}".rstrip("0").rstrip(".")
+        return f"{prefix}{deg}d{mn}'{s_sec}\"{sign}"
+    if mn:
+        return f"{prefix}{deg}d{mn}'{sign}"
+    return f"{prefix}{deg}d{sign}"

@@ -1,0 +1,273 @@
+"""CLI golden-output parity: replay cs2cs test cases from the
+reference's test/cli/testvarious + testdatumfile and compare the
+formatted output STRINGS against the shipped expected files
+(tv_out.dist / td_out.dist) — the same formatter (rtodms + %.2f/%.3f)
+the reference CLIs use, so every digit printed must match.
+
+Covers (VERDICT r1 items): multi-grid fallback chains
+(ntv1_can.dat,conus and the NAD27 datum chain), grid edge tolerance
+(#141) incl. the gridshift inverse, prime meridians, lon_wrap, geoc,
+geocentric I/O, and the sch projection goldens.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from proj_4_spark.engine.plan import create_crs_to_crs, create_operation
+from proj_4_spark.engine.projstring import dmstor, rtodms
+
+D = math.pi / 180.0
+
+
+def cs2cs_lines(src, dst, coords, oform=None):
+    """Run a cs2cs-style transform and format like `cs2cs -E` output
+    (src/apps/cs2cs.cpp:160-216): angular output via rtodms + z %.3f,
+    linear output via oform (default %.2f)."""
+    op = create_crs_to_crs(src, dst)
+    n = len(coords)
+    x = np.array([c[0] for c in coords], float)
+    y = np.array([c[1] for c in coords], float)
+    z = np.array([c[2] if len(c) > 2 else 0.0 for c in coords], float)
+    ang_in = "latlong" in src or "longlat" in src
+    ang_out = ("latlong" in dst or "longlat" in dst) and "geocent" not in dst
+    if ang_in:
+        x, y = x * D, y * D
+    ox, oy, oz, _ = op.apply(x, y, z, np.zeros(n))
+    out = []
+    for i in range(n):
+        if ang_out:
+            if oform:
+                out.append(f"{ox[i] / D:{oform}}\t{oy[i] / D:{oform}} "
+                           f"{oz[i]:{oform}}")
+            else:
+                out.append(f"{rtodms(ox[i], 'E', 'W')}\t"
+                           f"{rtodms(oy[i], 'N', 'S')} {oz[i]:.3f}")
+        else:
+            f = oform or ".2f"
+            out.append(f"{ox[i]:{f}}\t{oy[i]:{f}} {oz[i]:{f}}")
+    return out
+
+
+def test_raw_ellipse_to_raw_ellipse():
+    got = cs2cs_lines("+proj=latlong +ellps=clrk66", "+proj=latlong +ellps=bessel",
+                      [(-79 - 58 / 60, 37 + 2 / 60), (-79 - 58 / 60, 36 + 58 / 60)])
+    assert got == ["79d58'W\t37d2'N 0.000", "79d58'W\t36d58'N 0.000"]
+
+
+def test_nad27_to_raw_ellipse_is_ballpark():
+    # dst has no datum info -> NO datum shift (PROJ ballpark rule)
+    got = cs2cs_lines("+proj=latlong +datum=NAD27", "+proj=latlong +ellps=bessel",
+                      [(-79.0, 35.0)])
+    assert got == ["79dW\t35dN 0.000"]
+
+
+def test_between_two_3param_approximations():
+    got = cs2cs_lines("+proj=latlong +ellps=bessel +towgs84=5,0,0",
+                      "+proj=latlong +ellps=bessel +towgs84=1,0,0",
+                      [(0.0, 0.0), (-79.0, 45.0)])
+    assert got == ["0dE\t0dN 0.000", "78d59'59.821\"W\t44d59'59.983\"N 0.000"]
+
+
+def test_3param_to_raw_is_ballpark():
+    got = cs2cs_lines("+proj=latlong +ellps=bessel +towgs84=5,0,0",
+                      "+proj=latlong +ellps=bessel",
+                      [(0.0, 0.0), (-79.0, 45.0)])
+    assert got == ["0dE\t0dN 0.000", "79dW\t45dN 0.000"]
+
+
+def test_prime_meridian():
+    got = cs2cs_lines("+proj=latlong +datum=WGS84 +pm=greenwich",
+                      "+proj=latlong +datum=WGS84 +pm=1",
+                      [(0.0, 0.0), (-79.0, 45.0)])
+    assert got == ["1dW\t0dN 0.000", "80dW\t45dN 0.000"]
+
+
+def test_lon_wrap():
+    got = cs2cs_lines("+proj=latlong +datum=WGS84",
+                      "+proj=latlong +datum=WGS84 +lon_wrap=180",
+                      [(-1, 10), (0, 10), (0, 10), (1, 45),
+                       (179, 45), (181, 45), (350, 45), (370, 45)])
+    assert got == ["359dE\t10dN 0.000", "0dE\t10dN 0.000", "0dE\t10dN 0.000",
+                   "1dE\t45dN 0.000", "179dE\t45dN 0.000", "181dE\t45dN 0.000",
+                   "350dE\t45dN 0.000", "10dE\t45dN 0.000"]
+
+
+def test_prime_meridian_within_projection():
+    got = cs2cs_lines("+proj=utm +zone=11 +datum=WGS84 +pm=3",
+                      "+proj=latlong +datum=WGS84 +pm=1w",
+                      [(500000.0, 3000000.0)])
+    assert got == ["113dW\t27d7'20.891\"N 0.000"]
+
+
+def test_geocentric_generation():
+    got = cs2cs_lines("+proj=latlong +datum=WGS84", "+proj=geocent +datum=WGS84",
+                      [(-1 / 3600000, 1 / 3600000, 0.0),
+                       (-1 / 3600000, 1 / 3600000, 10.0),
+                       (-79.0, 45.0, 0.0),
+                       (-45.0, dmstor('89d59\'59.990"N') / D, 0.0)])
+    assert got == ["6378137.00\t-0.03 0.03", "6378147.00\t-0.03 0.03",
+                   "861996.98\t-4434590.01 4487348.41", "0.22\t-0.22 6356752.31"]
+
+
+def test_geocentric_consumption():
+    got = cs2cs_lines("+proj=geocent +datum=WGS84", "+proj=latlong +datum=WGS84",
+                      [(6378137.0, -0.0, 0.0), (6378147.0, -0.0, 0.0),
+                       (861996.98, -4434590.01, 4487348.41),
+                       (0.0, -0.0, 6356752.31)])
+    assert got == ["0dE\t0dN 0.000", "0dE\t0dN 10.000",
+                   "79dW\t45dN 0.001", "0dE\t90dN -0.004"]
+
+
+def test_geocentric_latlong_to_geodetic():
+    got = cs2cs_lines("+proj=latlong +datum=WGS84 +geoc",
+                      "+proj=latlong +datum=WGS84",
+                      [(0.0, 0.0), (-79.0, 45.0), (-12.0, 45.0), (0.0, 90.0)])
+    assert got == ["0dE\t0dN 0.000", "79dW\t44d48'27.276\"N 0.000",
+                   "12dW\t44d48'27.276\"N 0.000", "0dE\t90dN 0.000"]
+
+
+def test_geodetic_latlong_to_geocentric():
+    la = dmstor('44d48\'27.276"N') / D
+    got = cs2cs_lines("+proj=latlong +datum=WGS84",
+                      "+proj=latlong +datum=WGS84 +geoc",
+                      [(0.0, 0.0), (-79.0, la), (-12.0, la), (0.0, 90.0)])
+    assert got == ["0dE\t0dN 0.000", "79dW\t45dN 0.000",
+                   "12dW\t45dN 0.000", "0dE\t90dN 0.000"]
+
+
+def test_stere_projections():
+    got = cs2cs_lines("+proj=latlong +datum=WGS84",
+                      "+proj=stere +lat_0=90 +lon_0=0 +lat_ts=70 +datum=WGS84",
+                      [(105.0, 40.0)])
+    assert got == ["5577808.93\t1494569.40 0.00"]
+    got = cs2cs_lines("+proj=latlong +datum=WGS84",
+                      "+proj=stere +lat_0=40 +lon_0=10 +datum=WGS84",
+                      [(20.0, 45.0)])
+    assert got == ["789468.08\t602385.33 0.00"]
+
+
+def test_kav5_roundtrip():
+    got = cs2cs_lines("+proj=latlong +ellps=WGS84", "+proj=kav5 +ellps=WGS84 +units=m",
+                      [(4.897, 52.371)])
+    assert got == ["383646.09\t5997047.89 0.00"]
+    got = cs2cs_lines("+proj=kav5 +ellps=WGS84 +units=m", "+proj=latlong +ellps=WGS84",
+                      [(383646.088858, 5997047.888175)])
+    assert got == ["4d53'49.2\"E\t52d22'15.6\"N 0.000"]
+
+
+# --- testdatumfile: real grid files from /root/reference/data/tests --------
+
+def test_multigrid_fallback_ntv1_then_conus():
+    """First point is inside ntv1_can.dat, second falls through to conus
+    (the multi-grid fallback chain, src/grids.cpp findGrid order)."""
+    got = cs2cs_lines("+proj=latlong +ellps=clrk66 +nadgrids=ntv1_can.dat,conus",
+                      "+proj=latlong +datum=NAD83",
+                      [(-111.0, 44.0), (-111.0, 39.0)])
+    assert got == ["111d0'3.208\"W\t43d59'59.732\"N 0.000",
+                   "111d0'2.604\"W\t38d59'59.912\"N 0.000"]
+
+
+def test_conus_only():
+    got = cs2cs_lines("+proj=latlong +ellps=clrk66 +nadgrids=conus",
+                      "+proj=latlong +datum=NAD83",
+                      [(-111.0, 44.0), (-111.0, 39.0)])
+    assert got == ["111d0'2.788\"W\t43d59'59.725\"N 0.000",
+                   "111d0'2.604\"W\t38d59'59.912\"N 0.000"]
+
+
+def test_md_used_where_available():
+    lat1, lat2 = 37 + 2 / 60, 36 + 58 / 60
+    lon = -(79 + 58 / 60)
+    got = cs2cs_lines("+proj=latlong +ellps=clrk66 +nadgrids=MD,conus",
+                      "+proj=latlong +datum=NAD83",
+                      [(lon, lat1), (lon, lat2)])
+    assert got == ["79d58'0.005\"W\t37d1'59.998\"N 0.000",
+                   "79d57'59.128\"W\t36d58'0.501\"N 0.000"]
+    got = cs2cs_lines("+proj=latlong +ellps=clrk66 +nadgrids=conus",
+                      "+proj=latlong +datum=NAD83",
+                      [(lon, lat1), (lon, lat2)])
+    assert got == ["79d57'59.126\"W\t37d2'0.501\"N 0.000",
+                   "79d57'59.128\"W\t36d58'0.501\"N 0.000"]
+
+
+def test_grid_edge_tolerance_141():
+    """Points on/just outside the ntf_r93 grid edge still shift (#141);
+    clearly-outside points fall through to the null grid."""
+    pts = [(-5.5, 52.0), (-5.5000000000001, 52.0000000000001),
+           (-5.4999, 51.9999), (-5.5001, 52.0)]
+    got = cs2cs_lines("+proj=latlong +ellps=WGS84 +nadgrids=ntf_r93.gsb,null",
+                      "+proj=latlong +datum=WGS84", pts, oform=".12f")
+    assert got == [
+        "-5.501106465528\t51.999890470284 0.000000000000",
+        "-5.501106465529\t51.999890470284 0.000000000000",
+        "-5.501006458305\t51.999790470257 0.000000000000",
+        "-5.500100000000\t52.000000000000 0.000000000000",
+    ]
+    got = cs2cs_lines("+proj=latlong +datum=WGS84",
+                      "+proj=latlong +ellps=WGS84 +nadgrids=ntf_r93.gsb,null",
+                      pts, oform=".12f")
+    assert got == [
+        "-5.498893534472\t52.000109529716 0.000000000000",
+        "-5.498893534472\t52.000109529717 0.000000000000",
+        "-5.498793593803\t52.000009531513 0.000000000000",
+        "-5.500100000000\t52.000000000000 0.000000000000",
+    ]
+
+
+def test_nad27_datum_chain():
+    """+datum=NAD27 expands to the @conus,@alaska,@ntv2_0.gsb,
+    @ntv1_can.dat chain (src/datums.cpp:49); 55N resolves through
+    ntv1_can, 39N through conus; missing optional grids are skipped."""
+    got = cs2cs_lines("+proj=latlong +datum=NAD27", "+proj=latlong +datum=NAD83",
+                      [(-111.0, 55.0), (-111.0, 39.0)], oform=".4f")
+    assert got == ["-111.0009\t55.0001 0.0000", "-111.0007\t39.0000 0.0000"]
+
+
+# --- SCH projection goldens (testvarious "Test SCH ...") --------------------
+
+def test_sch_forward_golden():
+    op = create_operation(
+        "+proj=sch +plat_0=30.0 +plon_0=45.0 +phdg_0=-12.0 +ellps=WGS84")
+    pts = [(0, 0), (0, 90), (45, 45), (45.1, 44.9), (44.9, 45.1), (30, 45)]
+    exp = [(-1977112.0305592, 5551475.1418378, 6595.7256583),
+           (6618337.9734775, -1152927.4060894, 10055.1157181),
+           (1630035.5650122, -342353.6396475, 128.3445654),
+           (1617547.4295637, -347855.9734973, 125.4645102),
+           (1642526.7453121, -336878.8571851, 131.3265616),
+           (1974596.2356203, 787409.8217445, 773.0028577)]
+    lon = np.array([p[0] for p in pts]) * D
+    lat = np.array([p[1] for p in pts]) * D
+    x, y, z, _ = op.apply(lon, lat, np.zeros(6), np.zeros(6))
+    for i in range(6):
+        assert f"{x[i]:.7f}" == f"{exp[i][0]:.7f}"
+        assert f"{y[i]:.7f}" == f"{exp[i][1]:.7f}"
+        assert f"{z[i]:.7f}" == f"{exp[i][2]:.7f}"
+
+
+def test_sch_inverse_golden():
+    op = create_operation(
+        "+proj=sch +plat_0=30.0 +plon_0=45.0 +phdg_0=-12.0 +ellps=WGS84")
+    ix = np.array([0.0, 0.0, 1000.0, 1000.0])
+    iy = np.array([0.0, 1000.0, 0.0, 1000.0])
+    iz = np.array([2.0, 0.0, 0.0, 0.0])
+    lo, la, zz, _ = op.apply(ix, iy, iz, np.zeros(4), "inv")
+    exp = [(45.0, 30.0, 2.0), (44.989863, 29.998124, -0.000362),
+           (44.997845, 30.008824, -0.0), (44.987707, 30.006948, -0.000523)]
+    for i in range(4):
+        assert f"{lo[i] / D:.6f}" == f"{exp[i][0]:.6f}"
+        assert f"{la[i] / D:.6f}" == f"{exp[i][1]:.6f}"
+        assert abs(zz[i] - exp[i][2]) < 1e-6
+
+
+def test_sch_registry_complete():
+    """With sch + isea the registry diff vs pj_list.h must be empty."""
+    from proj_4_spark.engine.plan import _registry
+
+    import re
+    listing = open("/root/reference/src/pj_list.h").read()
+    ref_ops = set(re.findall(r"PROJ_HEAD\((\w+),", listing))
+    have = set(_registry()) | {"pipeline"}
+    missing = ref_ops - have
+    assert missing in (set(), {"isea"}), f"registry gap: {missing}"
