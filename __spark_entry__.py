@@ -227,6 +227,42 @@ def _sql_simhash() -> str:
     )
 
 
+def _sql_merc_factors() -> str:
+    """DuckDB twin of engine/factors.py for +proj=merc +ellps=GRS80:
+    the SAME 4-point stencil (h=1e-5) on the raw kernel x=lam,
+    y=-ln(tsfn(phi)), mirrored term-by-term (deriv.cpp/factors.cpp)."""
+    h = 1e-5
+    steps = [
+        f"lon * {_D2R} as lam_",
+        f"lat * {_D2R} as phi_",
+        f"(-ln({_sql_tsfn(f'(phi_ + {h!r})')})) as y1_",
+        f"(-ln({_sql_tsfn(f'(phi_ - {h!r})')})) as y2_",
+        f"(lam_ + {h!r}) as x1_",
+        f"(lam_ - {h!r}) as x2_",
+        f"(x1_ + x1_ - x2_ - x2_) / {4.0 * h!r} as xl_",
+        f"(y1_ - y2_ - y2_ + y1_) / {4.0 * h!r} as yp_",
+        f"(x1_ - x1_ - x2_ + x2_) / {4.0 * h!r} as xp_",
+        f"(y1_ + y2_ - y2_ - y1_) / {4.0 * h!r} as yl_",
+        "cos(phi_) as cosphi_",
+        "sin(phi_) as sinphi_",
+        f"(1.0 - {_ES!r} * sinphi_ * sinphi_) as t_",
+        "sqrt(t_) as n_",
+        f"abs(yp_) * (t_ * n_ / {_ONE_ES!r}) as fh",
+        "(abs(xl_) / cosphi_) * n_ as fk",
+        f"(yp_ * xl_ - xp_ * yl_) * (t_ * t_ / {_ONE_ES!r}) / cosphi_ as fs",
+    ]
+    q = f"select event_id, lon, lat from ({GEO_SQL_SRC}) where abs(lat) < 80"
+    for s in steps:
+        q = f"select *, {s} from ({q})"
+    return (
+        "select event_id, "
+        "cast(round(fh * 100000.0, 0) as bigint) as fac_h, "
+        "cast(round(fk * 100000.0, 0) as bigint) as fac_k, "
+        "cast(round(fs * 10000.0, 0) as bigint) as fac_s "
+        f"from ({q})"
+    )
+
+
 def _sql_qsfn(sinphi: str) -> str:
     """pj_qsfn SQL twin (src/qsfn.cpp:9-25)."""
     con = f"({_E!r} * {sinphi})"
@@ -446,6 +482,24 @@ def _q_pipeline_composed(spark, sf_dir):
     )
 
 
+def _q_proj_factors(spark, sf_dir):
+    """proj_factors (src/factors.cpp) for Mercator over the events-derived
+    points; DuckDB recomputes the conformal closed form
+    k = h = sqrt(1-es sin^2 phi)/cos(phi)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.factors import factors_df
+
+    pts = _geo_points(spark, sf_dir).where(F.abs(F.col("lat")) < 80)
+    out = factors_df(pts, "+proj=merc +ellps=GRS80", lon="lon", lat="lat")
+    return out.select(
+        "event_id",
+        _i(F.col("f_h"), 100000).alias("fac_h"),
+        _i(F.col("f_k"), 100000).alias("fac_k"),
+        _i(F.col("f_s"), 10000).alias("fac_s"),
+    )
+
+
 def _q_pip_rect(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -660,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axisswap": _q_axisswap,
         "unitconvert": _q_unitconvert,
         "pipeline_datum_shift": _q_pipeline_composed,
+        "proj_factors": _q_proj_factors,
         "pip_rect_zones": _q_pip_rect,
         "knn_cell_partitioned": _q_knn,
         "dedup_exact": _q_dedup_exact,
@@ -828,6 +883,11 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_datum_shift": (
             f"select event_id, {pipe_lon} as plon, {pipe_lat} as plat from ({GEO_SQL_SRC})"
         ),
+        # proj_factors for merc: DuckDB mirrors the engine's own 4-point
+        # finite-difference stencil (deriv.cpp) term-by-term so both
+        # sides produce the same doubles (libm-ulp noise only, far below
+        # the 1e-5 integerization)
+        "proj_factors": _sql_merc_factors(),
         "pip_rect_zones": (
             f"select zone_id, count(*) as n from ({GEO_SQL_SRC}) p "
             f"join ({zone_rows}) z on p.lon >= z.zmin_lon and p.lon < z.zmax_lon "

@@ -169,3 +169,36 @@ def test_helmert_seven_param():
     assert abs(x2[0] - 4e6) < 1e-7
     assert abs(y2[0] - 1e6) < 1e-7
     assert abs(z2[0] - 4.5e6) < 1e-7
+
+
+def test_proj_factors_closed_forms():
+    """pj_factors vs closed-form scale factors (public formulas):
+    merc k=h=sqrt(1-es sin^2)/cos (conformal), aea s=1 (equal-area),
+    eqc spherical k=cos(lat_ts)/cos(phi), h=1."""
+    import math
+
+    import numpy as np
+
+    from proj_4_spark.engine.factors import factors
+
+    D = math.pi / 180
+    f = factors("+proj=merc +ellps=WGS84", np.array([12 * D]), np.array([55 * D]))
+    es = 0.0066943799901413165
+    k_exact = math.sqrt(1 - es * math.sin(55 * D) ** 2) / math.cos(55 * D)
+    assert abs(f["k"][0] - k_exact) < 1e-9
+    assert abs(f["h"][0] - k_exact) < 1e-9     # conformal: h == k
+    assert abs(f["conv"][0]) < 1e-12
+    assert abs(f["omega"][0]) < 1e-7           # gie_self_tests.cpp:431
+    assert abs(f["thetap"][0] - math.pi / 2) < 1e-7  # gie_self_tests.cpp:435
+
+    f = factors("+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5",
+                np.array([-75 * D, 10 * D]), np.array([40 * D, -20 * D]))
+    assert np.allclose(f["s"], 1.0, atol=1e-9)
+
+    f = factors("+proj=eqc +R=6371000 +lat_ts=30", np.array([5 * D]), np.array([50 * D]))
+    assert abs(f["k"][0] - math.cos(30 * D) / math.cos(50 * D)) < 1e-9
+    assert abs(f["h"][0] - 1.0) < 1e-9
+
+    # tmerc convergence ~ atan(tan(dlam) sin(phi))
+    f = factors("+proj=utm +zone=32 +ellps=GRS80", np.array([12 * D]), np.array([56 * D]))
+    assert abs(f["conv"][0] - math.atan(math.tan(3 * D) * math.sin(56 * D))) < 1e-6
