@@ -202,7 +202,7 @@ def _dist(op: Operation, got, exp, ndim: int, angular: bool) -> float:
     """gie comparison metric; src/apps/gie.cpp:1017-1020."""
     if angular:
         d = float(
-            C.geodesic_inverse_vincenty(
+            C.geodesic_inverse_karney(
                 np.array([got[0]]), np.array([got[1]]),
                 np.array([exp[0]]), np.array([exp[1]]),
                 op.P.a, op.P.f,

@@ -484,3 +484,19 @@ def geodesic_inverse_vincenty(
         dist = np.where(converged, dist, hav)
     # coincident points
     return np.where(sinSigma == 0, 0.0, dist)
+
+
+def geodesic_inverse_karney(lon1, lat1, lon2, lat2, a: float, f: float):
+    """Karney geodesic distance (meters), radians in — the reference's
+    actual geod_inverse (src/geodesic.c:1166); exact for near-antipodal
+    pairs where Vincenty fails to converge.  See kernels/geodesic.py."""
+    from proj_4_spark.kernels.geodesic import Geodesic
+
+    g = Geodesic(a, f)
+    R = RAD_TO_DEG
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.broadcast_to(np.asarray(lon2, dtype=np.float64), lon1.shape)
+    lat2 = np.broadcast_to(np.asarray(lat2, dtype=np.float64), lat1.shape)
+    s12, _, _, _ = g.inverse(lat1 * R, lon1 * R, lat2 * R, lon2 * R)
+    return s12

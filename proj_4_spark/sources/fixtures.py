@@ -122,7 +122,7 @@ def expected_knn(points, queries: pa.Table, k: int = 10,
                  a: float = 6378137.0, f: float = 1 / 298.257222101):
     """Oracle kNN: brute-force Vincenty on the driver, ties broken by
     (dist, doc_id, span_offset).  Returns {q_id: [(doc_id, off, dist)...]}"""
-    from proj_4_spark.kernels.common import DEG_TO_RAD, geodesic_inverse_vincenty
+    from proj_4_spark.kernels.common import DEG_TO_RAD, geodesic_inverse_karney
 
     doc_ids = [p[0] for p in points]
     offs = [p[1] for p in points]
@@ -130,7 +130,7 @@ def expected_knn(points, queries: pa.Table, k: int = 10,
     plat = np.array([p[3] for p in points], dtype=np.float64) * DEG_TO_RAD
     out = {}
     for q in queries.to_pylist():
-        d = geodesic_inverse_vincenty(
+        d = geodesic_inverse_karney(
             np.full_like(plon, q["lon"] * DEG_TO_RAD),
             np.full_like(plat, q["lat"] * DEG_TO_RAD),
             plon, plat, a, f,

@@ -4,8 +4,8 @@ Plan shape (north_rule / SURVEY.md §2.5):
   1. index points by cell (cells.cell_col, JVM-side);
   2. per query, explode a neighbor ring of cells and join on cell —
      a hash join co-partitioned on the cell key, no cross product;
-  3. exact geodesic distances (vectorized Vincenty, the same metric the
-     gie tolerance check uses) in one Arrow-batched UDF;
+  3. exact geodesic distances (vectorized Karney inverse, the same
+     metric the gie tolerance check uses) in one Arrow-batched UDF;
   4. Window.partitionBy(q_id).orderBy(dist, doc_id, span_offset)
      row_number() <= k (deterministic tie-break).
 
@@ -38,9 +38,9 @@ def _dist_udf(a: float, f: float):
 
     @pandas_udf("double")
     def geodesic_m(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
-        from proj_4_spark.kernels.common import DEG_TO_RAD, geodesic_inverse_vincenty
+        from proj_4_spark.kernels.common import DEG_TO_RAD, geodesic_inverse_karney
 
-        d = geodesic_inverse_vincenty(
+        d = geodesic_inverse_karney(
             lon1.to_numpy(dtype=np.float64) * DEG_TO_RAD,
             lat1.to_numpy(dtype=np.float64) * DEG_TO_RAD,
             lon2.to_numpy(dtype=np.float64) * DEG_TO_RAD,

@@ -202,3 +202,40 @@ def test_proj_factors_closed_forms():
     # tmerc convergence ~ atan(tan(dlam) sin(phi))
     f = factors("+proj=utm +zone=32 +ellps=GRS80", np.array([12 * D]), np.array([56 * D]))
     assert abs(f["conv"][0] - math.atan(math.tan(3 * D) * math.sin(56 * D))) < 1e-6
+
+
+def test_karney_geodesic_golden_cases():
+    """The reference's own 20-case geodesic table
+    (src/tests/geodtest.cpp:45-132) — distance to <=1 ulp (~4e-9 m at
+    2e7 m), azimuths to <=3e-14 deg; plus antipodal/equatorial cases
+    where Vincenty does not converge."""
+    import re
+
+    import numpy as np
+
+    from proj_4_spark.kernels.geodesic import Geodesic
+
+    src = open("/root/reference/src/tests/geodtest.cpp").read()
+    blob = src[src.index("testcases[20][12] = {"):]
+    blob = blob[blob.index("{", 20):blob.index("};")]
+    nums = re.findall(r"-?\d+\.?\d*(?:[eE][-+]?\d+)?", blob)
+    cases = np.array([float(x) for x in nums]).reshape(20, 12)
+    lat1, lon1, azi1, lat2, lon2, azi2, s12, a12 = (cases[:, i] for i in range(8))
+
+    g = Geodesic(6378137.0, 1 / 298.257223563)
+    S, A1, A2, A12 = g.inverse(lat1, lon1, lat2, lon2)
+    assert np.abs(S - s12).max() < 1e-8
+    assert np.abs(A1 - azi1).max() < 1e-12
+    assert np.abs(A2 - azi2).max() < 1e-12
+    assert np.abs(A12 - a12).max() < 1e-12
+
+    # equatorial near-antipodal (geodesic does NOT follow the equator)
+    S3, A13, _, _ = g.inverse(np.array([0.0]), np.array([0.0]),
+                              np.array([0.0]), np.array([179.5]))
+    assert abs(S3[0] - 19980861.9088) < 1e-3
+    assert abs(A13[0] - 55.96649514) < 1e-7
+    # exact antipode of the pole-to-pole meridian
+    S4, _, _, A124 = g.inverse(np.array([90.0]), np.array([0.0]),
+                               np.array([-90.0]), np.array([0.0]))
+    assert abs(A124[0] - 180.0) < 1e-12
+    assert abs(S4[0] - 20003931.4586) < 1e-3
