@@ -78,6 +78,7 @@ def _registry():
     from proj_4_spark.kernels import mod_ster as k_mods
     from proj_4_spark.kernels import qsc as k_qsc
     from proj_4_spark.kernels import robin as k_robin
+    from proj_4_spark.kernels import isea as k_isea
     from proj_4_spark.kernels import sch as k_sch
     from proj_4_spark.kernels import oblique as k_obl
     from proj_4_spark.kernels import pseudocyl3 as k_pc3
@@ -101,6 +102,7 @@ def _registry():
         "cart": k_cart.setup_cart,
         "geocent": k_cart.setup_geocent,
         "sch": k_sch.setup_sch,
+        "isea": k_isea.setup_isea,
         "noop": k_cart.setup_noop,
         "set": k_cart.setup_set,
         # standalone push/pop: surface-identity with a private stack

@@ -270,4 +270,4 @@ def test_sch_registry_complete():
     ref_ops = set(re.findall(r"PROJ_HEAD\((\w+),", listing))
     have = set(_registry()) | {"pipeline"}
     missing = ref_ops - have
-    assert missing in (set(), {"isea"}), f"registry gap: {missing}"
+    assert missing == set(), f"registry gap: {missing}"

@@ -239,3 +239,28 @@ def test_karney_geodesic_golden_cases():
                                np.array([-90.0]), np.array([0.0]))
     assert abs(A124[0] - 180.0) < 1e-12
     assert abs(S4[0] - 20003931.4586) < 1e-3
+
+
+def test_isea_gie_values():
+    """isea plane-mode values from builtins.gie:2367-2384 (0.1 mm tol)
+    and the +mode=hex +resolution=31 overflow -> error case."""
+    import numpy as np
+
+    from proj_4_spark.engine.plan import create_operation
+
+    D = np.pi / 180
+    op = create_operation("+proj=isea +a=6400000")
+    lon = np.array([2.0, 2.0, -2.0, -2.0]) * D
+    lat = np.array([1.0, -1.0, 1.0, -1.0]) * D
+    x, y, _, _ = op.apply(lon, lat, np.zeros(4), np.zeros(4))
+    exp = [(-1097074.948022474, 3442909.309037183),
+           (-1097074.948264795, 3233611.728585708),
+           (-1575486.353641554, 3442168.342028188),
+           (-1575486.353880283, 3234352.695594706)]
+    for i in range(4):
+        assert abs(x[i] - exp[i][0]) < 1e-4
+        assert abs(y[i] - exp[i][1]) < 1e-4
+
+    op2 = create_operation("+proj=isea +mode=hex +resolution=31")
+    x2, _, _, _ = op2.apply(np.zeros(1), np.zeros(1), np.zeros(1), np.zeros(1))
+    assert np.isnan(x2[0])

@@ -23,7 +23,7 @@ CORPUS = [
     ("adams_ws1.gie", 703),
     ("adams_ws2.gie", 724),
     ("axisswap.gie", 21),
-    ("builtins.gie", 1881),
+    ("builtins.gie", 1886),
     ("defmodel.gie", 29),
     ("deformation.gie", 18),
     ("ellipsoid.gie", 22),
