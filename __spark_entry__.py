@@ -593,6 +593,17 @@ def _q_ann_cosine(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN — the second scale path next to
+    hyperplane LSH (approximate by construction; recall vs cosine_topk
+    pinned in tests/test_functions.py::test_ivf_ann_recall)."""
+    from proj_4_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, dim=64)
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates; value-verified against a DuckDB
     oracle that recomputes the full FNV-shingle -> (a*x+b) mod p
@@ -722,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "events_hourly": _q_events_window,

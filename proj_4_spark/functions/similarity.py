@@ -142,6 +142,82 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
     )
 
 
+def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
+             n_probe: int = 4, dim: int | None = None, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "embedding"):
+    """ANN via IVF (inverted-file) coarse quantization: corpus vectors
+    are assigned to their nearest of `n_centroids` fixed random-unit
+    centroids (one JVM-side argmax over dot products — no k-means
+    iterations, so the plan is a single deterministic pass); each query
+    probes its `n_probe` nearest centroid lists and re-ranks exactly.
+
+    Scale shape: the corpus is hash-partitioned by centroid id (the
+    inverted file); queries broadcast with their probe list; candidates
+    = corpus x (n_probe / n_centroids) — a tunable recall/compute knob.
+    Approximate; recall vs cosine_topk pinned in tests.
+
+    `dim` required (see lsh_bucket_topk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if dim is None:
+        raise ValueError("dim is required (embedding width)")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def _centroid_dots(vec_col_):
+        return F.array(*[
+            _dot_col(vec_col_, F.array(*[F.lit(float(x)) for x in c]))
+            / _norm_col(vec_col_)
+            for c in cents
+        ])
+
+    def _argmax(arr):
+        # index of the max element (JVM-side, no UDF)
+        return F.array_position(arr, F.array_max(arr)).cast("int") - 1
+
+    corpus = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("v_norm"),
+        _argmax(_centroid_dots(F.col(vec_col))).alias("list_id"),
+    ).repartition("list_id")
+
+    q = query_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
+        _norm_col(F.col(q_vec_col)).alias("q_norm"),
+        _centroid_dots(F.col(q_vec_col)).alias("cd"),
+    )
+    # probe the n_probe best centroid lists per query
+    q = q.withColumn(
+        "probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.col("cd"),
+                        lambda d, i: F.struct((-d).alias("nd"), i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1, n_probe,
+        ),
+    ).withColumn("list_id", F.explode("probes")).drop("cd", "probes")
+
+    cand = corpus.join(F.broadcast(q), "list_id")
+    cand = cand.withColumn(
+        "cosine", _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_cosine_dedup(emb_df, threshold: float = 0.95, n_planes: int = 12,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            seed: int = 42, dim: int | None = None):

@@ -103,3 +103,93 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
             F.col("ring_lon"), F.col("ring_lat"),
         )
     ).drop("ring_lon", "ring_lat", "min_lon", "min_lat", "max_lon", "max_lat")
+
+
+def _zone_cells_col(res: int):
+    """Array column of all res-cells covered by a zone's bbox
+    (JVM-side: sequence over the iy/ix index ranges, no UDF)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.spatial.cells import IY_SHIFT, RES_SHIFT
+
+    n = 1 << res
+    def idx(col, lo, span):
+        return F.least(
+            F.greatest(F.floor((col + lo) / span * n).cast("long"), F.lit(0)),
+            F.lit(n - 1),
+        )
+
+    ix0 = idx(F.col("min_lon"), 180.0, 360.0)
+    ix1 = idx(F.col("max_lon"), 180.0, 360.0)
+    iy0 = idx(F.col("min_lat"), 90.0, 180.0)
+    iy1 = idx(F.col("max_lat"), 90.0, 180.0)
+    return F.flatten(
+        F.transform(
+            F.sequence(iy0, iy1),
+            lambda iy: F.transform(
+                F.sequence(ix0, ix1),
+                lambda ix: (F.lit(res).cast("long") * (1 << RES_SHIFT))
+                + (iy * (1 << IY_SHIFT)) + ix,
+            ),
+        )
+    )
+
+
+def pip_join_cells(points_df, zones_df, res: int = 6,
+                   lon: str = "lon", lat: str = "lat"):
+    """PIP join for zone sets too large to broadcast: both sides key on
+    the shared cell index (spatial/cells) and meet in an ordinary HASH
+    join — no cross product, no broadcast.
+
+    Plan shape (the 100-TB path promised in the module docstring):
+      1. zones explode to the cells covering their bbox (cheap: zones
+         are the small-ish side, cells per zone ~ bbox area / cell
+         area — pick `res` so that's O(10-100));
+      2. points compute their single cell (JVM expression);
+      3. hash join on cell (both sides shuffle-partitioned by cell —
+         co-located, skew handled by AQE / salting upstream);
+      4. bbox predicate prunes, then the same exact ray-crossing UDF.
+
+    Same output as pip_join; pick by zone-table size.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from proj_4_spark.spatial.cells import cell_col
+
+    zones_cells = zones_df.select(
+        "zone_id",
+        F.col("ring.lon").alias("ring_lon"),
+        F.col("ring.lat").alias("ring_lat"),
+        "min_lon", "min_lat", "max_lon", "max_lat",
+        F.explode(_zone_cells_col(res)).alias("cell"),
+    )
+    pts = points_df.withColumn("cell", cell_col(F.col(lon), F.col(lat), res))
+    cand = pts.join(zones_cells, "cell", "inner").where(
+        (F.col(lon) >= F.col("min_lon")) & (F.col(lon) <= F.col("max_lon"))
+        & (F.col(lat) >= F.col("min_lat")) & (F.col(lat) <= F.col("max_lat"))
+    )
+
+    @pandas_udf("boolean")
+    def _exact(
+        zid: pd.Series, px: pd.Series, py: pd.Series, rlon: pd.Series, rlat: pd.Series
+    ) -> pd.Series:
+        n = len(px)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        df = pd.DataFrame({"i": np.arange(n), "k": zid.to_numpy()})
+        for _, grp in df.groupby("k", sort=False):
+            idx = grp["i"].to_numpy()
+            rx = np.asarray(rlon.iloc[idx[0]], dtype=np.float64)
+            ry = np.asarray(rlat.iloc[idx[0]], dtype=np.float64)
+            out[idx] = point_in_ring_np(pxv[idx], pyv[idx], rx, ry)
+        return pd.Series(out)
+
+    return cand.where(
+        _exact(F.col("zone_id"), F.col(lon), F.col(lat),
+               F.col("ring_lon"), F.col("ring_lat"))
+    ).drop("ring_lon", "ring_lat", "min_lon", "min_lat", "max_lon", "max_lat",
+           "cell")

@@ -137,3 +137,57 @@ def test_multimodal_feature_shapes(spark):
     # 1/3 of media are video with 4 fake frames, sampled every 2 -> 2 rows
     assert len(frames) == 20 * 2
     assert set(frames["frame_idx"]) == {0, 2}
+
+
+def test_ivf_ann_recall(spark):
+    from proj_4_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 10").selectExpr("vec_id as q_id", "embedding")
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6,
+                      dim=64).toPandas()
+    # same caveat as the LSH test: uniform-random embeddings are the
+    # adversarial case for coarse quantization; n_probe/n_centroids =
+    # 6/16 scans ~38% of the corpus, so recall must beat that baseline
+    hits = 0
+    for q in range(10):
+        e = set(exact[exact.q_id == q]["vec_id"])
+        a = set(approx[approx.q_id == q]["vec_id"])
+        hits += len(e & a)
+    assert hits / 50 >= 0.5
+    # a query vector that IS a corpus vector must always find itself
+    assert all(
+        q in set(approx[approx.q_id == q]["vec_id"]) for q in range(10)
+    )
+
+
+def test_embedding_cosine_dedup_exact_pairs(spark):
+    """LSH-bucketed embedding dedup vs exact all-pairs on planted
+    near-duplicate vectors: every planted pair (cosine ~0.999) must be
+    found; no pair below threshold may appear."""
+    import numpy as np
+
+    from proj_4_spark.functions.similarity import embedding_cosine_dedup
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # plant a near-dup: tiny perturbation
+            w = v + 0.01 * rng.standard_normal(16)
+            rows.append((100 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_cosine_dedup(df, threshold=0.99, n_planes=6, dim=16)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    planted = {(i, 100 + i) for i in range(0, 40, 4)}
+    assert planted <= pairs, planted - pairs
+    # verify no false positives vs exact computation
+    M = np.array([r[1] for r in rows])
+    ids = [r[0] for r in rows]
+    C = (M @ M.T) / (np.linalg.norm(M, axis=1)[:, None]
+                     * np.linalg.norm(M, axis=1)[None, :])
+    for a, b in pairs:
+        ia, ib = ids.index(a), ids.index(b)
+        assert C[ia, ib] >= 0.99 - 1e-6

@@ -169,6 +169,24 @@ def test_pip_join_matches_oracle(spark, media_pts):
     assert len(exp) > 0  # fixture actually exercises the join
 
 
+def test_pip_join_cells_matches_broadcast_path(spark, media_pts):
+    """The cell-indexed hash-join PIP (the non-broadcast 100-TB path)
+    must produce exactly the broadcast path's result set."""
+    from proj_4_spark.spatial.pip import pip_join_cells
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    zones_df = spark.read.parquet(zpath)
+    pts = media_pts.where("abs(lon) <= 180")
+    a = sorted(map(tuple, pip_join(pts, zones_df)
+                   .select("doc_id", "span_offset", "zone_id")
+                   .toPandas().to_numpy().tolist()))
+    b = sorted(map(tuple, pip_join_cells(pts, zones_df, res=5)
+                   .select("doc_id", "span_offset", "zone_id")
+                   .toPandas().to_numpy().tolist()))
+    assert a == b
+    assert len(a) > 0
+
+
 def test_knn_matches_brute_force(spark, media_pts):
     qpath = FX.ensure_fixture("knn_queries.parquet", FX.knn_queries)
     queries = spark.read.parquet(qpath).limit(25)
