@@ -797,9 +797,18 @@ def peephole(global_params: dict, steps: list[dict]) -> list[dict]:
     return out
 
 
-def create_operation(projstring: str) -> Operation:
-    """proj_create analogue (src/4D_api.cpp:810, src/init.cpp:522-836)."""
+def create_operation(projstring: str, emulation: bool = True) -> Operation:
+    """proj_create analogue (src/4D_api.cpp:810, src/init.cpp:522-836).
+
+    emulation=True mirrors proj_create (4D API): cs2cs-style modifier
+    hooks (+towgs84/+nadgrids/+geoidgrids/+datum hub legs) are wired.
+    emulation=False mirrors pj_init (legacy apps like `proj`): the raw
+    operation only — cs2cs_emulation_setup runs in proj_create
+    (4D_api.cpp:802), NOT in pj_init_ctx, which is why the proj app
+    never datum-shifts."""
     projstring = projstring.strip()
+    if not emulation:
+        projstring = projstring + " +break_cs2cs_recursion"
     head = PS.parse_projstring(projstring.split("+step")[0])
     if head.get("proj") == "pipeline":
         global_params, step_param_list = PS.split_pipeline_steps(projstring)

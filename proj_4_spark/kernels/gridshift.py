@@ -289,6 +289,20 @@ def setup_hgridshift(P: PJ) -> PJ:
     t_final = _parse_t(P, "t_final")
     t_epoch = P.param_f("t_epoch")
 
+    if not grids:
+        # every grid was @optional and missing: pass coordinates through
+        # unchanged (hgridshift.cpp:56-60 "Only try the gridshift if at
+        # least one grid is loaded")
+        def passthrough(lam, phi, z, t, P_):
+            return lam, phi, z, t
+
+        P.fwd4d = passthrough
+        P.inv4d = passthrough
+        P.left = UNITS_RADIANS
+        P.right = UNITS_RADIANS
+        P.opaque["grids"] = grids
+        return P
+
     def fwd4d(lam, phi, z, t, P_):
         if t_final != 0 and t_epoch != 0:
             apply_mask = (t < t_epoch) & (t_final > t_epoch)
@@ -331,6 +345,19 @@ def setup_vgridshift(P: PJ) -> PJ:
                  if ".tif" in str(P.params["grids"]).lower() else "unsupported")
         raise ProjError(errno, f"grid format: {e}") from None
     mult = P.param_f("multiplier", -1.0)
+
+    if not grids:
+        # all grids @optional and missing: identity
+        # (vgridshift.cpp:88-92,112-116)
+        def passthrough(lam, phi, z, t, P_):
+            return lam, phi, z, t
+
+        P.fwd4d = passthrough
+        P.inv4d = passthrough
+        P.left = UNITS_RADIANS
+        P.right = UNITS_RADIANS
+        P.opaque["grids"] = grids
+        return P
 
     def fwd4d(lam, phi, z, t, P_):
         dz = vgrid_value(grids, lam, phi, mult)

@@ -46,6 +46,9 @@ def _read_init_file(name: str) -> dict[str, str]:
     text = open(path, encoding="utf-8", errors="replace").read()
     # strip comments
     text = re.sub(r"#.*", "", text)
+    # the <metadata> header line has no <> terminator (src/init.cpp
+    # treats it specially); drop it so it can't swallow the next section
+    text = re.sub(r"<metadata>[^\n]*", "", text)
     out: dict[str, str] = {}
     for m in re.finditer(r"<([^<>\s]+)>(.*?)<>", text, flags=re.S):
         out[m.group(1)] = " ".join(m.group(2).split())
