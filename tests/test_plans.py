@@ -128,3 +128,41 @@ def test_cell_and_tile_exprs_are_codegen(spark):
     assert "EvalPython" not in plan
     # "*(1)" prefix marks whole-stage-codegen stages in the simple plan
     assert "*(1) Project" in plan
+
+
+def test_pip_join_cells_is_hash_join_no_broadcast_nlj(spark):
+    """The non-broadcast PIP path must be a shuffle HASH join on the
+    cell key — never BroadcastNestedLoop / CartesianProduct (at 100 TB
+    the zone side may exceed broadcast limits)."""
+    from proj_4_spark.sources import fixtures as FX
+    from proj_4_spark.spatial.pip import pip_join_cells
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    zones_df = spark.read.parquet(zpath)
+    pts = spark.createDataFrame(
+        [("d", 0, 1.0, 2.0)],
+        "doc_id string, span_offset int, lon double, lat double",
+    )
+    # disable auto-broadcast so the asserted shape is the scale shape
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        txt = plan_of(pip_join_cells(pts, zones_df, res=5))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt, txt[:3000]
+
+
+def test_ivf_corpus_partitioned_by_list_queries_broadcast(spark):
+    """IVF ANN plan: the corpus side hash-partitions by centroid list id
+    (the inverted file); the probe side broadcasts."""
+    from proj_4_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as q_id", "embedding")
+    txt = plan_of(ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2, dim=64))
+    assert "BroadcastExchange" in txt        # probe side
+    assert "hashpartitioning(list_id" in txt  # inverted file
+    assert "CartesianProduct" not in txt
