@@ -713,7 +713,10 @@ def _cs2cs_emulation_setup(P: PJ) -> None:
         if all(v == 0 for v in vals):
             # null shift: still change ellipsoids if not WGS84
             # (src/4D_api.cpp:686-694)
-            if not (abs(P.a - 6378137.0) < 1e-8 and abs(P.es - 0.0066943799901413) < 1e-15):
+            # a_orig/es_orig: spherical-only kernels zero P.es in setup;
+            # the datum check must see the ORIGINAL ellipsoid
+            # (4D_api.cpp:691 uses a_orig/es_orig)
+            if not (abs(P.a_orig - 6378137.0) < 1e-8 and abs(P.es_orig - 0.0066943799901413) < 1e-15):
                 do_cart = True
         else:
             P.helmert = _skip_prep_fin(create_operation(
@@ -724,7 +727,7 @@ def _cs2cs_emulation_setup(P: PJ) -> None:
     if P.is_geocent or P.helmert is not None or do_cart:
         if P.cart is None:
             P.cart = _skip_prep_fin(create_operation(
-                f"+proj=cart +a={P.a!r} +es={P.es!r}"
+                f"+proj=cart +a={P.a_orig!r} +es={P.es_orig!r}"  # 4D_api.cpp:718
             ))
         if not P.is_geocent:
             P.cart_wgs84 = _skip_prep_fin(
@@ -920,20 +923,24 @@ class CrsToCrsOperation:
     """
 
     def __init__(self, src: str, dst: str):
-        both = _has_datum_info(PS.parse_projstring(src)) and _has_datum_info(
-            PS.parse_projstring(dst)
-        )
-        if not both:
-            src = src + " +break_cs2cs_recursion"
-            dst = dst + " +break_cs2cs_recursion"
+        # datum presence must be judged AFTER +init expansion (an
+        # +init=epsg:XXXX string carries its towgs84 inside the preset)
         self.src = create_operation(src)
         self.dst = create_operation(dst)
+        both = _has_datum_info(self.src.P.params) and _has_datum_info(
+            self.dst.P.params
+        )
+        if not both:
+            self.src = create_operation(src, emulation=False)
+            self.dst = create_operation(dst, emulation=False)
 
     @staticmethod
     def _is_3d(op) -> bool:
         P = getattr(op, "P", None)
         return P is not None and (
             P.is_geocent or P.fwd3d is not None or P.inv3d is not None
+            # vertical units / geoid hooks make z part of the CRS too
+            or P.vto_meter != 1.0 or P.vgridshift is not None
         )
 
     def apply(self, x, y, z, t, direction: str = "fwd"):

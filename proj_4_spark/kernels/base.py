@@ -84,6 +84,11 @@ class PJ:
         self.rone_es = ell.rone_es
         self.f = ell.f
         self.n = ell.n
+        # the datum ellipsoid BEFORE any projection setup munges a/es
+        # (spherical-only kernels zero es); cs2cs emulation must use
+        # these, src/init.cpp:661-662 + 4D_api.cpp:691,718
+        self.a_orig = ell.a
+        self.es_orig = ell.es
 
         # cartographic offsets, src/proj_internal.h:496-512
         self.lam0 = 0.0

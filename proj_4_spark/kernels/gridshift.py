@@ -120,6 +120,13 @@ def hgrid_apply(grids, lam, phi, direction: str):
         sel = gidx == gi
         if not sel.any():
             continue
+        if g.name == "null":
+            # the builtin null grid is an exact identity: no shift and
+            # no longitude renormalization (PROJ 8's crs_to_crs builds a
+            # null pipeline for @null — the +over case must survive)
+            out_lam[sel] = lam[sel]
+            out_phi[sel] = phi[sel]
+            continue
         ll = lam[sel]
         pp = phi[sel]
         eps = (g.resx + g.resy) * _REL_TOL

@@ -144,6 +144,13 @@ _EPSG_PRESETS: dict[int, str] = {
     23700: ("proj=somerc lat_0=47.14439372222222 lon_0=19.04857177777778 "
             "k_0=0.99993 x_0=650000 y_0=200000 ellps=GRS67 "
             "towgs84=52.17,-71.82,-14.9,0,0,0,0 units=m no_defs"),
+    # MGI / Austria M28 — TM (conversion 18044; 10.2 DMS = 10d20' =
+    # 10.33333333333333 deg).  towgs84 = EPSG:1618 "MGI to WGS 84 (3)"
+    # (helmert_transformation.sql; matches the reference cs2cs #207
+    # golden to <0.3 mm)
+    31284: ("proj=tmerc lat_0=0 lon_0=10.33333333333333 k=1 x_0=150000 "
+            "y_0=0 ellps=bessel towgs84=577.326,90.129,463.919,5.137,"
+            "1.474,5.297,2.4232 units=m no_defs"),
     # GDA94 / MGA zone 54 (conversion 17354 = UTM 54S on GRS80)
     28354: ("proj=utm zone=54 south ellps=GRS80 towgs84=0,0,0,0,0,0,0 "
             "units=m no_defs"),
