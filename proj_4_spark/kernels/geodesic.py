@@ -694,3 +694,107 @@ def geodesic_inverse_karney(lon1, lat1, lon2, lat2,
         np.asarray(lat2) * R, np.asarray(lon2) * R,
     )
     return s12
+
+
+def _C1pf(eps):
+    """C1p coefficients (reverted distance series), geodesic.c:1643-1668."""
+    coeff = [(205, -432, 768, 1536), (4005, -4736, 3840, 12288),
+             (-225, 116, 384), (-7173, 2695, 7680), (3467, 7680),
+             (38081, 61440)]
+    eps2 = eps * eps
+    d = eps.copy() if isinstance(eps, np.ndarray) else eps
+    c = [None] * (nC1 + 1)
+    for ell in range(1, nC1 + 1):
+        row = coeff[ell - 1]
+        c[ell] = d * _polyval([float(v) for v in row[:-1]], eps2) / row[-1]
+        d = d * eps
+    return c
+
+
+def _geod_direct(g: "Geodesic", lat1, lon1, azi1, s12):
+    """geod_direct: the direct problem, vectorized.
+
+    geod_lineinit_int (geodesic.c:460-545) + geod_genposition distance
+    mode (geodesic.c:565-700, caps C1|C1p|C3).  Returns
+    (lat2, lon2, azi2, a12)."""
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
+    azi1 = np.atleast_1d(np.asarray(azi1, dtype=np.float64))
+    s12 = np.atleast_1d(np.asarray(s12, dtype=np.float64))
+
+    azi1 = _ang_normalize(azi1)
+    salp1, calp1 = _sincosd(_ang_round(azi1))
+
+    lat1f = np.where(np.abs(lat1) > 90, np.nan, lat1)
+    sbet1, cbet1 = _sincosd(_ang_round(lat1f))
+    sbet1 = sbet1 * g.f1
+    sbet1, cbet1 = _norm2(sbet1, cbet1)
+    cbet1 = np.maximum(_TINY, cbet1)
+    dn1 = np.sqrt(1 + g.ep2 * sbet1**2)
+
+    salp0 = salp1 * cbet1
+    calp0 = np.hypot(calp1, salp1 * sbet1)
+    ssig1 = sbet1
+    somg1 = salp0 * sbet1
+    csig1 = comg1 = np.where((sbet1 != 0) | (calp1 != 0), cbet1 * calp1, 1.0)
+    ssig1, csig1 = _norm2(ssig1, csig1)
+
+    k2 = calp0**2 * g.ep2
+    eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+
+    A1m1 = _A1m1f(eps)
+    C1a = _C1f(eps)
+    B11 = _sin_cos_series(True, ssig1, csig1, C1a)
+    s_, c_ = np.sin(B11), np.cos(B11)
+    stau1 = ssig1 * c_ + csig1 * s_
+    ctau1 = csig1 * c_ - ssig1 * s_
+    C1pa = _C1pf(eps)
+    C3a = g._C3f(eps)
+    A3c = -g.f * salp0 * g._A3f(eps)
+    B31 = _sin_cos_series(True, ssig1, csig1, C3a[:nC3])
+
+    # distance mode (geodesic.c:612-629); |f| <= 0.01 so no Newton fixup
+    tau12 = s12 / (g.b * (1 + A1m1))
+    s_, c_ = np.sin(tau12), np.cos(tau12)
+    B12 = -_sin_cos_series(True, stau1 * c_ + ctau1 * s_,
+                           ctau1 * c_ - stau1 * s_, C1pa)
+    sig12 = tau12 - (B12 - B11)
+    ssig12, csig12 = np.sin(sig12), np.cos(sig12)
+
+    ssig2 = ssig1 * csig12 + csig1 * ssig12
+    csig2 = csig1 * csig12 - ssig1 * ssig12
+    sbet2 = calp0 * ssig2
+    cbet2 = np.hypot(salp0, calp0 * csig2)
+    deg = cbet2 == 0
+    cbet2 = np.where(deg, _TINY, cbet2)
+    csig2 = np.where(deg, _TINY, csig2)
+    salp2 = salp0
+    calp2 = calp0 * csig2
+
+    # longitude (LONG_UNROLL, geodesic.c:672-690)
+    E = np.where(salp0 >= 0, 1.0, -1.0)  # copysign(1, salp0)
+    somg2 = salp0 * ssig2
+    comg2 = csig2
+    omg12 = E * (sig12
+                 - (np.arctan2(ssig2, csig2) - np.arctan2(ssig1, csig1))
+                 + (np.arctan2(E * somg2, comg2) - np.arctan2(E * somg1, comg1)))
+    lam12 = omg12 + A3c * (
+        sig12 + (_sin_cos_series(True, ssig2, csig2, C3a[:nC3]) - B31)
+    )
+    lon12 = lam12 / _DEGREE
+    lon2 = _ang_normalize(_ang_normalize(lon1) + _ang_normalize(lon12))
+
+    lat2 = _atan2d(sbet2, g.f1 * cbet2)
+    azi2 = _atan2d(salp2, calp2)
+    return lat2, lon2, azi2, sig12 / _DEGREE
+
+
+def geodesic_direct(lon1, lat1, azi1, s12,
+                    a: float = 6378137.0, f: float = 1 / 298.257223563):
+    """Direct problem, degrees in/out: (lon2, lat2, azi2)."""
+    g = Geodesic(a, f)
+    lat2, lon2, azi2, _ = _geod_direct(g, lat1, lon1, azi1, s12)
+    return lon2, lat2, azi2
+
+
+Geodesic.direct = _geod_direct

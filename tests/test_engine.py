@@ -264,3 +264,42 @@ def test_isea_gie_values():
     op2 = create_operation("+proj=isea +mode=hex +resolution=31")
     x2, _, _, _ = op2.apply(np.zeros(1), np.zeros(1), np.zeros(1), np.zeros(1))
     assert np.isnan(x2[0])
+
+
+def test_karney_geodesic_direct_golden():
+    """Direct problem vs the same 20-case table (lat1,lon1,azi1,s12 ->
+    lat2,lon2,azi2,a12) and inverse->direct roundtrip closure."""
+    import re
+
+    import numpy as np
+
+    from proj_4_spark.kernels.geodesic import Geodesic
+
+    src = open("/root/reference/src/tests/geodtest.cpp").read()
+    blob = src[src.index("testcases[20][12] = {"):]
+    blob = blob[blob.index("{", 20):blob.index("};")]
+    nums = re.findall(r"-?\d+\.?\d*(?:[eE][-+]?\d+)?", blob)
+    cases = np.array([float(x) for x in nums]).reshape(20, 12)
+    lat1, lon1, azi1, lat2, lon2, azi2, s12, a12 = (cases[:, i] for i in range(8))
+    g = Geodesic(6378137.0, 1 / 298.257223563)
+    LA2, LO2, A2, A12 = g.direct(lat1, lon1, azi1, s12)
+
+    def angdiff(a, b):
+        d = np.remainder(a - b, 360.0)
+        return np.minimum(d, 360 - d)
+
+    assert np.abs(LA2 - lat2).max() < 1e-12
+    assert angdiff(LO2, lon2).max() < 1e-12
+    assert np.abs(A2 - azi2).max() < 1e-12
+    assert np.abs(A12 - a12).max() < 1e-12
+
+    # inverse -> direct closure on a pseudo-random grid
+    rng = np.random.Generator(np.random.PCG64(3))
+    la1 = rng.uniform(-85, 85, 50)
+    lo1 = rng.uniform(-180, 180, 50)
+    la2 = rng.uniform(-85, 85, 50)
+    lo2 = rng.uniform(-180, 180, 50)
+    S, A1, _, _ = g.inverse(la1, lo1, la2, lo2)
+    LA, LO, _, _ = g.direct(la1, lo1, A1, S)
+    assert np.abs(LA - la2).max() < 1e-11
+    assert angdiff(LO, lo2).max() < 1e-11
