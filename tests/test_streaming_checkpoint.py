@@ -122,3 +122,70 @@ def test_partition_lineage_metrics(spark, tmp_path):
     assert errs["n_rows"].sum() == n
     # pathological fixture rows (lon=999, |lat|=90) must surface as errors
     assert errs["n_errors"].sum() > 0
+
+
+def test_sessionize_stream_matches_batch_gap_logic(spark, tmp_path):
+    """applyInPandasWithState gap sessions over a bounded replayable
+    stream must equal a batch reimplementation of the same 30-min-gap
+    rule, for every session CLOSED by a gap (the final session per user
+    stays in state — availableNow ends the query before any
+    processing-time timeout can flush it)."""
+    import pandas as pd
+
+    from proj_4_spark.streaming.events import sessionize_by_user
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for uid in range(6):
+        t = base + pd.Timedelta(minutes=uid * 7)
+        for burst in range(3):            # 3 sessions per user
+            for k in range(4):            # 4 events, 5 min apart
+                rows.append((uid, t))
+                t += pd.Timedelta(minutes=5)
+            t += pd.Timedelta(minutes=45)  # gap > 30 min splits
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])
+    ).select(F.col("user_id").cast("long"), F.col("ts").cast("timestamp"))
+    src.write.mode("overwrite").parquet(str(tmp_path / "sess_in"))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "sess_in"))
+    q = (
+        sessionize_by_user(stream)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions").toPandas()
+
+    # batch oracle: same 30-min gap rule in pandas
+    pdf = src.toPandas().sort_values(["user_id", "ts"])
+    expect = []
+    for uid, grp in pdf.groupby("user_id"):
+        ts = grp["ts"].tolist()
+        start = end = ts[0]
+        n = 1
+        for x in ts[1:]:
+            if (x - end).total_seconds() > 30 * 60:
+                expect.append((uid, start, end, n))
+                start = end = x
+                n = 1
+            else:
+                end = x
+                n += 1
+        # the final session per user stays OPEN in state: availableNow
+        # terminates before any processing-time timeout fires, so the
+        # stream emits only gap-CLOSED sessions
+    e = pd.DataFrame(expect, columns=["user_id", "session_start",
+                                      "session_end", "n_events"])
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    e = e.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    # streaming emits closed sessions; the final open session per user is
+    # flushed by the availableNow end-of-stream timeout
+    assert len(g) == len(e), (len(g), len(e))
+    assert (g["user_id"] == e["user_id"]).all()
+    assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
+    assert (pd.to_datetime(g["session_start"]).to_numpy()
+            == pd.to_datetime(e["session_start"]).to_numpy()).all()
