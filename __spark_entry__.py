@@ -695,14 +695,16 @@ def _q_docs_geo_pipeline(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only; decode is the documented
-    deterministic fake — real codecs absent in this container)."""
+    """Multimodal decode + feature extraction over REAL payloads
+    (pure-NumPy BMP/WAV/Y4M codecs; jpeg/mp4 remain stubbed behind
+    DecodeUnavailable).  Rows-only: the decoded values are pinned by
+    tests/test_functions.py::test_multimodal_real_decode_end_to_end."""
     from pyspark.sql import functions as F
 
     from proj_4_spark.functions.multimodal import extract_features, synth_media_table
 
     media = synth_media_table(spark, 300)
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media)
     return feats.select(
         "media_id",
         F.col("meta.media_type").alias("media_type"),

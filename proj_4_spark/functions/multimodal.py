@@ -2,11 +2,14 @@
 
 Media payloads are opaque `binary` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs over mapInPandas.  The Spark-side plumbing — schemas,
-batch shapes, partitioning, UDF signatures — is real and tested; the
-codec step itself is STUBBED behind `DecodeUnavailable` (image/audio
-libraries are not in this container) with a deterministic fake used by
-tests (`fake=True`).
+pandas UDFs over mapInPandas.
+
+Decode is REAL for self-describing uncompressed formats (BMP images,
+PCM16 WAV audio, YUV4MPEG2 video — pure-NumPy codecs in
+functions/codecs.py, encode+decode roundtrip-tested); formats that need
+external libraries (JPEG/PNG/MP4 — not in this container) raise
+`DecodeUnavailable`, and a deterministic fake (`fake=True`) remains for
+shape-only tests.
 
 Scale notes: media bytes dominate row width -> keep them in their own
 column family / table, process with mapInPandas so bytes stream through
@@ -32,10 +35,17 @@ class DecodeUnavailable(NotImplementedError):
 
 
 def _real_decode(payload: bytes, media_type: str):
-    raise DecodeUnavailable(
-        "image/audio codecs not available in this environment; "
-        "wire PIL/ffmpeg here in production"
-    )
+    """Decode self-describing formats with the pure-NumPy codecs; raise
+    DecodeUnavailable for library-requiring formats (jpeg/png/mp4)."""
+    from proj_4_spark.functions.codecs import sniff_and_decode
+
+    try:
+        arr, _kind = sniff_and_decode(payload or b"")
+    except ValueError as e:
+        raise DecodeUnavailable(
+            f"{e}; wire PIL/ffmpeg here in production"
+        ) from None
+    return arr
 
 
 def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
@@ -118,9 +128,12 @@ def frame_sample(media_df, payload_col: str = "payload", meta_col: str = "meta",
     return media_df.mapInPandas(gen, schema=schema)
 
 
-def synth_media_table(spark, n: int = 200, seed: int = 42):
-    """Deterministic opaque-binary media table for tests/bench."""
-    from pyspark.sql import functions as F
+def synth_media_table(spark, n: int = 200, seed: int = 42, real: bool = True):
+    """Deterministic media table for tests/bench.  With real=True the
+    payloads are genuine BMP / PCM16-WAV / Y4M bytes (encoded by the
+    pure-NumPy codecs, per-row PCG64 substream so generation
+    distributes); real=False keeps the legacy opaque-random payloads."""
+    from proj_4_spark.functions.codecs import encode_bmp, encode_wav, encode_y4m
 
     def gen(batches):
         for pdf in batches:
@@ -131,13 +144,29 @@ def synth_media_table(spark, n: int = 200, seed: int = 42):
             for i in ids:
                 rng = np.random.Generator(np.random.PCG64(seed ^ int(i)))
                 kind = kinds[int(i) % 3]
-                payloads.append(rng.bytes(64 + int(i) % 128))
+                if not real:
+                    payloads.append(rng.bytes(64 + int(i) % 128))
+                    codec = "fake"
+                    w = h = 16 if kind != "audio" else 0
+                    dur = 100 if kind != "image" else 0
+                elif kind == "image":
+                    w = h = 16 + 8 * (int(i) % 3)
+                    payloads.append(encode_bmp(
+                        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+                    codec, dur = "bmp", 0
+                elif kind == "audio":
+                    nsamp = 1600 + 160 * (int(i) % 5)
+                    payloads.append(encode_wav(
+                        (rng.standard_normal(nsamp) * 3000).astype(np.int16)))
+                    codec, w, h, dur = "pcm16", 0, 0, nsamp // 16
+                else:
+                    w, h = 8, 8
+                    payloads.append(encode_y4m(
+                        rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)))
+                    codec, dur = "y4m", 160
                 metas.append({
-                    "media_type": kind,
-                    "width": 16 if kind != "audio" else 0,
-                    "height": 16 if kind != "audio" else 0,
-                    "duration_ms": 100 if kind != "image" else 0,
-                    "codec": "fake",
+                    "media_type": kind, "width": w, "height": h,
+                    "duration_ms": dur, "codec": codec,
                 })
             yield pd.DataFrame({
                 "media_id": [f"m-{int(i):08d}" for i in ids],
