@@ -533,6 +533,29 @@ def _q_knn(spark, sf_dir):
     return knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3)
 
 
+def _q_knn_haversine(spark, sf_dir):
+    """The SAME cell-partitioned kNN machinery (rings, guards,
+    tie-breaks) with the SQL-expressible haversine metric, so DuckDB
+    brute-force recomputes the exact result set (value-level check of
+    the join; the Karney entry keeps the production metric)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.spatial.knn import knn_join
+
+    pts = _geo_points(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_offset"), "lon", "lat",
+    )
+    queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
+        F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
+    )
+    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
+                   metric="haversine")
+    return out.select(
+        "q_id", "doc_id", "rank", _i(F.col("dist_m"), 1000).alias("dist_mm")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -730,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_factors": _q_proj_factors,
         "pip_rect_zones": _q_pip_rect,
         "knn_cell_partitioned": _q_knn,
+        "knn_haversine": _q_knn_haversine,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -954,6 +978,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) as n_orders from orders "
             "join customer on o_custkey = c_custkey "
             "join nation on c_nationkey = n_nationkey group by 1"
+        ),
+        # brute-force haversine kNN with identical metric + tie-break:
+        # verifies the cell-partitioned join's result set value-for-value
+        "knn_haversine": (
+            "select q_id, doc_id, rank, "
+            "cast(round(dist_m * 1000.0, 0) as bigint) as dist_mm from ("
+            "  select q.event_id::varchar as q_id, p.event_id::varchar as doc_id, "
+            "  2.0 * 6371000.0 * asin(least(1.0, sqrt("
+            f"    pow(sin((p.lat - q.lat) * {_D2R} / 2.0), 2)"
+            f"    + cos(q.lat * {_D2R}) * cos(p.lat * {_D2R})"
+            f"    * pow(sin((p.lon - q.lon) * {_D2R} / 2.0), 2)))) as dist_m, "
+            "  row_number() over (partition by q.event_id order by "
+            "  2.0 * 6371000.0 * asin(least(1.0, sqrt("
+            f"    pow(sin((p.lat - q.lat) * {_D2R} / 2.0), 2)"
+            f"    + cos(q.lat * {_D2R}) * cos(p.lat * {_D2R})"
+            f"    * pow(sin((p.lon - q.lon) * {_D2R} / 2.0), 2)))), "
+            "  p.event_id::varchar) as rank "
+            f"  from ({GEO_SQL_SRC}) p cross join "
+            f"  (select * from ({GEO_SQL_SRC}) where event_id % 211 = 0) q"
+            ") where rank <= 5"
         ),
         "minhash_lsh_pairs": _sql_minhash_pairs(num_perm=32, bands=8),
         "simhash": _sql_simhash(),

@@ -33,8 +33,32 @@ from proj_4_spark.spatial import cells
 M_PER_DEG = 110567.0
 
 
-def _dist_udf(a: float, f: float):
+HAVERSINE_R = 6371000.0  # mean sphere radius for metric="haversine"
+
+
+def _dist_udf(a: float, f: float, metric: str = "karney"):
     from pyspark.sql.functions import pandas_udf
+
+    if metric == "haversine":
+        # SQL-expressible twin metric: lets the DuckDB correctness gate
+        # value-verify the full kNN machinery (rings/guards/tie-breaks)
+        @pandas_udf("double")
+        def geodesic_m(lon1: pd.Series, lat1: pd.Series,
+                       lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+            from proj_4_spark.kernels.common import DEG_TO_RAD
+
+            p1 = lat1.to_numpy(dtype=np.float64) * DEG_TO_RAD
+            p2 = lat2.to_numpy(dtype=np.float64) * DEG_TO_RAD
+            dp = p2 - p1
+            dl = (lon2.to_numpy(dtype=np.float64)
+                  - lon1.to_numpy(dtype=np.float64)) * DEG_TO_RAD
+            h = (np.sin(dp / 2.0) ** 2
+                 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2)
+            return pd.Series(
+                2.0 * HAVERSINE_R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+            )
+
+        return geodesic_m
 
     @pandas_udf("double")
     def geodesic_m(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
@@ -63,17 +87,20 @@ def knn_join(
     f: float = 1 / 298.257222101,
     point_cols=("doc_id", "span_offset", "lon", "lat"),
     query_cols=("q_id", "lon", "lat"),
+    metric: str = "karney",
 ):
     """Returns (q_id, doc_id, span_offset, dist_m, rank) with rank<=k.
 
     points_df: (doc_id, span_offset, lon, lat); queries_df: (q_id, lon, lat).
+    metric: "karney" (exact ellipsoidal) or "haversine" (mean sphere —
+    the SQL-expressible twin used by the DuckDB correctness gate).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     did, soff, plon, plat = point_cols
     qid, qlon, qlat = query_cols
-    geodesic_m = _dist_udf(a, f)
+    geodesic_m = _dist_udf(a, f, metric)
 
     pts = points_df.select(
         F.col(did).alias("doc_id"),
@@ -116,8 +143,12 @@ def knn_join(
         # latitude away OR the equivalent (cos-lat-shrunk) longitude span;
         # the latitude component alone gives a safe meters lower bound
         # scaled by cos for the east-west direction.
+        # per-metric meters-per-degree LOWER bound: on the haversine
+        # sphere the meridian arc is exactly R*pi/180 per degree
+        m_per_deg = (HAVERSINE_R * 3.141592653589793 / 180.0
+                     if metric == "haversine" else M_PER_DEG)
         guard = (
-            F.lit(cur_ring * cell_h_deg * M_PER_DEG)
+            F.lit(cur_ring * cell_h_deg * m_per_deg)
             * F.least(F.lit(1.0), F.cos(F.radians(F.col("q_lat"))))
         )
         agg = topk.groupBy("q_id", "q_lon", "q_lat").agg(
@@ -150,13 +181,14 @@ def knn_join(
 
 
 def knn_brute_force(points_df, queries_df, k: int = 10,
-                    a: float = 6378137.0, f: float = 1 / 298.257222101):
+                    a: float = 6378137.0, f: float = 1 / 298.257222101,
+                    metric: str = "karney"):
     """Reference implementation (cross join): the correctness oracle for
     knn_join at test scale.  Never use at production scale."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    geodesic_m = _dist_udf(a, f)
+    geodesic_m = _dist_udf(a, f, metric)
     cand = queries_df.select(
         F.col("q_id"), F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat")
     ).crossJoin(
