@@ -263,6 +263,41 @@ def _sql_merc_factors() -> str:
     )
 
 
+def _sql_docs_geo_pipeline() -> str:
+    """DuckDB twin of the flagship doc-geo pipeline over the shared
+    fixture parquet (docs/media.py regexes; engine/spark transform error
+    rules; spatial/tiles integer math)."""
+    from proj_4_spark.spatial.tiles import tile_sql
+
+    path = _docs_fixture_path()
+    lam = f"(lon * {_D2R})"
+    phi = f"(lat * {_D2R})"
+    wm_x = f"({lam} * 6378137.0)"
+    wm_y = f"(ln(tan(pi()/4 + 0.5 * {phi})) * 6378137.0)"
+    tx, ty = tile_sql("wm_x", "wm_y", 6)
+    return (
+        "select 6 as zoom, tile_x, tile_y, count(*) as n from ("
+        f"  select {tx} as tile_x, {ty} as tile_y from ("
+        f"    select wm_x, wm_y from ("
+        f"      select {wm_x} as wm_x, {wm_y} as wm_y, lon, lat from ("
+        "        select"
+        "          try_cast(regexp_extract(s.media_ref, '[?&]lon=(-?[0-9.]+)', 1)"
+        "               as double) as lon,"
+        "          try_cast(regexp_extract(s.media_ref, '[?&]lat=(-?[0-9.]+)', 1)"
+        "               as double) as lat"
+        f"        from parquet_scan('{path}') d, unnest(d.spans) as t(s)"
+        "        where s.kind = 'media'"
+        "      )"
+        # transform() error semantics: |lam| > 10 rad (fwd.cpp:55) and
+        # merc's |{|phi|} - pi/2| <= EPS10 pole check (merc.cpp)
+        f"      where abs({lam}) <= 10.0"
+        f"        and abs(abs({phi}) - pi()/2) > 1e-10"
+        "    ) where isfinite(wm_x) and isfinite(wm_y)"
+        "  )"
+        ") group by tile_x, tile_y"
+    )
+
+
 def _sql_qsfn(sinphi: str) -> str:
     """pj_qsfn SQL twin (src/qsfn.cpp:9-25)."""
     con = f"({_E!r} * {sinphi})"
@@ -699,17 +734,28 @@ def _q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def _docs_fixture_path() -> str:
+    """Deterministic interleaved-doc fixture shared by the Spark query
+    AND its DuckDB oracle (same parquet bytes on both sides)."""
+    from proj_4_spark.docs.synth import synthesize_arrow
+    from proj_4_spark.sources.fixtures import ensure_fixture
+
+    return ensure_fixture("docs_geo_input.parquet",
+                          lambda: synthesize_arrow(4000))
+
+
 def _q_docs_geo_pipeline(spark, sf_dir):
-    """Flagship (rows-only): interleaved documents -> media geo-tags ->
-    webmerc -> tile histogram, with hot-cell salted counting."""
+    """Flagship: interleaved documents -> media geo-tags -> webmerc ->
+    tile histogram.  Value-verified: the DuckDB oracle recomputes the
+    whole chain (unnest spans, regexp geo-tag parse, spherical webmerc,
+    integer tiles) from the SAME parquet fixture."""
     from pyspark.sql import functions as F
 
     from proj_4_spark.docs.media import explode_media_points
-    from proj_4_spark.docs.synth import synthesize_spark
     from proj_4_spark.engine.spark import transform
     from proj_4_spark.spatial.tiles import assign_tiles
 
-    docs = synthesize_spark(spark, 4000, partitions=8)
+    docs = spark.read.parquet(_docs_fixture_path())
     pts = explode_media_points(docs)
     wm = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
                    out_prefix="wm_", keep_errors=False)
@@ -1001,10 +1047,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh_pairs": _sql_minhash_pairs(num_perm=32, bands=8),
         "simhash": _sql_simhash(),
-        # knn_cell_partitioned (distance metric not SQL-expressible —
-        # brute-force parity pinned in pytest), ann_lsh_topk (approximate
-        # by construction; recall pinned in pytest), docs_geo_pipeline,
-        # multimodal_features: intentionally no oracle -> rows-only check.
+        # flagship: DuckDB recomputes the WHOLE chain from the same
+        # parquet fixture — unnest spans, media filter, regexp geo-tag
+        # parse, merc error semantics (|lam|>10rad, |phi|-pi/2<=1e-10),
+        # spherical webmerc, integer tile assignment, histogram
+        "docs_geo_pipeline": _sql_docs_geo_pipeline(),
+        # knn_cell_partitioned (Karney metric not SQL-expressible — the
+        # haversine twin above value-checks the machinery; brute-force
+        # parity pinned in pytest), ann_lsh_topk / ann_ivf_topk
+        # (approximate by construction; recall pinned in pytest),
+        # multimodal_features (real-decode values pinned in pytest):
+        # intentionally no oracle -> rows-only check.
     }
 
 
