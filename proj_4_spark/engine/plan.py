@@ -729,7 +729,16 @@ def _cs2cs_emulation_setup(P: PJ) -> None:
             P.cart = _skip_prep_fin(create_operation(
                 f"+proj=cart +a={P.a_orig!r} +es={P.es_orig!r}"  # 4D_api.cpp:718
             ))
-        if not P.is_geocent:
+        # NOTE: the C only creates cart_wgs84 for non-geocent ops
+        # (4D_api.cpp:735) and its fwd_prepare would error on the
+        # geocent+helmert combination (proj_trans on a null hook); the
+        # classic pj_transform semantics our CrsToCrsOperation emulates
+        # DO need the WGS84 leg for a geocent CRS with a datum shift
+        # (e.g. IGNF RGR92 -> REUN47), so create it there as well.  A
+        # plain geocent op (no helmert) must NOT get it: the hub branch
+        # would then force an Earth-WGS84 leg onto e.g. Mars ellipsoids
+        # (4D-API gie cases at a=3396190).
+        if not P.is_geocent or P.helmert is not None:
             P.cart_wgs84 = _skip_prep_fin(
                 create_operation("+proj=cart +ellps=WGS84")
             )
@@ -933,6 +942,18 @@ class CrsToCrsOperation:
         if not both:
             self.src = create_operation(src, emulation=False)
             self.dst = create_operation(dst, emulation=False)
+        else:
+            # cs2cs (DB-pipeline) semantics use the SMALL-ANGLE Helmert
+            # (EPSG methods 9606/1033 map to proj=helmert WITHOUT
+            # +exact); the raw 4D-API hub keeps +exact (4D_api.cpp:703).
+            # Matters only for large rotations (IGNF REUN47: 76.8" -> ~1 m).
+            for op in (self.src, self.dst):
+                P = op.P
+                if P.helmert is not None and P.params.get("towgs84"):
+                    P.helmert = _skip_prep_fin(create_operation(
+                        f"+proj=helmert +towgs84={P.params['towgs84']} "
+                        "+convention=position_vector"
+                    ))
 
     @staticmethod
     def _is_3d(op) -> bool:

@@ -170,6 +170,46 @@ _EPSG_PRESETS: dict[int, str] = {
 }
 
 
+# IGNF registry presets (authority `+init=IGNF:KEY`): the reference
+# resolves these through data/sql/ignf.sql (proj.db); the 8 codes the
+# testIGNF CLI suite uses are transcribed here from those rows (grads ->
+# degrees for LAMBE; the NTF legs ride the ntf_r93.gsb grid, matching
+# the classic IGNF init file's nadgrids entries).
+_IGNF_PRESETS: dict[str, str] = {
+    # NTF geographiques Greenwich (ignf.sql NTFG + NTFG_TO_RGF93G NTv2)
+    "NTFG": ("proj=longlat nadgrids=ntf_r93.gsb,null a=6378249.2 "
+             "rf=293.466021 units=m no_defs"),
+    # RGF93 geographiques
+    "RGF93G": ("proj=longlat towgs84=0,0,0 a=6378137 "
+               "rf=298.257222101 units=m no_defs"),
+    # NTF Lambert II etendu (conversion PRC012013: LCC 1SP, lat_0=52
+    # grads = 46.8 deg, Paris meridian via NTFPGRAD)
+    "LAMBE": ("proj=lcc nadgrids=ntf_r93.gsb,null a=6378249.2 "
+              "rf=293.466021 pm=2.337229167 lat_0=46.8 lon_0=0 "
+              "k_0=0.99987742 lat_1=46.8 x_0=600000 y_0=2200000 "
+              "units=m no_defs"),
+    # RGF93 Lambert 93 (conversion PRC014052: LCC 2SP)
+    "LAMB93": ("proj=lcc towgs84=0,0,0 a=6378137 rf=298.257222101 "
+               "lat_0=46.5 lon_0=3 lat_1=44 lat_2=49 x_0=700000 "
+               "y_0=6600000 units=m no_defs"),
+    # France metropolitaine projection Geoportail (PRC9802423: eqc)
+    "GEOPORTALFXX": ("proj=eqc towgs84=0,0,0 a=6378137 "
+                     "rf=298.257222101 lat_0=0 lon_0=0 lat_ts=46.5 "
+                     "x_0=0 y_0=0 units=m no_defs"),
+    # WGS84 projection Miller Geoportail (PRC7001567: bare PROJ mill)
+    "MILLER": ("proj=mill towgs84=0,0,0 a=6378137 rf=298.257222101 "
+               "lon_0=0 x_0=0 y_0=0 units=m no_defs"),
+    # Reunion Piton des Neiges 1949 cartesiennes (geocentric;
+    # TSG601 position-vector 7-param to RGR92; intl ellipsoid)
+    "REUN47": ("proj=geocent towgs84=789.524,-626.486,-89.904,"
+               "0.6006,76.7946,-10.5788,-32.3241 a=6378388 rf=297 "
+               "units=m no_defs"),
+    # RGR92 cartesiennes geocentriques
+    "RGR92": ("proj=geocent towgs84=0,0,0 a=6378137 "
+              "rf=298.257222101 units=m no_defs"),
+}
+
+
 def _epsg_builtin(code: int) -> str | None:
     """Formulaic EPSG families (public EPSG dataset definitions)."""
     if code in _EPSG_PRESETS:
@@ -199,6 +239,11 @@ def resolve_init(spec: str) -> str:
     if ":" not in spec:
         raise KeyError(f"malformed init spec: {spec!r}")
     fname, key = spec.split(":", 1)
+    if fname == "IGNF":
+        frag = _IGNF_PRESETS.get(key)
+        if frag is None:
+            raise LookupError(f"IGNF:{key} not in built-in catalog")
+        return frag
     if fname.lower() == "epsg":
         frag = _epsg_builtin(int(key))
         if frag is None:
