@@ -15,6 +15,9 @@ Architecture (SURVEY.md §7):
   functions/ text analysis, dedup, similarity
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from proj_4_spark.engine.plan import create_operation  # noqa: F401
+from proj_4_spark.engine.plan import (  # noqa: F401
+    create_crs_to_crs,
+    create_operation,
+)
