@@ -681,6 +681,16 @@ def _astroid(x, y):
     return np.where(direct, 0.0, k)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _cached_geodesic(a: float, f: float) -> "Geodesic":
+    """Geodesic setup computes the A3/C3 series coefficients; cache per
+    (a, f) — the gie metric calls this once per expect line."""
+    return Geodesic(a, f)
+
+
 def geodesic_inverse_karney(lon1, lat1, lon2, lat2,
                             a: float = 6378137.0,
                             f: float = 1 / 298.257223563):
@@ -792,7 +802,7 @@ def _geod_direct(g: "Geodesic", lat1, lon1, azi1, s12):
 def geodesic_direct(lon1, lat1, azi1, s12,
                     a: float = 6378137.0, f: float = 1 / 298.257223563):
     """Direct problem, degrees in/out: (lon2, lat2, azi2)."""
-    g = Geodesic(a, f)
+    g = _cached_geodesic(a, f)
     lat2, lon2, azi2, _ = _geod_direct(g, lat1, lon1, azi1, s12)
     return lon2, lat2, azi2
 
