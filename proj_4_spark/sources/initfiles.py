@@ -102,7 +102,47 @@ _EPSG_PRESETS: dict[int, str] = {
     4190: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
     # Hartebeesthoek94 (WGS84 ellipsoid)
     4148: "proj=longlat ellps=WGS84 towgs84=0,0,0,0,0,0,0 no_defs",
+    # ETRS89
+    4258: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # NAD27 (datum expands to the clrk66 + @conus,... grid chain)
+    4267: "proj=longlat datum=NAD27 no_defs",
+    # NAD83
+    4269: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # RGF93
+    4171: "proj=longlat ellps=GRS80 towgs84=0,0,0,0,0,0,0 no_defs",
+    # OSGB 1936
+    4277: "proj=longlat datum=OSGB36 no_defs",
     # --- projected CRSs (conversion.sql rows cited per entry) ---
+    # RGF93 / Lambert-93 (conversion 18085; 46.3 DMS = 46.5 deg)
+    2154: ("proj=lcc lat_1=49 lat_2=44 lat_0=46.5 lon_0=3 x_0=700000 "
+           "y_0=6600000 ellps=GRS80 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
+    # ETRS89-extended / LAEA Europe (conversion 19986)
+    3035: ("proj=laea lat_0=52 lon_0=10 x_0=4321000 y_0=3210000 "
+           "ellps=GRS80 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North (conversion 19865)
+    3413: ("proj=stere lat_0=90 lat_ts=70 lon_0=-45 x_0=0 y_0=0 "
+           "datum=WGS84 units=m no_defs"),
+    # WGS 84 / Antarctic Polar Stereographic (conversion 19992)
+    3031: ("proj=stere lat_0=-90 lat_ts=-71 lon_0=0 x_0=0 y_0=0 "
+           "datum=WGS84 units=m no_defs"),
+    # NAD83 / Conus Albers (conversion 5068; 29.3/45.3 DMS = 29.5/45.5)
+    5070: ("proj=aea lat_1=29.5 lat_2=45.5 lat_0=23 lon_0=-96 x_0=0 y_0=0 "
+           "ellps=GRS80 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
+    # OSGB 1936 / British National Grid (conversion 19916)
+    27700: ("proj=tmerc lat_0=49 lon_0=-2 k=0.9996012717 x_0=400000 "
+            "y_0=-100000 datum=OSGB36 units=m no_defs"),
+    # CH1903 / LV03 — Swiss Oblique Mercator 1903M (conversion 19922;
+    # 46.570866 DMS = 46.95240555555556, 7.26225 DMS = 7.439583333333333)
+    21781: ("proj=somerc lat_0=46.95240555555556 lon_0=7.439583333333333 "
+            "k_0=1 x_0=600000 y_0=200000 ellps=bessel "
+            "towgs84=674.374,15.056,405.346,0,0,0,0 units=m no_defs"),
+    # CH1903+ / LV95 — Swiss Oblique Mercator 1995 (conversion 19950)
+    2056: ("proj=somerc lat_0=46.95240555555556 lon_0=7.439583333333333 "
+           "k_0=1 x_0=2600000 y_0=1200000 ellps=bessel "
+           "towgs84=674.374,15.056,405.346,0,0,0,0 units=m no_defs"),
+    # ETRS89 / Poland CS92 (conversion 18300)
+    2180: ("proj=tmerc lat_0=0 lon_0=19 k=0.9993 x_0=500000 y_0=-5300000 "
+           "ellps=GRS80 towgs84=0,0,0,0,0,0,0 units=m no_defs"),
     # Hartebeesthoek94 / Lo21 — TM South Orientated (conversion 17521)
     2049: ("proj=tmerc lat_0=0 lon_0=21 k=1 x_0=0 y_0=0 axis=wsu "
            "ellps=WGS84 towgs84=0,0,0,0,0,0,0 units=m no_defs"),

@@ -303,3 +303,46 @@ def test_karney_geodesic_direct_golden():
     LA, LO, _, _ = g.direct(la1, lo1, A1, S)
     assert np.abs(LA - la2).max() < 1e-11
     assert angdiff(LO, lo2).max() < 1e-11
+
+
+def test_common_epsg_presets():
+    """High-traffic +init=epsg: codes added beyond the GIGS set, pinned
+    against public worked examples: the Ordnance Survey's British
+    National Grid example (OSGB36 geographic -> grid, mm-exact) and the
+    swisstopo LV03 fundamental point; Lambert-93 must equal the IGNF
+    registry's identical definition; everything roundtrips."""
+    import numpy as np
+
+    from proj_4_spark.engine.plan import create_operation
+    from proj_4_spark.engine.projstring import dmstor
+
+    D = np.pi / 180
+    op = create_operation("+init=epsg:27700", emulation=False)
+    x, y, _, _ = op.apply(np.array([dmstor('1d43\'4.5177"E')]),
+                          np.array([dmstor('52d39\'27.2531"N')]),
+                          np.zeros(1), np.zeros(1))
+    assert abs(x[0] - 651409.903) < 1e-3
+    assert abs(y[0] - 313177.270) < 1e-3
+
+    op = create_operation("+init=epsg:21781", emulation=False)
+    x, y, _, _ = op.apply(np.array([dmstor('7d26\'22.50"E')]),
+                          np.array([dmstor('46d57\'08.66"N')]),
+                          np.zeros(1), np.zeros(1))
+    assert abs(x[0] - 600000.0) < 1e-6 and abs(y[0] - 200000.0) < 1e-6
+
+    a = create_operation("+init=epsg:2154", emulation=False)
+    b = create_operation("+init=IGNF:LAMB93", emulation=False)
+    lon, lat = np.array([2.0 * D]), np.array([48.0 * D])
+    xa, ya, _, _ = a.apply(lon, lat, np.zeros(1), np.zeros(1))
+    xb, yb, _, _ = b.apply(lon, lat, np.zeros(1), np.zeros(1))
+    assert xa[0] == xb[0] and ya[0] == yb[0]
+
+    for code, lon_d, lat_d in [(3035, 10, 52), (3413, -40, 75),
+                               (3031, 10, -75), (5070, -96, 37),
+                               (2056, 8, 47), (2180, 19, 52)]:
+        op = create_operation(f"+init=epsg:{code}", emulation=False)
+        x, y, _, _ = op.apply(np.array([lon_d * D]), np.array([lat_d * D]),
+                              np.zeros(1), np.zeros(1))
+        lo, la, _, _ = op.apply(x, y, np.zeros(1), np.zeros(1), "inv")
+        assert abs(lo[0] / D - lon_d) < 1e-9
+        assert abs(la[0] / D - lat_d) < 1e-9
