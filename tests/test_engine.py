@@ -335,7 +335,8 @@ def test_common_epsg_presets():
     lon, lat = np.array([2.0 * D]), np.array([48.0 * D])
     xa, ya, _, _ = a.apply(lon, lat, np.zeros(1), np.zeros(1))
     xb, yb, _, _ = b.apply(lon, lat, np.zeros(1), np.zeros(1))
-    assert xa[0] == xb[0] and ya[0] == yb[0]
+    # ellps=GRS80 vs a=.../rf=... derive es differing at the last ulp
+    assert abs(xa[0] - xb[0]) < 1e-7 and abs(ya[0] - yb[0]) < 1e-7
 
     for code, lon_d, lat_d in [(3035, 10, 52), (3413, -40, 75),
                                (3031, 10, -75), (5070, -96, 37),
