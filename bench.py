@@ -41,6 +41,10 @@ def make_spark(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"proj4spark-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        # bigger Arrow batches amortize the Python-worker round trip for
+        # the pure-NumPy kernels: +17% transform throughput vs the 10k
+        # default (BENCH/BASELINE.md §3b); recommended in production too
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
