@@ -210,6 +210,49 @@ def _sql_minhash_pairs(num_perm: int, bands: int, seed: int = 42) -> str:
     )
 
 
+def _sql_ngram_jaccard(num_perm: int, bands: int, threshold: float,
+                       seed: int = 42) -> str:
+    """DuckDB twin of functions/dedup.ngram_jaccard_pairs: LSH candidate
+    pairs (same signature machinery as _sql_minhash_pairs) then exact
+    Jaccard over the DISTINCT 31-bit-folded shingle sets (a rational
+    inter/union — bit-identical doubles in both engines)."""
+    from proj_4_spark.functions.dedup import _MERSENNE, _hash_params
+
+    a, b = _hash_params(num_perm, seed)
+    r = num_perm // bands
+    sig = ", ".join(
+        f"list_min([({int(a[j])} * cast(x % 2147483648 as bigint) + {int(b[j])})"
+        f" % {_MERSENNE} for x in hs]) as s{j}"
+        for j in range(num_perm)
+    )
+    band_union = " union all ".join(
+        f"select doc_id, {bd} as band, "
+        f"[{','.join(f's{j}' for j in range(bd * r, (bd + 1) * r))}] as key from sig"
+        for bd in range(bands)
+    )
+    return (
+        f"with base as ({_PAD5}), "
+        f"sh as (select doc_id, {_sql_fnv_shingles()} as hs from base), "
+        "s31 as (select doc_id, hs, "
+        "  list_distinct([cast(x % 2147483648 as bigint) for x in hs]) as f31 "
+        "  from sh), "
+        f"sig as (select doc_id, {sig} from sh), "
+        f"banded as ({band_union}), "
+        "pairs as (select distinct a.doc_id as id_a, b.doc_id as id_b "
+        "  from banded a join banded b using (band, key) "
+        "  where a.doc_id < b.doc_id) "
+        "select id_a, id_b, "
+        "cast(round(round(jaccard, 4) * 10000.0, 0) as bigint) as jac from ("
+        "  select id_a, id_b, "
+        "  len(list_intersect(x.f31, y.f31)) / "
+        "  (len(x.f31) + len(y.f31) - len(list_intersect(x.f31, y.f31))) "
+        "    as jaccard "
+        "  from pairs join s31 x on x.doc_id = id_a "
+        "  join s31 y on y.doc_id = id_b"
+        f") where jaccard >= {threshold!r}"
+    )
+
+
 def _sql_simhash() -> str:
     """DuckDB twin of functions/dedup.simhash_col (frequency-weighted
     votes over the shingle multiset, signed majority per bit)."""
@@ -683,6 +726,20 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification on the LSH candidate pairs;
+    DuckDB recomputes candidates AND the exact Jaccard from the shingle
+    sets (rational inter/union -> identical doubles both sides)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                              num_perm=32, bands=8)
+    return out.select("id_a", "id_b", _i(F.col("jaccard"), 10000).alias("jac"))
+
+
 def _q_simhash(spark, sf_dir):
     from proj_4_spark.functions.dedup import simhash_col
 
@@ -807,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "events_hourly": _q_events_window,
         "tpch_q1": _q_tpch_q1,
@@ -1046,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
             ") where rank <= 5"
         ),
         "minhash_lsh_pairs": _sql_minhash_pairs(num_perm=32, bands=8),
+        "ngram_jaccard": _sql_ngram_jaccard(num_perm=32, bands=8, threshold=0.5),
         "simhash": _sql_simhash(),
         # flagship: DuckDB recomputes the WHOLE chain from the same
         # parquet fixture — unnest spans, media filter, regexp geo-tag
