@@ -141,39 +141,92 @@ def hgrid_apply(grids, lam, phi, direction: str):
             out_phi[sel] = pp + dphi
             continue
 
-        # inverse: t = tb - delta, iterate (grids.cpp:2991-3044)
+        # inverse: t = tb - delta, iterate (grids.cpp:2991-3044), with
+        # MID-ITERATION CROSS-GRID SWITCHING (grids.cpp:3003-3026): a
+        # lane whose iterate steps outside its grid re-resolves the
+        # containing grid at the current estimate, re-expresses t/tb in
+        # the new grid's frame and keeps iterating; only a lane with NO
+        # other containing grid breaks and keeps the current estimate
+        # ("Using first approximation", grids.cpp:3046-3049).
+        n_sel = len(ll)
+        cur_gi = np.full(n_sel, gi, dtype=np.int64)
         t_lam = tb_lam - dlam
         t_phi = tb_phi - dphi
         active = np.isfinite(t_lam)
         edge_fallback = np.zeros_like(active)
-        count = np.zeros(t_lam.shape, dtype=np.int64)
-        for _ in range(_MAX_ITER):
-            if not active.any():
-                break
-            dl, dp = _interp_grid(t_lam[active], t_phi[active], g)
-            # lanes stepping outside the grid: stop, keep first approx
-            # (the C would try a sibling grid; with none it breaks and
-            # uses the current estimate, grids.cpp:3003-3009,3046-3049)
-            out_of_grid = np.isnan(dl)
-            dif_lam = t_lam[active] + dl - tb_lam[active]
-            dif_phi = t_phi[active] + dp - tb_phi[active]
-            new_tlam = t_lam[active] - dif_lam
-            new_tphi = t_phi[active] - dif_phi
-            t_lam[active] = np.where(out_of_grid, t_lam[active], new_tlam)
-            t_phi[active] = np.where(out_of_grid, t_phi[active], new_tphi)
-            ef = edge_fallback[active]
-            edge_fallback[active] = ef | out_of_grid
-            converged = (dif_lam * dif_lam + dif_phi * dif_phi) <= _TOL * _TOL
-            count_a = count[active] + 1
-            count[active] = count_a
-            still = ~(converged | out_of_grid) & (count_a < _MAX_ITER)
-            nxt = active.copy()
-            nxt[active] = still
-            active = nxt
-        # non-convergence after MAX_ITER -> error (grids.cpp:3036-3044)
+        count = np.zeros(n_sel, dtype=np.int64)
+        while active.any():
+            dl = np.full(n_sel, np.nan)
+            dp = np.full(n_sel, np.nan)
+            for gj in np.unique(cur_gi[active]):
+                m = active & (cur_gi == gj)
+                dl[m], dp[m] = _interp_grid(t_lam[m], t_phi[m], grids[gj])
+            stepped_out = active & np.isnan(dl)
+            if stepped_out.any():
+                west = np.array([grids[k].west for k in range(len(grids))])
+                south = np.array([grids[k].south for k in range(len(grids))])
+                lp_lam = t_lam[stepped_out] + west[cur_gi[stepped_out]]
+                lp_phi = t_phi[stepped_out] + south[cur_gi[stepped_out]]
+                new_gi = _find_grid_index(grids, lp_lam, lp_phi)
+                null_mask = np.array([
+                    k >= 0 and grids[k].name == "null" for k in new_gi
+                ])
+                can_switch = ((new_gi >= 0)
+                              & (new_gi != cur_gi[stepped_out])
+                              & ~null_mask)
+                # lanes with nowhere to go: keep the current estimate
+                give_up_idx = np.flatnonzero(stepped_out)[~can_switch]
+                edge_fallback[give_up_idx] = True
+                active[give_up_idx] = False
+                sw_idx = np.flatnonzero(stepped_out)[can_switch]
+                if len(sw_idx):
+                    ngi = new_gi[can_switch]
+                    cur_gi[sw_idx] = ngi
+                    nw, ns = west[ngi], south[ngi]
+                    t_lam[sw_idx] = lp_lam[can_switch] - nw
+                    t_phi[sw_idx] = lp_phi[can_switch] - ns
+                    eps_n = np.array([
+                        (grids[k].resx + grids[k].resy) * _REL_TOL for k in ngi
+                    ])
+                    span = np.array([
+                        grids[k].east - grids[k].west for k in ngi
+                    ])
+                    nb_lam = ll[sw_idx] - nw
+                    nb_lam = np.where(nb_lam + eps_n < 0, nb_lam + 2 * np.pi,
+                                      nb_lam)
+                    nb_lam = np.where(nb_lam - eps_n > span,
+                                      nb_lam - 2 * np.pi, nb_lam)
+                    tb_lam[sw_idx] = nb_lam
+                    tb_phi[sw_idx] = pp[sw_idx] - ns
+                    # a switch consumes an iteration (the C's --i runs on
+                    # the `continue` path too) but leaves dif huge
+                    count[sw_idx] += 1
+                    ran_out = sw_idx[count[sw_idx] >= _MAX_ITER]
+                    active[ran_out] = False
+                    count[ran_out] = _MAX_ITER + 1  # marks nonconvergence
+            stepping = active & ~np.isnan(dl)
+            if stepping.any():
+                dif_lam = t_lam[stepping] + dl[stepping] - tb_lam[stepping]
+                dif_phi = t_phi[stepping] + dp[stepping] - tb_phi[stepping]
+                t_lam[stepping] -= dif_lam
+                t_phi[stepping] -= dif_phi
+                converged = (dif_lam * dif_lam + dif_phi * dif_phi
+                             <= _TOL * _TOL)
+                cnt = count[stepping] + 1
+                count[stepping] = cnt
+                idx = np.flatnonzero(stepping)
+                active[idx[converged]] = False
+                ran_out = idx[~converged & (cnt >= _MAX_ITER)]
+                active[ran_out] = False
+                count[ran_out] = _MAX_ITER + 1
+        # non-convergence after MAX_ITER -> error (grids.cpp:3036-3044);
+        # NOTE the C's `while (--i && ...)` errors even when the 10th
+        # body execution converged (i hits 0 first), so >= not >
         nonconv = (count >= _MAX_ITER) & ~edge_fallback
-        res_lam = C.adjlon(t_lam + g.west)
-        res_phi = t_phi + g.south
+        west = np.array([grids[k].west for k in range(len(grids))])
+        south = np.array([grids[k].south for k in range(len(grids))])
+        res_lam = C.adjlon(t_lam + west[cur_gi])
+        res_phi = t_phi + south[cur_gi]
         res_lam = np.where(nonconv, np.nan, res_lam)
         res_phi = np.where(nonconv, np.nan, res_phi)
         out_lam[sel] = res_lam

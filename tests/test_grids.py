@@ -172,3 +172,54 @@ def test_datum_emulation_nad27_ctable():
     lon3, lat3, _, _ = op.apply(lon2, lat2, np.zeros(1), np.zeros(1), "fwd")
     assert abs(lon3[0] - lam[0]) * RAD_TO_DEG < 1e-8
     assert abs(lat3[0] - phi[0]) * RAD_TO_DEG < 1e-8
+
+
+def test_hgrid_inverse_cross_grid_switching():
+    """grids.cpp:3003-3026: an inverse iterate that steps outside its
+    initial grid must SWITCH to the sibling grid containing the current
+    estimate and converge there — not fall back to the first
+    approximation.  Two adjacent grids with a longitude-dependent shift
+    make the two behaviors differ by ~0.04 deg."""
+    import math
+
+    import numpy as np
+
+    from proj_4_spark.kernels.gridshift import hgrid_apply
+    from proj_4_spark.sources.grids import HGrid
+
+    D = math.pi / 180
+
+    def make_grid(name, w_deg, e_deg, nx):
+        # delta_lon(src_lon) = -0.5deg - 0.01*(src_lon - 1deg); delta_lat=0
+        w, e = w_deg * D, e_deg * D
+        ny = 5
+        resx = (e - w) / (nx - 1)
+        resy = (1.0 * D) / (ny - 1)
+        lons = w + resx * np.arange(nx)
+        dl = (-0.5 * D - 0.01 * (lons - 1.0 * D)).astype(np.float32)
+        return HGrid(
+            name=name, west=w, south=0.0, east=e, north=1.0 * D,
+            resx=resx, resy=resy, width=nx, height=ny,
+            lon_shift=np.tile(dl, (ny, 1)),
+            lat_shift=np.zeros((ny, nx), dtype=np.float32),
+        )
+
+    # the real-world switching shape: a refined CHILD subgrid inside a
+    # coarse PARENT (both contain the target; the iterate leaves the
+    # child and must continue in the parent)
+    grids = [make_grid("parent", 0, 2, 21), make_grid("child", 0, 1, 41)]
+
+    # target point at lon 0.9 deg (inside the child, the most-refined
+    # containing grid): true source s solves s + d(s) = 0.9
+    # -> 0.99*s = 0.9 + 0.5 - 0.01 -> s = 1.40404 deg — outside the
+    # child, inside the parent; first iterate lands at 1.399 (outside
+    # child); the pre-switching code froze there (0.005 deg error)
+    p_lam = np.array([0.9 * D])
+    p_phi = np.array([0.5 * D])
+    lo, la = hgrid_apply(grids, p_lam, p_phi, "inv")
+    s_expect = (0.9 + 0.5 - 0.01) / 0.99
+    assert abs(lo[0] / D - s_expect) < 1e-7, lo[0] / D
+    # and the roundtrip closes through the forward path
+    fl, fp = hgrid_apply(grids, lo, la, "fwd")
+    assert abs(fl[0] - p_lam[0]) < 1e-12
+    assert abs(fp[0] - p_phi[0]) < 1e-12
