@@ -210,6 +210,35 @@ def _sql_minhash_pairs(num_perm: int, bands: int, seed: int = 42) -> str:
     )
 
 
+def _sql_pip_cells() -> str:
+    """DuckDB twin of the ring-polygon PIP join: the identical even-odd
+    ray-crossing test (spatial/pip.point_in_ring_np, same FP expression
+    order) over the committed zones fixture, via a list_filter lambda
+    over the ring edges (with the implicit closing edge)."""
+    from proj_4_spark.sources import fixtures as FX
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    # edge i: from ring[i] to ring[i % len + 1] (1-indexed lists)
+    cond = (
+        "(r[i].lat > p.lat) != (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].lat > p.lat) "
+        "AND CASE WHEN (r[i].lat > p.lat) != (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].lat > p.lat) "
+        "THEN p.lon < r[i].lon + (p.lat - r[i].lat) "
+        "  / (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].lat - r[i].lat) "
+        "  * (r[CASE WHEN i = len(r) THEN 1 ELSE i + 1 END].lon - r[i].lon) "
+        "ELSE false END"
+    )
+    return (
+        "select zone_id, count(*) as n from ("
+        f"  select z.zone_id from ({GEO_SQL_SRC}) p "
+        f"  join (select zone_id, ring as r, min_lon, min_lat, max_lon, "
+        f"        max_lat from parquet_scan('{zpath}')) z "
+        "   on p.lon >= z.min_lon and p.lon <= z.max_lon "
+        "  and p.lat >= z.min_lat and p.lat <= z.max_lat "
+        f"  where len(list_filter(range(1, len(r) + 1), i -> {cond})) % 2 = 1"
+        ") group by zone_id"
+    )
+
+
 def _sql_ngram_jaccard(num_perm: int, bands: int, threshold: float,
                        seed: int = 42) -> str:
     """DuckDB twin of functions/dedup.ngram_jaccard_pairs: LSH candidate
@@ -593,6 +622,25 @@ def _q_pip_rect(spark, sf_dir):
     return hits.groupBy("zone_id").agg(F.count("*").alias("n"))
 
 
+def _q_pip_cells(spark, sf_dir):
+    """The NON-broadcast PIP scale path (cell-indexed hash join +
+    exact ray crossing) over real ring polygons; DuckDB recomputes the
+    even-odd test from the same committed zones fixture."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.sources import fixtures as FX
+    from proj_4_spark.spatial.pip import pip_join_cells
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    zones = spark.read.parquet(zpath)
+    pts = _geo_points(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_offset"), "lon", "lat",
+    )
+    hits = pip_join_cells(pts, zones, res=5)
+    return hits.groupBy("zone_id").agg(F.count("*").alias("n"))
+
+
 def _q_knn(spark, sf_dir):
     """Cell-partitioned kNN (non-SQL-expressible with identical distance
     metric — rows-only check; exactness vs brute force is covered in
@@ -855,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_datum_shift": _q_pipeline_composed,
         "proj_factors": _q_proj_factors,
         "pip_rect_zones": _q_pip_rect,
+        "pip_cells_zones": _q_pip_cells,
         "knn_cell_partitioned": _q_knn,
         "knn_haversine": _q_knn_haversine,
         "dedup_exact": _q_dedup_exact,
@@ -1035,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
             f"join ({zone_rows}) z on p.lon >= z.zmin_lon and p.lon < z.zmax_lon "
             f"and p.lat >= z.zmin_lat and p.lat < z.zmax_lat group by zone_id"
         ),
+        "pip_cells_zones": _sql_pip_cells(),
         "dedup_exact": (
             "select substring(h, 1, 2) as bucket, "
             "cast(count(*) as bigint) as n_groups, "

@@ -149,3 +149,67 @@ def roundtrip_drift_deg(df, projstring: str, lon: str, lat: str, n: int = 1):
         return pd.Series(drift)
 
     return df.withColumn("rt_drift_deg", _rt(F.col(lon), F.col(lat)))
+
+
+_GEOD_STRUCT = "s12 double, azi1 double, azi2 double"
+
+
+def geodesic_inverse_df(df, lon1: str, lat1: str, lon2: str, lat2: str,
+                        a: float = 6378137.0,
+                        f_: float = 1 / 298.257223563,
+                        out_prefix: str = "geo_"):
+    """Karney inverse problem as DataFrame columns (degrees in):
+    adds {prefix}{s12,azi1,azi2}.  One Arrow-batched UDF; the Geodesic
+    setup is cached per worker."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_GEOD_STRUCT)
+    def _inv(lo1: pd.Series, la1: pd.Series,
+             lo2: pd.Series, la2: pd.Series) -> pd.DataFrame:
+        from proj_4_spark.kernels.geodesic import _cached_geodesic
+
+        g = _cached_geodesic(a, f_)
+        s12, azi1, azi2, _ = g.inverse(
+            la1.to_numpy(dtype=np.float64, na_value=np.nan),
+            lo1.to_numpy(dtype=np.float64, na_value=np.nan),
+            la2.to_numpy(dtype=np.float64, na_value=np.nan),
+            lo2.to_numpy(dtype=np.float64, na_value=np.nan),
+        )
+        return pd.DataFrame({"s12": s12, "azi1": azi1, "azi2": azi2})
+
+    res = df.withColumn("_geo", _inv(F.col(lon1), F.col(lat1),
+                                     F.col(lon2), F.col(lat2)))
+    for c in ("s12", "azi1", "azi2"):
+        res = res.withColumn(f"{out_prefix}{c}", F.col(f"_geo.{c}"))
+    return res.drop("_geo")
+
+
+def geodesic_direct_df(df, lon1: str, lat1: str, azi1: str, s12: str,
+                       a: float = 6378137.0,
+                       f_: float = 1 / 298.257223563,
+                       out_prefix: str = "geo_"):
+    """Karney direct problem as DataFrame columns: adds
+    {prefix}{lon2,lat2,azi2} (degrees)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("lon2 double, lat2 double, azi2 double")
+    def _dir(lo1: pd.Series, la1: pd.Series,
+             az: pd.Series, ss: pd.Series) -> pd.DataFrame:
+        from proj_4_spark.kernels.geodesic import _cached_geodesic
+
+        g = _cached_geodesic(a, f_)
+        lat2, lon2, azi2, _ = g.direct(
+            la1.to_numpy(dtype=np.float64, na_value=np.nan),
+            lo1.to_numpy(dtype=np.float64, na_value=np.nan),
+            az.to_numpy(dtype=np.float64, na_value=np.nan),
+            ss.to_numpy(dtype=np.float64, na_value=np.nan),
+        )
+        return pd.DataFrame({"lon2": lon2, "lat2": lat2, "azi2": azi2})
+
+    res = df.withColumn("_geo", _dir(F.col(lon1), F.col(lat1),
+                                     F.col(azi1), F.col(s12)))
+    for c in ("lon2", "lat2", "azi2"):
+        res = res.withColumn(f"{out_prefix}{c}", F.col(f"_geo.{c}"))
+    return res.drop("_geo")

@@ -347,3 +347,25 @@ def test_common_epsg_presets():
         lo, la, _, _ = op.apply(x, y, np.zeros(1), np.zeros(1), "inv")
         assert abs(lo[0] / D - lon_d) < 1e-9
         assert abs(la[0] / D - lat_d) < 1e-9
+
+
+def test_geodesic_dataframe_surface(spark):
+    """geod-app equivalents as DataFrame columns: inverse then direct
+    must close on the second point (Spark surface of kernels/geodesic)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import geodesic_direct_df, geodesic_inverse_df
+
+    df = spark.range(0, 500).select(
+        ((F.col("id") * 7919 % 340000) / 1000.0 - 170.0).alias("lon1"),
+        ((F.col("id") * 104729 % 160000) / 1000.0 - 80.0).alias("lat1"),
+        ((F.col("id") * 15013 % 340000) / 1000.0 - 170.0).alias("lon2"),
+        ((F.col("id") * 32341 % 160000) / 1000.0 - 80.0).alias("lat2"),
+    )
+    inv = geodesic_inverse_df(df, "lon1", "lat1", "lon2", "lat2")
+    out = geodesic_direct_df(inv, "lon1", "lat1", "geo_azi1", "geo_s12",
+                             out_prefix="d_").toPandas()
+    assert np.abs(out["d_lat2"] - out["lat2"]).max() < 1e-9
+    dlon = np.abs((out["d_lon2"] - out["lon2"] + 180.0) % 360.0 - 180.0)
+    assert dlon.max() < 1e-8
