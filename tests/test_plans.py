@@ -166,3 +166,32 @@ def test_ivf_corpus_partitioned_by_list_queries_broadcast(spark):
     assert "BroadcastExchange" in txt        # probe side
     assert "hashpartitioning(list_id" in txt  # inverted file
     assert "CartesianProduct" not in txt
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
+    """Bucketing both sides of a doc_id join removes the Exchange
+    entirely (the 100-TB co-location strategy the docs promise): a
+    SortMergeJoin over bucketed scans with zero shuffles."""
+    import uuid
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    ta, tb = f"docs_a_{uuid.uuid4().hex[:8]}", f"docs_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("v"))
+    for name in (ta, tb):
+        (df.write.format("parquet")
+           .bucketBy(8, "doc_id").sortBy("doc_id")
+           .option("path", f"{wh}/{name}")
+           .saveAsTable(name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(ta).join(spark.table(tb), "doc_id")
+        txt = plan_of(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"drop table {ta}")
+        spark.sql(f"drop table {tb}")
+    assert "SortMergeJoin" in txt
+    assert "Exchange" not in txt, txt[:3000]

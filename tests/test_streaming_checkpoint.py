@@ -189,3 +189,34 @@ def test_sessionize_stream_matches_batch_gap_logic(spark, tmp_path):
     assert (g["n_events"].to_numpy() == e["n_events"].to_numpy()).all()
     assert (pd.to_datetime(g["session_start"]).to_numpy()
             == pd.to_datetime(e["session_start"]).to_numpy()).all()
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming md5 dedup over a bounded replayable stream: one
+    surviving row per distinct text, equal to the batch dedup groups."""
+    import pandas as pd
+
+    from proj_4_spark.streaming.events import stream_exact_dedup
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(300):
+        rows.append((i, f"text-{i % 70}", base + pd.Timedelta(seconds=i)))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    ).select("doc_id", "text", F.col("ts").cast("timestamp"))
+    src.write.mode("overwrite").parquet(str(tmp_path / "dd_in"))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "dd_in"))
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").toPandas()
+    assert len(got) == 70
+    assert got["text"].nunique() == 70
