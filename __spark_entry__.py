@@ -345,7 +345,11 @@ def _sql_docs_geo_pipeline() -> str:
     lam = f"(lon * {_D2R})"
     phi = f"(lat * {_D2R})"
     wm_x = f"({lam} * 6378137.0)"
-    wm_y = f"(ln(tan(pi()/4 + 0.5 * {phi})) * 6378137.0)"
+    # greatest(..., 1e-300) makes the expression total: DuckDB may evaluate
+    # the projection on pole rows (lat=+-90 fixture spans) before the WHERE
+    # removes them, and ln(0)/ln(<0) is a hard error there, not NaN.  The
+    # guarded value never surfaces — the pole filter below drops those rows.
+    wm_y = f"(ln(greatest(tan(pi()/4 + 0.5 * {phi}), 1e-300)) * 6378137.0)"
     tx, ty = tile_sql("wm_x", "wm_y", 6)
     return (
         "select 6 as zoom, tile_x, tile_y, count(*) as n from ("
@@ -940,7 +944,9 @@ def oracle_sql() -> dict[str, str]:
 
     # webmerc (spherical): y = a * ln(tan(pi/4 + phi/2))
     wm_x = f"(({lam}) * {_A!r})"
-    wm_y = f"(ln(tan(pi()/4 + 0.5 * {phi})) * {_A!r})"
+    # same total-expression guard as _sql_docs_geo_pipeline: DuckDB may
+    # evaluate the projection before the pole filter, and ln(0) aborts.
+    wm_y = f"(ln(greatest(tan(pi()/4 + 0.5 * {phi}), 1e-300)) * {_A!r})"
     from proj_4_spark.spatial.cells import cell_sql
     from proj_4_spark.spatial.tiles import tile_sql
 

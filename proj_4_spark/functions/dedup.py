@@ -220,6 +220,8 @@ def simhash_col(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
         # Votes are FREQUENCY-WEIGHTED (multiset, Charikar-style): a
         # shingle occurring m times contributes m votes — no per-doc
         # dedup sort needed, and repeats of boilerplate weigh more.
+        if len(texts) == 0:  # empty Arrow batch: _shingle_batch would raise
+            return pd.Series([], dtype="int64")
         hs, offsets, counts = _shingle_batch(texts, k)
         n_docs = len(offsets)
         word = np.zeros(n_docs, dtype=np.uint64)

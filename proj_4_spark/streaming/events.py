@@ -135,15 +135,23 @@ def stream_exact_dedup(stream_df, id_col: str = "doc_id",
     """Streaming exact dedup for a training-data ingest: keep the first
     occurrence of each md5(text) within the watermark horizon.
 
-    State is bounded by the watermark (Spark drops dedup state for keys
-    older than it) — the streaming twin of functions/dedup.exact_dedup;
-    at 100 TB/day the state store only holds one horizon's digests.
+    Uses dropDuplicatesWithinWatermark so Spark actually evicts dedup
+    state at the watermark: plain dropDuplicates(['text_hash']) never
+    evicts (the event-time column is not in the key), so at 100 TB/day
+    the state store would grow without bound.  With the WithinWatermark
+    variant the store only holds one horizon's digests, and a repeat of
+    a text arriving after the horizon is correctly kept as a new
+    first-occurrence.  Streaming twin of functions/dedup.exact_dedup.
     """
     from pyspark.sql import functions as F
 
-    return (
+    deduped = (
         stream_df
         .withColumn("text_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["text_hash"])
     )
+    if hasattr(deduped, "dropDuplicatesWithinWatermark"):
+        return deduped.dropDuplicatesWithinWatermark(["text_hash"])
+    # Spark < 3.5 fallback: include the event-time column in the key so
+    # watermark eviction applies (semantics: unique per (hash, ts)).
+    return deduped.dropDuplicates(["text_hash", ts_col])

@@ -220,3 +220,58 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     got = spark.sql("select * from dedup_stream").toPandas()
     assert len(got) == 70
     assert got["text"].nunique() == 70
+
+
+def test_stream_dedup_state_evicts_at_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: dedup state for a text
+    hash is EVICTED once the watermark passes its horizon, so a repeat
+    arriving after the horizon is kept as a new first-occurrence (and
+    the state store stays bounded at 100 TB/day ingest)."""
+    import pandas as pd
+
+    from proj_4_spark.streaming.events import stream_exact_dedup
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    schema = "doc_id long, text string, ts timestamp"
+    in_dir, ckpt = tmp_path / "ev_in", str(tmp_path / "ev_ckpt")
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        (spark.createDataFrame(pdf)
+         .select("doc_id", "text", F.col("ts").cast("timestamp"))
+         .repartition(1).write.mode("overwrite")
+         .parquet(str(in_dir / name)))
+
+    out_dir = str(tmp_path / "ev_out")
+
+    def run_once():
+        # parquet sink (memory sink cannot recover from a checkpoint)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(in_dir) + "/*"))
+        q = (stream_exact_dedup(stream, watermark="1 hour")
+             .writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 1: "dup" twice within the horizon -> one survivor
+    write_batch("b1", [(0, "dup", base), (1, "dup", base + pd.Timedelta(seconds=5)),
+                       (2, "other", base + pd.Timedelta(seconds=9))])
+    run_once()
+    # batch 2: advance event time 3h -> watermark passes base+1h, evicting
+    # the batch-1 state at the end of this micro-batch
+    write_batch("b2", [(3, "advance", base + pd.Timedelta(hours=3))])
+    run_once()
+    # batch 3: "dup" again, AFTER the horizon -> must be kept (new state)
+    write_batch("b3", [(4, "dup", base + pd.Timedelta(hours=3, seconds=10))])
+    run_once()
+
+    got = spark.read.parquet(out_dir).select("doc_id", "text").toPandas()
+    texts = got["text"].tolist()
+    assert texts.count("dup") == 2, got  # one per horizon, not one total
+    assert texts.count("other") == 1 and texts.count("advance") == 1
+    assert 0 in got["doc_id"].values and 4 in got["doc_id"].values
