@@ -374,6 +374,109 @@ def _sql_docs_geo_pipeline() -> str:
     )
 
 
+def _sql_list(vec) -> str:
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+
+def _sql_ann_lsh(n_planes=8, dim=64, seed=42, multiprobe=2, k=5,
+                 q_max=20) -> str:
+    """DuckDB twin of functions/similarity.lsh_bucket_topk: recomputes
+    the seed-deterministic hyperplane signatures, the multiprobe bucket
+    expansion (Hamming <= multiprobe XOR masks) and the in-bucket exact
+    cosine re-rank from the same parquet."""
+    from proj_4_spark.functions.similarity import _hyperplanes, _i64
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_rows = ", ".join(
+        f"({i}, {_sql_list(p)})" for i, p in enumerate(planes)
+    )
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [_i64(1 << i) for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [_i64((1 << i) | (1 << j))
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+with planes(pid, p) as (values {plane_rows}),
+corpus as (select vec_id, cast(embedding as double[]) as v from embeddings),
+sigs as (
+  select c.vec_id,
+         sum(case when list_dot_product(c.v, pl.p) > 0
+                  then (1::bigint << pl.pid) else 0 end)::bigint as bucket
+  from corpus c cross join planes pl group by c.vec_id
+),
+masks(m) as (values {mask_rows}),
+probes as (
+  select q.vec_id as q_id, xor(q.bucket, mk.m::bigint) as bucket
+  from sigs q cross join masks mk where q.vec_id < {q_max}
+),
+cand as (select distinct p.q_id, s.vec_id from probes p
+         join sigs s using (bucket)),
+ranked as (
+  select c.q_id, c.vec_id,
+         list_cosine_similarity(a.v, b.v) as cos,
+         row_number() over (partition by c.q_id
+           order by list_cosine_similarity(a.v, b.v) desc, c.vec_id) as rank
+  from cand c join corpus a on a.vec_id = c.vec_id
+              join corpus b on b.vec_id = c.q_id
+)
+select q_id, vec_id, rank,
+       cast(round(cos * 1000000.0, 0) as bigint) as cosine
+from ranked where rank <= {k}
+"""
+
+
+def _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64, seed=42, k=5,
+                 q_max=20) -> str:
+    """DuckDB twin of functions/similarity.ivf_topk: recomputes the
+    seed-deterministic unit centroids, nearest-centroid list assignment
+    (argmax with first-index tie-break), per-query probe lists (top
+    n_probe dots, index-ascending ties) and in-list exact cosine."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cent_rows = ", ".join(
+        f"({i}, {_sql_list(c)})" for i, c in enumerate(cents)
+    )
+    return f"""
+with cents(cid, c) as (values {cent_rows}),
+corpus as (select vec_id, cast(embedding as double[]) as v from embeddings),
+cdots as (
+  select co.vec_id, ce.cid, list_dot_product(co.v, ce.c) as d
+  from corpus co cross join cents ce
+),
+assign as (
+  select vec_id, cid as list_id from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by d desc, cid) as rn
+    from cdots) where rn = 1
+),
+probes as (
+  select vec_id as q_id, cid as list_id from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by d desc, cid) as rn
+    from cdots where vec_id < {q_max}) where rn <= {n_probe}
+),
+cand as (
+  select p.q_id, a.vec_id from probes p join assign a using (list_id)
+),
+ranked as (
+  select c.q_id, c.vec_id,
+         list_cosine_similarity(a.v, b.v) as cos,
+         row_number() over (partition by c.q_id
+           order by list_cosine_similarity(a.v, b.v) desc, c.vec_id) as rank
+  from cand c join corpus a on a.vec_id = c.vec_id
+              join corpus b on b.vec_id = c.q_id
+)
+select q_id, vec_id, rank,
+       cast(round(cos * 1000000.0, 0) as bigint) as cosine
+from ranked where rank <= {k}
+"""
+
+
 def _sql_qsfn(sinphi: str) -> str:
     """pj_qsfn SQL twin (src/qsfn.cpp:9-25)."""
     con = f"({_E!r} * {sinphi})"
@@ -748,13 +851,20 @@ def _q_ann_cosine(spark, sf_dir):
 
 def _q_ann_ivf(spark, sf_dir):
     """IVF (inverted-file) ANN — the second scale path next to
-    hyperplane LSH (approximate by construction; recall vs cosine_topk
-    pinned in tests/test_functions.py::test_ivf_ann_recall)."""
+    hyperplane LSH.  Deterministic given the seed, so DuckDB recomputes
+    the same centroid assignment, probe lists and in-list exact cosine
+    (oracle `ann_ivf_topk`); recall vs cosine_topk additionally pinned
+    in tests/test_functions.py::test_ivf_ann_recall."""
+    from pyspark.sql import functions as F
+
     from proj_4_spark.functions.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, dim=64)
+    topk = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, dim=64,
+                    raw_cosine=True)
+    return topk.select("q_id", "vec_id", "rank",
+                       _i(F.col("cosine"), 1000000).alias("cosine"))
 
 
 def _q_minhash_pairs(spark, sf_dir):
@@ -768,14 +878,21 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH ANN (the 100-TB scale path; approximate by
-    construction so no exact oracle — recall vs cosine_topk is pinned in
-    tests/test_functions.py::test_lsh_ann_recall)."""
+    """Hyperplane-LSH ANN (the 100-TB scale path).  Deterministic given
+    the seed, so DuckDB recomputes the same signatures, multiprobe
+    buckets and in-bucket exact cosine (oracle `ann_lsh_topk`); recall
+    vs cosine_topk additionally pinned in
+    tests/test_functions.py::test_lsh_ann_recall."""
+    from pyspark.sql import functions as F
+
     from proj_4_spark.functions.similarity import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
-    return lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2)
+    topk = lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2,
+                           raw_cosine=True)
+    return topk.select("q_id", "vec_id", "rank",
+                       _i(F.col("cosine"), 1000000).alias("cosine"))
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1162,6 +1279,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash_pairs(num_perm=32, bands=8),
         "ngram_jaccard": _sql_ngram_jaccard(num_perm=32, bands=8, threshold=0.5),
         "simhash": _sql_simhash(),
+        # approximate ANN paths: hyperplanes/centroids are
+        # seed-deterministic, so DuckDB recomputes signatures, probe
+        # lists and in-bucket/in-list exact cosine from the same parquet
+        "ann_lsh_topk": _sql_ann_lsh(n_planes=8, dim=64, seed=42,
+                                     multiprobe=2, k=5),
+        "ann_ivf_topk": _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64,
+                                     seed=42, k=5),
         # flagship: DuckDB recomputes the WHOLE chain from the same
         # parquet fixture — unnest spans, media filter, regexp geo-tag
         # parse, merc error semantics (|lam|>10rad, |phi|-pi/2<=1e-10),
@@ -1169,10 +1293,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_geo_pipeline": _sql_docs_geo_pipeline(),
         # knn_cell_partitioned (Karney metric not SQL-expressible — the
         # haversine twin above value-checks the machinery; brute-force
-        # parity pinned in pytest), ann_lsh_topk / ann_ivf_topk
-        # (approximate by construction; recall pinned in pytest),
-        # multimodal_features (real-decode values pinned in pytest):
-        # intentionally no oracle -> rows-only check.
+        # parity pinned in pytest) and multimodal_features (real-decode
+        # values pinned in pytest): intentionally no oracle -> rows-only.
     }
 
 

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf resolves `pd.Series` hints
 
 
 def _norm_col(vec_col):
@@ -70,24 +71,64 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def signature_col(vec_col, planes: np.ndarray):
-    """Sign-bucket signature: bit i = (v . plane_i) > 0, packed into a
-    long.  Computed JVM-side via aggregate over zip_with per plane."""
-    from pyspark.sql import functions as F
+# Above this many literal terms (n_planes*dim resp. n_centroids*dim) the
+# JVM expression path would embed a matrix of F.lit()s in the Catalyst
+# tree — at production widths (dim 768-4096, 64 planes / 65k centroids)
+# that blows up analysis and codegen.  Past the threshold we switch to
+# one Arrow-batched matmul per batch with the matrix as a closure
+# broadcast (a plain NumPy constant shipped once per task).
+_JVM_EXPR_MAX_TERMS = 4096
 
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = _dot_col(vec_col, arr)
-        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return sig
+
+def _i64(mask: int) -> int:
+    """Two's-complement fold into a signed 64-bit literal (bit 63 of a
+    signature/probe mask must wrap, not overflow the JVM long)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def signature_col(vec_col, planes: np.ndarray, use_pandas: bool | None = None):
+    """Sign-bucket signature: bit i = (v . plane_i) > 0, packed into a
+    long.
+
+    Small plane matrices are computed JVM-side (aggregate over zip_with
+    per plane — whole-stage codegen, no Python).  Large ones switch to a
+    single pandas-UDF matmul per Arrow batch so the plan stays O(1) in
+    (n_planes x dim) instead of embedding the matrix as literals."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if use_pandas is None:
+        use_pandas = planes.size > _JVM_EXPR_MAX_TERMS
+
+    if not use_pandas:
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            dot = _dot_col(vec_col, arr)
+            sig = sig + F.when(dot > 0, F.lit(_i64(1 << i)).cast("long")).otherwise(F.lit(0))
+        return sig
+
+    P_t = np.ascontiguousarray(planes.T, dtype=np.float64)  # dim x n_planes
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+
+    @pandas_udf("long")
+    def _sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        bits = (V @ P_t) > 0  # one matmul per batch
+        out = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return _sig(vec_col)
 
 
 def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
                     dim: int | None = None, seed: int = 42,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     q_id_col: str = "q_id", q_vec_col: str = "embedding",
-                    multiprobe: int = 1):
+                    multiprobe: int = 1, raw_cosine: bool = False):
     """ANN: hyperplane-LSH bucket join + exact cosine re-rank inside the
     bucket.  `multiprobe` additionally probes buckets at Hamming
     distance <= multiprobe from the query signature (recall knob).
@@ -119,11 +160,11 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
     # distance <= multiprobe of the query signature
     probes = [F.col("q_bucket")]
     if multiprobe >= 1:
-        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+        probes += [F.col("q_bucket").bitwiseXOR(F.lit(_i64(1 << i)).cast("long"))
                    for i in range(n_planes)]
     if multiprobe >= 2:
         probes += [
-            F.col("q_bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+            F.col("q_bucket").bitwiseXOR(F.lit(_i64((1 << i) | (1 << j))).cast("long"))
             for i in range(n_planes) for j in range(i + 1, n_planes)
         ]
     queries = queries.withColumn("bucket", F.explode(F.array(*probes)))
@@ -132,20 +173,54 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
     cand = cand.withColumn(
         "cosine", _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
     return (
         cand.groupBy("q_id", "vec_id").agg(F.first("cosine").alias("cosine"))
         .withColumn("rank", F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")))
         .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("q_id", "vec_id", "rank", cos_out.alias("cosine"))
     )
+
+
+def centroid_dots_col(vec_col, cents: np.ndarray, use_pandas: bool | None = None):
+    """array<double> of raw dot products v . centroid_i (no norm
+    division: centroid argmax and probe ordering are invariant in the
+    vector's positive norm, so the division is dead work).
+
+    Same dual path as signature_col: JVM expressions below
+    _JVM_EXPR_MAX_TERMS literal terms, one Arrow-batched matmul above."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if use_pandas is None:
+        use_pandas = cents.size > _JVM_EXPR_MAX_TERMS
+
+    if not use_pandas:
+        return F.array(*[
+            _dot_col(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ])
+
+    C_t = np.ascontiguousarray(cents.T, dtype=np.float64)  # dim x n_centroids
+
+    @pandas_udf("array<double>")
+    def _cd(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        D = V @ C_t
+        return pd.Series(list(D))
+
+    return _cd(vec_col)
 
 
 def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, dim: int | None = None, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "embedding"):
+             q_id_col: str = "q_id", q_vec_col: str = "embedding",
+             raw_cosine: bool = False):
     """ANN via IVF (inverted-file) coarse quantization: corpus vectors
     are assigned to their nearest of `n_centroids` fixed random-unit
     centroids (one JVM-side argmax over dot products — no k-means
@@ -167,13 +242,6 @@ def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
     cents = rng.standard_normal((n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    def _centroid_dots(vec_col_):
-        return F.array(*[
-            _dot_col(vec_col_, F.array(*[F.lit(float(x)) for x in c]))
-            / _norm_col(vec_col_)
-            for c in cents
-        ])
-
     def _argmax(arr):
         # index of the max element (JVM-side, no UDF)
         return F.array_position(arr, F.array_max(arr)).cast("int") - 1
@@ -181,13 +249,13 @@ def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
     corpus = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         _norm_col(F.col(vec_col)).alias("v_norm"),
-        _argmax(_centroid_dots(F.col(vec_col))).alias("list_id"),
+        _argmax(centroid_dots_col(F.col(vec_col), cents)).alias("list_id"),
     ).repartition("list_id")
 
     q = query_df.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
         _norm_col(F.col(q_vec_col)).alias("q_norm"),
-        _centroid_dots(F.col(q_vec_col)).alias("cd"),
+        centroid_dots_col(F.col(q_vec_col), cents).alias("cd"),
     )
     # probe the n_probe best centroid lists per query
     q = q.withColumn(
@@ -210,11 +278,12 @@ def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
     cand = cand.withColumn(
         "cosine", _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
     )
+    cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
     return (
         cand.withColumn("rank", F.row_number().over(
             Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")))
         .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .select("q_id", "vec_id", "rank", cos_out.alias("cosine"))
     )
 
 

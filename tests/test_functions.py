@@ -253,3 +253,65 @@ def test_multimodal_real_decode_end_to_end(spark):
     m0 = frames.iloc[0]
     arr, _ = sniff_and_decode(rows[m0["media_id"]])
     assert abs(m0["frame_mean"] - arr[int(m0["frame_idx"])].mean()) < 1e-9
+
+
+def test_ann_pandas_path_parity(spark):
+    """The Arrow-matmul signature/centroid path (used above
+    _JVM_EXPR_MAX_TERMS literal terms) must produce the same buckets,
+    list assignments and top-k output as the JVM expression path."""
+    from proj_4_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = S._hyperplanes(64, 8, seed=42)
+    both = emb.select(
+        "vec_id",
+        S.signature_col(F.col("embedding"), planes, use_pandas=False).alias("jvm"),
+        S.signature_col(F.col("embedding"), planes, use_pandas=True).alias("pdu"),
+    ).toPandas()
+    assert (both["jvm"] == both["pdu"]).all()
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    cents = rng.standard_normal((16, 64))
+    cd = emb.select(
+        S.centroid_dots_col(F.col("embedding"), cents, use_pandas=False).alias("jvm"),
+        S.centroid_dots_col(F.col("embedding"), cents, use_pandas=True).alias("pdu"),
+    ).toPandas()
+    a = np.stack(cd["jvm"].to_numpy())
+    b = np.stack(cd["pdu"].to_numpy())
+    # summation order differs (fold vs matmul) -> allow float slack; the
+    # argmax / probe ordering both paths feed is identical on this data
+    assert np.allclose(a, b, rtol=1e-12, atol=1e-12)
+    assert (a.argmax(axis=1) == b.argmax(axis=1)).all()
+
+
+def test_ann_large_dim_plan_stays_small(spark):
+    """At production widths (dim=768, 64 planes) the plan must NOT embed
+    the n_planes x dim literal matrix — the pandas path keeps the
+    Catalyst tree O(1) in the matrix size, and the query still runs."""
+    import pandas as pd
+
+    from proj_4_spark.functions import similarity as S
+    from proj_4_spark.functions.similarity import lsh_bucket_topk
+
+    dim, n_planes, n = 768, 64, 200
+    assert n_planes * dim > S._JVM_EXPR_MAX_TERMS  # pandas path engages
+    rng = np.random.Generator(np.random.PCG64(3))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n),
+        "embedding": list(rng.standard_normal((n, dim)).astype(np.float32)),
+    })
+    emb = spark.createDataFrame(pdf)
+    queries = emb.where("vec_id < 3").selectExpr("vec_id as q_id", "embedding")
+
+    topk = lsh_bucket_topk(emb, queries, k=5, n_planes=n_planes, dim=dim,
+                           multiprobe=1)
+    plan = topk._jdf.queryExecution().optimizedPlan().toString()
+    # the literal-matrix path would put >= n_planes*dim = 49k float
+    # literals in the plan; the pandas path keeps it to the UDF reference
+    assert len(plan) < 50_000, len(plan)
+    assert plan.count("0.") < 200, plan.count("0.")
+
+    got = topk.toPandas()
+    # every query finds at least itself (its own bucket always probed)
+    for q in range(3):
+        assert q in set(got[got.q_id == q]["vec_id"])
