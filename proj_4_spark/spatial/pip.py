@@ -142,13 +142,18 @@ def pip_join_cells(points_df, zones_df, res: int = 6,
     join — no cross product, no broadcast.
 
     Plan shape (the 100-TB path promised in the module docstring):
-      1. zones explode to the cells covering their bbox (cheap: zones
-         are the small-ish side, cells per zone ~ bbox area / cell
-         area — pick `res` so that's O(10-100));
+      1. zones explode to the cells covering their bbox — carrying ONLY
+         (zone_id, bbox, cell), never the ring: a 1000-vertex polygon
+         covering 100 cells must not shuffle its ring 100x (cheap:
+         cells per zone ~ bbox area / cell area — pick `res` so that's
+         O(10-100));
       2. points compute their single cell (JVM expression);
       3. hash join on cell (both sides shuffle-partitioned by cell —
          co-located, skew handled by AQE / salting upstream);
-      4. bbox predicate prunes, then the same exact ray-crossing UDF.
+      4. bbox predicate prunes candidates;
+      5. ring geometry re-attaches by a zone_id join (each ring
+         shuffles ONCE, and only bbox-surviving candidates carry it),
+         then the same exact ray-crossing UDF.
 
     Same output as pip_join; pick by zone-table size.
     """
@@ -159,8 +164,6 @@ def pip_join_cells(points_df, zones_df, res: int = 6,
 
     zones_cells = zones_df.select(
         "zone_id",
-        F.col("ring.lon").alias("ring_lon"),
-        F.col("ring.lat").alias("ring_lat"),
         "min_lon", "min_lat", "max_lon", "max_lat",
         F.explode(_zone_cells_col(res)).alias("cell"),
     )
@@ -169,6 +172,12 @@ def pip_join_cells(points_df, zones_df, res: int = 6,
         (F.col(lon) >= F.col("min_lon")) & (F.col(lon) <= F.col("max_lon"))
         & (F.col(lat) >= F.col("min_lat")) & (F.col(lat) <= F.col("max_lat"))
     )
+    rings = zones_df.select(
+        "zone_id",
+        F.col("ring.lon").alias("ring_lon"),
+        F.col("ring.lat").alias("ring_lat"),
+    )
+    cand = cand.join(rings, "zone_id", "inner")
 
     @pandas_udf("boolean")
     def _exact(
