@@ -867,6 +867,80 @@ def _q_ann_ivf(spark, sf_dir):
                        _i(F.col("cosine"), 1000000).alias("cosine"))
 
 
+def _q_alt_op_select(spark, sf_dir):
+    """Per-point alternative-operation selection + retry
+    (src/4D_api.cpp:204-364 over a static candidate list): UTM zone 32
+    by bbox where applicable (best accuracy), Mercator elsewhere, and
+    the pole rows (every 37th event forced to lat=90) FAIL in merc ->
+    per-point retry routes them to eqc.  The oracle recomputes routing
+    and all three kernels, so chosen_op AND values check the whole
+    selection/retry loop."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.altops import Candidate, alt_transform
+
+    pts = _geo_points(spark, sf_dir).withColumn(
+        "lat",
+        F.when(F.col("event_id") % 37 == 0, F.lit(90.0)).otherwise(F.col("lat")),
+    )
+    cands = [
+        Candidate.from_projstring("+proj=utm +zone=32 +ellps=GRS80",
+                                  (6.0, 0.0, 12.0, 84.0), accuracy=0.1),
+        Candidate.from_projstring("+proj=merc +ellps=GRS80",
+                                  (-180.0, -90.0, 180.0, 90.0), accuracy=1.0),
+        Candidate.from_projstring("+proj=eqc +ellps=GRS80 +lat_ts=30",
+                                  (-180.0, -90.0, 180.0, 90.0), accuracy=5.0),
+    ]
+    out = alt_transform(pts, cands)
+    return out.select(
+        "event_id", "chosen_op",
+        _i(F.col("x"), 100).alias("x_cm"),
+        _i(F.col("y"), 100).alias("y_cm"),
+    )
+
+
+def _sql_alt_op_select() -> str:
+    """DuckDB twin of _q_alt_op_select: mirrors the bbox/accuracy
+    routing rule (incl. the merc pole-failure retry -> eqc) as a CASE,
+    then recomputes each branch with the already-proven kernel SQL."""
+    import math
+
+    src = ("select event_id, lon, "
+           "case when event_id % 37 = 0 then 90.0 else lat end as lat "
+           f"from ({GEO_SQL_SRC})")
+    sel = ("select *, case "
+           "when lon >= 6.0 and lon <= 12.0 and lat >= 0.0 and lat <= 84.0 then 0 "
+           f"when abs(abs(lat * {_D2R}) - pi()/2) <= 1e-10 then 2 "
+           f"else 1 end as chosen_op from ({src})")
+    utm_src = f"select event_id, lon, lat from ({sel}) where chosen_op = 0"
+    utm_fwd = _sql_etmerc_fwd_select(
+        utm_src, "+proj=utm +zone=32 +ellps=GRS80",
+        lon0_deg=9.0, x0=500000.0, y0=0.0)
+    lam = f"(lon * {_D2R})"
+    phi = f"(lat * {_D2R})"
+    merc_x = f"({lam} * {_A!r})"
+    # total-expression ln guard (pole rows are routed away by chosen_op
+    # but DuckDB may evaluate the projection eagerly)
+    merc_y = f"(-ln(greatest({_sql_tsfn(phi)}, 1e-300)) * {_A!r})"
+    rc = repr(math.cos(30 * math.pi / 180))
+    eqc_x = f"(({rc} * {lam})) * {_A!r}"
+    eqc_y = f"({phi}) * {_A!r}"
+
+    def cm(e):
+        return f"cast(round(({e}) * 100.0, 0) as bigint)"
+
+    return (
+        f"select event_id, 0 as chosen_op, {cm('fx')} as x_cm, "
+        f"{cm('fy')} as y_cm from ({utm_fwd}) "
+        "union all "
+        f"select event_id, 1 as chosen_op, {cm(merc_x)} as x_cm, "
+        f"{cm(merc_y)} as y_cm from ({sel}) where chosen_op = 1 "
+        "union all "
+        f"select event_id, 2 as chosen_op, {cm(eqc_x)} as x_cm, "
+        f"{cm(eqc_y)} as y_cm from ({sel}) where chosen_op = 2"
+    )
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates; value-verified against a DuckDB
     oracle that recomputes the full FNV-shingle -> (a*x+b) mod p
@@ -1030,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
+        "alt_op_select": _q_alt_op_select,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1282,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         # approximate ANN paths: hyperplanes/centroids are
         # seed-deterministic, so DuckDB recomputes signatures, probe
         # lists and in-bucket/in-list exact cosine from the same parquet
+        "alt_op_select": _sql_alt_op_select(),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, dim=64, seed=42,
                                      multiprobe=2, k=5),
         "ann_ivf_topk": _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64,

@@ -1,0 +1,201 @@
+"""Per-point alternative-operation selection with retry.
+
+Reimplements the candidate-selection loop of proj_create_crs_to_crs
+transforms (src/4D_api.cpp:204-254 `pj_get_suggested_operation`,
+:268-364 `proj_trans` retry loop) as vectorized NumPy over a STATIC
+candidate list (the EPSG-graph construction of that list is out of
+scope — SURVEY.md §7.7; callers supply candidates, e.g. the
+`@conus,@alaska,...` fallback chains of src/datums.cpp:49).
+
+Semantics preserved point-for-point:
+- spatial criterion: direction-dependent area-of-use bbox containment
+  (src bbox for FWD, dst bbox for INV), closed intervals;
+- ranking: FIRST spatially-matching candidate wins, later ones replace
+  it only with (accuracy >= 0 AND accuracy < best AND not offshore) —
+  including the quirk that a first match with accuracy -1 sets
+  bestAccuracy = -1 and can never be displaced (4D_api.cpp:238-243);
+- N_MAX_RETRY = 2: a candidate whose kernel returns HUGE_VAL (our NaN)
+  for a point is excluded FOR THAT POINT and selection re-runs (the
+  lon=-111.5 lat=45.26 ntv2_0-bbox-but-conus-point case, 4D_api.cpp
+  :279-283);
+- exhausted retries / no spatial match: fall back to the first
+  candidate that needs no grids (4D_api.cpp:330-360); if none, the
+  point errors (NaN, EINVAL semantics).
+
+Vectorization: selection is k (small) masked passes over n points
+(np.where ranking); application groups points by selected candidate and
+applies each pipeline once to its subset (masked re-application), so
+per-attempt cost is O(k*n) comparisons + one kernel call per distinct
+candidate — no per-point Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf resolves `pd.*` hints
+
+from proj_4_spark.engine.plan import Operation, create_operation
+
+_N_MAX_RETRY = 2  # src/4D_api.cpp:269
+
+
+@dataclass
+class Candidate:
+    """One alternative coordinate operation (CoordOperation in
+    src/proj_internal.h: pj + accuracy + area-of-use bboxes + flags)."""
+
+    op: Operation
+    # area of use, degrees: (minx/west, miny/south, maxx/east, maxy/north)
+    bbox_src: tuple[float, float, float, float]
+    bbox_dst: tuple[float, float, float, float] | None = None
+    accuracy: float = -1.0  # < 0: unknown (4D_api.cpp accuracy semantics)
+    is_offshore: bool = False
+    needs_grids: bool = False
+    name: str = ""
+
+    def __post_init__(self):
+        if self.bbox_dst is None:
+            self.bbox_dst = self.bbox_src
+
+    @classmethod
+    def from_projstring(cls, projstring: str, bbox_src, **kw):
+        needs = "+grids=" in projstring or "grids=" in projstring
+        kw.setdefault("needs_grids", needs)
+        kw.setdefault("name", projstring)
+        return cls(op=create_operation(projstring, emulation=False),
+                   bbox_src=tuple(float(v) for v in bbox_src), **kw)
+
+
+class AltOperation:
+    """proj_trans with alternativeCoordinateOperations: applies the
+    best per-point candidate with up to N_MAX_RETRY masked retries.
+
+    apply(lam, phi, z, t, direction) -> (x, y, z, t, chosen) where
+    `chosen` is the per-point candidate index (-1: errored / no
+    operation).  Angular input in RADIANS like Operation.apply; bboxes
+    are degrees (converted once here, as proj_create_crs_to_crs stores
+    them in degrees and compares against degree coords — we compare in
+    radians-scaled space)."""
+
+    def __init__(self, candidates: list[Candidate]):
+        if not candidates:
+            raise ValueError("need at least one candidate")
+        self.candidates = list(candidates)
+        d2r = np.pi / 180.0
+        self._src = np.array([c.bbox_src for c in candidates]) * d2r
+        self._dst = np.array([c.bbox_dst for c in candidates]) * d2r
+        self._acc = np.array([c.accuracy for c in candidates])
+        self._off = np.array([c.is_offshore for c in candidates])
+
+    def _suggest(self, x, y, excluded, direction):
+        """Vectorized pj_get_suggested_operation: per-point best
+        candidate index honoring per-point exclusions; -1 if none."""
+        boxes = self._src if direction == "fwd" else self._dst
+        n = x.shape[0]
+        best = np.full(n, -1, dtype=np.int64)
+        best_acc = np.full(n, np.finfo(np.float64).max)
+        for i, c in enumerate(self.candidates):
+            w, s, e, nn = boxes[i]
+            ok = ((x >= w) & (x <= e) & (y >= s) & (y <= nn)
+                  & ~excluded[:, i])
+            # 4D_api.cpp:238-243: first match always taken; later ones
+            # only with known better accuracy and onshore
+            take = ok & ((best < 0)
+                         | ((self._acc[i] >= 0) & (self._acc[i] < best_acc)
+                            & ~self._off[i]))
+            best = np.where(take, i, best)
+            best_acc = np.where(take, self._acc[i], best_acc)
+        return best
+
+    def apply(self, x, y, z, t, direction: str = "fwd"):
+        x = np.asarray(x, dtype=np.float64).copy()
+        y = np.asarray(y, dtype=np.float64).copy()
+        z = np.asarray(z, dtype=np.float64).copy()
+        t = np.asarray(t, dtype=np.float64).copy()
+        n = x.shape[0]
+        k = len(self.candidates)
+
+        ox = np.full(n, np.nan)
+        oy = np.full(n, np.nan)
+        oz = np.full(n, np.nan)
+        ot = np.full(n, np.nan)
+        chosen = np.full(n, -1, dtype=np.int64)
+        excluded = np.zeros((n, k), dtype=bool)
+        pending = np.ones(n, dtype=bool)  # still needs a result
+
+        for _retry in range(_N_MAX_RETRY + 1):
+            if not pending.any():
+                break
+            best = self._suggest(x, y, excluded, direction)
+            best[~pending] = -1
+            for i in range(k):
+                m = best == i
+                if not m.any():
+                    continue
+                rx, ry, rz, rt = self.candidates[i].op.apply(
+                    x[m], y[m], z[m], t[m], direction)
+                good = np.isfinite(rx)
+                gi = np.flatnonzero(m)
+                gg = gi[good]
+                ox[gg], oy[gg] = rx[good], ry[good]
+                oz[gg], ot[gg] = rz[good], rt[good]
+                chosen[gg] = i
+                pending[gg] = False
+                excluded[gi[~good], i] = True  # per-point exclusion
+            # points with no spatial match leave the loop for the
+            # grid-free fallback; exclusions only grow, so once nothing
+            # selects a candidate the loop is done
+            if not (best >= 0).any():
+                break
+
+        # grid-free fallback (4D_api.cpp:330-360): first candidate that
+        # does not require grids, applied to every unresolved point
+        if pending.any():
+            for i, c in enumerate(self.candidates):
+                if c.needs_grids:
+                    continue
+                m = np.flatnonzero(pending)
+                rx, ry, rz, rt = c.op.apply(x[m], y[m], z[m], t[m], direction)
+                ox[m], oy[m], oz[m], ot[m] = rx, ry, rz, rt
+                chosen[m] = np.where(np.isfinite(rx), i, -1)
+                pending[m] = False
+                break
+        # still pending -> no grid-free op: EINVAL / proj_coord_error
+        return ox, oy, oz, ot, chosen
+
+
+def alt_transform(df, candidates: list[Candidate],
+                  lon: str = "lon", lat: str = "lat",
+                  out_prefix: str = "", degrees: bool = True,
+                  with_chosen: bool = True):
+    """DataFrame surface: per-point alternative-operation selection over
+    degree lon/lat columns via one Arrow-batched pandas UDF (the
+    candidate list, incl. loaded grids, ships as a closure broadcast).
+
+    Returns df plus columns {x, y, chosen_op} (prefix-able)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    alt = AltOperation(candidates)
+    d2r = np.pi / 180.0
+
+    @pandas_udf("struct<x: double, y: double, chosen: int>")
+    def _alt(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        if len(lo) == 0:
+            return pd.DataFrame({"x": [], "y": [], "chosen": []})
+        lam = lo.to_numpy(np.float64) * (d2r if degrees else 1.0)
+        phi = la.to_numpy(np.float64) * (d2r if degrees else 1.0)
+        zz = np.zeros_like(lam)
+        x, y, _, _, chosen = alt.apply(lam, phi, zz, zz.copy(), "fwd")
+        return pd.DataFrame({"x": x, "y": y,
+                             "chosen": chosen.astype(np.int32)})
+
+    res = df.withColumn("_alt", _alt(F.col(lon), F.col(lat)))
+    cols = [F.col("_alt.x").alias(out_prefix + "x"),
+            F.col("_alt.y").alias(out_prefix + "y")]
+    if with_chosen:
+        cols.append(F.col("_alt.chosen").alias(out_prefix + "chosen_op"))
+    return res.select("*", *cols).drop("_alt")

@@ -1,0 +1,156 @@
+"""Per-point alternative-operation selection + retry
+(src/4D_api.cpp:204-364 semantics over a static candidate list)."""
+import numpy as np
+import pytest
+
+from proj_4_spark.engine.altops import AltOperation, Candidate
+
+D2R = np.pi / 180.0
+
+# the src/datums.cpp:49 NAD27 fallback chain, minus the unshipped
+# ntv2_0.gsb/ntv1: conus (better accuracy) and alaska, both declared
+# with the WIDE NAD27 area of use (the EPSG-style bbox exceeds each
+# grid's actual coverage — exactly what makes per-point retry
+# necessary, cf. the lon=-111.5 lat=45.26 example in 4D_api.cpp:273)
+NAD27_BBOX = (-172.0, 18.0, -47.0, 79.0)
+
+
+def _nad27_candidates():
+    a = Candidate.from_projstring(
+        "+proj=hgridshift +grids=conus", NAD27_BBOX, accuracy=0.15)
+    b = Candidate.from_projstring(
+        "+proj=hgridshift +grids=alaska", NAD27_BBOX, accuracy=0.5)
+    c = Candidate.from_projstring(  # grid-free fallback (towgs84-style)
+        "+proj=helmert +x=-8 +y=160 +z=176", (-180.0, -90.0, 180.0, 90.0),
+        accuracy=10.0)
+    return [a, b, c]
+
+
+def test_retry_routes_alaska_point_via_second_candidate():
+    """A point in Alaska falls in candidate-1's declared bbox (conus,
+    best accuracy) but outside the conus grid -> kernel NaN -> per-point
+    retry must select the alaska candidate, matching a direct alaska
+    hgridshift value-for-value."""
+    cands = _nad27_candidates()
+    alt = AltOperation(cands)
+    lon = np.array([-100.0, -150.0, -111.5]) * D2R  # conus, alaska, conus
+    lat = np.array([40.0, 63.0, 45.26]) * D2R
+    z = np.zeros(3)
+    x, y, _, _, chosen = alt.apply(lon, lat, z, z.copy(), "fwd")
+    assert chosen.tolist() == [0, 1, 0]
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+
+    # value-level: each point equals the direct application of its
+    # routed candidate (hgridshift itself is corpus-verified)
+    for i, ci in enumerate(chosen):
+        dx, dy, _, _ = cands[ci].op.apply(
+            lon[i:i + 1], lat[i:i + 1], z[:1], z[:1].copy())
+        assert x[i] == dx[0] and y[i] == dy[0]
+    # and the retry actually changed the answer vs naive best-accuracy
+    naive_x, _, _, _ = cands[0].op.apply(lon[1:2], lat[1:2], z[:1], z[:1].copy())
+    assert not np.isfinite(naive_x[0])
+
+
+def test_grid_free_fallback_outside_all_bboxes():
+    """A point outside every candidate bbox uses the first grid-free
+    candidate (4D_api.cpp:330-360), not an error."""
+    cands = _nad27_candidates()
+    cands[2].bbox_src = (-20.0, 30.0, 40.0, 70.0)  # europe-ish, excludes pt
+    alt = AltOperation(cands)
+    lon = np.array([120.0]) * D2R  # asia: outside all three bboxes
+    lat = np.array([30.0]) * D2R
+    z = np.zeros(1)
+    x, y, _, _, chosen = alt.apply(lon, lat, z, z.copy(), "fwd")
+    assert chosen[0] == 2  # helmert is the first needs_grids=False entry
+    dx, dy, _, _ = cands[2].op.apply(lon, lat, z, z.copy())
+    assert x[0] == dx[0] and y[0] == dy[0]
+
+
+def test_no_grid_free_candidate_errors_nan():
+    cands = _nad27_candidates()[:2]  # both need grids
+    alt = AltOperation(cands)
+    lon = np.array([120.0]) * D2R
+    lat = np.array([30.0]) * D2R
+    z = np.zeros(1)
+    x, y, _, _, chosen = alt.apply(lon, lat, z, z.copy(), "fwd")
+    assert chosen[0] == -1 and not np.isfinite(x[0])
+
+
+def test_ranking_onshore_beats_offshore_with_better_accuracy():
+    """The carthage/testvarious preference (4D_api.cpp:232-243): a later
+    onshore candidate with better known accuracy displaces an offshore
+    first match."""
+    noop_a = Candidate.from_projstring(
+        "+proj=helmert +x=1000", (-180, -90, 180, 90),
+        accuracy=5.0, is_offshore=True)
+    noop_b = Candidate.from_projstring(
+        "+proj=helmert +x=2000", (-180, -90, 180, 90),
+        accuracy=1.0, is_offshore=False)
+    alt = AltOperation([noop_a, noop_b])
+    x, _, _, _, chosen = alt.apply(
+        np.array([0.1]), np.array([0.1]), np.zeros(1), np.zeros(1), "fwd")
+    assert chosen[0] == 1 and x[0] == pytest.approx(0.1 + 2000)
+
+    # ...but an offshore later candidate never displaces (offshore test)
+    alt2 = AltOperation([
+        Candidate.from_projstring("+proj=helmert +x=1000", (-180, -90, 180, 90),
+                                  accuracy=5.0),
+        Candidate.from_projstring("+proj=helmert +x=2000", (-180, -90, 180, 90),
+                                  accuracy=1.0, is_offshore=True),
+    ])
+    _, _, _, _, chosen2 = alt2.apply(
+        np.array([0.1]), np.array([0.1]), np.zeros(1), np.zeros(1), "fwd")
+    assert chosen2[0] == 0
+
+
+def test_unknown_accuracy_first_match_is_sticky():
+    """4D_api.cpp quirk preserved: a first match with accuracy -1 sets
+    bestAccuracy=-1, which no later accuracy>=0 can beat."""
+    alt = AltOperation([
+        Candidate.from_projstring("+proj=helmert +x=1000", (-180, -90, 180, 90),
+                                  accuracy=-1.0),
+        Candidate.from_projstring("+proj=helmert +x=2000", (-180, -90, 180, 90),
+                                  accuracy=0.01),
+    ])
+    _, _, _, _, chosen = alt.apply(
+        np.array([0.1]), np.array([0.1]), np.zeros(1), np.zeros(1), "fwd")
+    assert chosen[0] == 0
+
+
+def test_inverse_direction_uses_dst_bbox():
+    cands = [
+        Candidate.from_projstring(
+            "+proj=helmert +x=1000", bbox_src=(-10, -10, 10, 10),
+            bbox_dst=(100, 20, 140, 60), accuracy=1.0),
+        Candidate.from_projstring(
+            "+proj=helmert +x=2000", bbox_src=(-10, -10, 10, 10),
+            bbox_dst=(-180, -90, 180, 90), accuracy=2.0),
+    ]
+    alt = AltOperation(cands)
+    # point at (120, 30): inside candidate-0's DST bbox only
+    x, _, _, _, chosen = alt.apply(
+        np.array([120.0]), np.array([30.0]), np.zeros(1), np.zeros(1), "inv")
+    assert chosen[0] == 0 and x[0] == pytest.approx(120.0 - 1000)
+
+
+def test_alt_transform_dataframe_surface(spark):
+    """Spark surface equals the NumPy engine row-for-row."""
+    import pandas as pd
+
+    from proj_4_spark.engine.altops import alt_transform
+
+    cands = _nad27_candidates()
+    pdf = pd.DataFrame({
+        "pt_id": [0, 1, 2, 3],
+        "lon": [-100.0, -150.0, -111.5, 120.0],
+        "lat": [40.0, 63.0, 45.26, 30.0],
+    })
+    out = (alt_transform(spark.createDataFrame(pdf), cands)
+           .orderBy("pt_id").toPandas())
+    alt = AltOperation(cands)
+    ex, ey, _, _, ec = alt.apply(
+        pdf["lon"].to_numpy() * D2R, pdf["lat"].to_numpy() * D2R,
+        np.zeros(4), np.zeros(4), "fwd")
+    assert out["chosen_op"].tolist() == ec.tolist() == [0, 1, 0, 2]
+    np.testing.assert_array_equal(out["x"].to_numpy(), ex)
+    np.testing.assert_array_equal(out["y"].to_numpy(), ey)
