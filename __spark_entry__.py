@@ -867,6 +867,86 @@ def _q_ann_ivf(spark, sf_dir):
                        _i(F.col("cosine"), 1000000).alias("cosine"))
 
 
+def _q_polygon_area_sphere(spark, sf_dir):
+    """Geodesic polygon area/perimeter AGGREGATE over the 200 committed
+    zone rings in SPHERE mode (f=0), where the Karney area term is
+    SQL-expressible: S12_edge = c2 * tan(Gamma/2) identity and the
+    perimeter is the great-circle haversine — so DuckDB value-checks
+    the whole polygon accumulator (transit crossings, closing edge,
+    areareduce sign conventions).  The ellipsoidal path (same code,
+    f!=0) is pinned by the geodtest planimeter cases in pytest."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import geodesic_polygon_area_df
+    from proj_4_spark.sources import fixtures as FX
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    zones = spark.read.parquet(zpath)
+    verts = zones.select(
+        "zone_id", F.posexplode("ring").alias("seq", "v")
+    ).select("zone_id", "seq", F.col("v.lon").alias("lon"),
+             F.col("v.lat").alias("lat"))
+    out = geodesic_polygon_area_df(verts, poly_id="zone_id", f_=0.0)
+    return out.select(
+        "zone_id",
+        _i(F.col("area_m2"), 0.001).alias("area_dam2"),
+        _i(F.col("perimeter_m"), 1).alias("perim_m"),
+        "n_vertices",
+    )
+
+
+def _sql_polygon_area_sphere() -> str:
+    """DuckDB twin of _q_polygon_area_sphere: per-edge spherical
+    quadrilateral area via the tan(Gamma/2) identity (verified equal to
+    the engine's internal-frame computation to <4e-16 relative), summed
+    per zone with the closing edge; perimeter via exact central angles."""
+    from proj_4_spark.sources import fixtures as FX
+
+    zpath = FX.ensure_fixture("zones.parquet", FX.zones_table)
+    c2 = 6378137.0 * 6378137.0  # authalic radius^2 == a^2 on the sphere
+    d2r = "(pi() / 180.0)"
+    # AngRound mirror (geodesic.c:264-272) on |dlon| (zone edges < 45 deg)
+    return f"""
+with verts as (
+  select zone_id, unnest(ring) as v, unnest(range(len(ring))) as seq
+  from parquet_scan('{zpath}')
+),
+pts as (select zone_id, seq, v.lon as lon, v.lat as lat from verts),
+edges as (
+  select zone_id, lon as lon1, lat as lat1,
+         coalesce(lead(lon) over w, first_value(lon) over w) as lon2,
+         coalesce(lead(lat) over w, first_value(lat) over w) as lat2
+  from pts window w as (partition by zone_id order by seq)
+),
+terms as (
+  select zone_id, s12, cang * 6378137.0 as edge_m from (
+    select zone_id,
+      {c2!r} * 2.0 * atan2(
+        sin(adr * {d2r}) * (sb1 * (1.0 + cb2) + sb2 * (1.0 + cb1)),
+        (1.0 + cos(adr * {d2r}))
+          * (sb1 * sb2 + (1.0 + cb1) * (1.0 + cb2))
+      ) * sign(d0) as s12,
+      2.0 * asin(least(1.0, sqrt(
+        pow(sin((lat2 - lat1) * {d2r} / 2.0), 2)
+        + cb1 * cb2 * pow(sin(d0 * {d2r} / 2.0), 2)))) as cang
+    from (
+      select zone_id, lat1, lat2, lon2 - lon1 as d0,
+        case when abs(lon2 - lon1) < 0.0625
+             then 0.0625 - (0.0625 - abs(lon2 - lon1))
+             else abs(lon2 - lon1) end as adr,
+        sin(lat1 * {d2r}) as sb1, cos(lat1 * {d2r}) as cb1,
+        sin(lat2 * {d2r}) as sb2, cos(lat2 * {d2r}) as cb2
+      from edges)
+  )
+)
+select zone_id,
+       cast(round(-sum(s12) * 0.001, 0) as bigint) as area_dam2,
+       cast(round(sum(edge_m) * 1.0, 0) as bigint) as perim_m,
+       cast(count(*) as int) as n_vertices
+from terms group by zone_id
+"""
+
+
 def _q_alt_op_select(spark, sf_dir):
     """Per-point alternative-operation selection + retry
     (src/4D_api.cpp:204-364 over a static candidate list): UTM zone 32
@@ -1105,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "alt_op_select": _q_alt_op_select,
+        "polygon_area_sphere": _q_polygon_area_sphere,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1358,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         # seed-deterministic, so DuckDB recomputes signatures, probe
         # lists and in-bucket/in-list exact cosine from the same parquet
         "alt_op_select": _sql_alt_op_select(),
+        "polygon_area_sphere": _sql_polygon_area_sphere(),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, dim=64, seed=42,
                                      multiprobe=2, k=5),
         "ann_ivf_topk": _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64,

@@ -213,3 +213,63 @@ def geodesic_direct_df(df, lon1: str, lat1: str, azi1: str, s12: str,
     for c in ("lon2", "lat2", "azi2"):
         res = res.withColumn(f"{out_prefix}{c}", F.col(f"_geo.{c}"))
     return res.drop("_geo")
+
+
+def geodesic_polygon_area_df(df, poly_id: str = "poly_id",
+                             lon: str = "lon", lat: str = "lat",
+                             seq: str = "seq",
+                             a: float = 6378137.0,
+                             f_: float = 1 / 298.257223563,
+                             reverse: bool = False, sign: bool = True):
+    """Geodesic polygon area/perimeter as a DataFrame AGGREGATE
+    (geod_polygonarea, src/geodesic.c:2059-2069; app surface
+    src/apps/geod.cpp:133): one output row per polygon id with
+    (area_m2, perimeter_m, n_vertices).
+
+    Scale shape: groupBy(poly_id) shuffles VERTICES once (small rows);
+    each polygon's edges then solve in one vectorized Karney inverse
+    inside applyInPandas — no per-edge Python, no driver collect."""
+    from pyspark.sql import functions as F
+
+    schema = (f"{poly_id} string, area_m2 double, perimeter_m double, "
+              "n_vertices int")
+
+    def _area(pdf: pd.DataFrame) -> pd.DataFrame:
+        from proj_4_spark.kernels.geodesic import geodesic_polygon_area
+
+        pdf = pdf.sort_values(seq)
+        area, perim, n = geodesic_polygon_area(
+            pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64),
+            a=a, f=f_, reverse=reverse, sign=sign)
+        return pd.DataFrame({poly_id: [pdf[poly_id].iloc[0]],
+                             "area_m2": [area], "perimeter_m": [perim],
+                             "n_vertices": [n]})
+
+    return (df.select(poly_id, lon, lat, seq)
+            .groupBy(poly_id).applyInPandas(_area, schema=schema))
+
+
+def geodesic_line_sample_df(df, n_points: int,
+                            lon1: str = "lon1", lat1: str = "lat1",
+                            lon2: str = "lon2", lat2: str = "lat2",
+                            a: float = 6378137.0,
+                            f_: float = 1 / 298.257223563):
+    """Sample n_points equally-spaced (by arc length) waypoints along
+    each row's geodesic (the geod CLI's line-sampling surface,
+    src/apps/geod.cpp:133): explodes k=0..n_points-1 JVM-side, then ONE
+    Arrow-batched direct solve for all (line, k) pairs.  Adds
+    (k, frac, wp_lon, wp_lat, wp_azi)."""
+    from pyspark.sql import functions as F
+
+    solved = geodesic_inverse_df(df, lon1, lat1, lon2, lat2,
+                                 a=a, f_=f_, out_prefix="_ls_")
+    solved = solved.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(n_points - 1)))
+    ).withColumn("frac", F.col("k") / float(n_points - 1))
+    out = geodesic_direct_df(
+        solved.withColumn("_s", F.col("_ls_s12") * F.col("frac")),
+        lon1, lat1, "_ls_azi1", "_s", a=a, f_=f_, out_prefix="wp_")
+    return (out.withColumnRenamed("wp_lon2", "wp_lon")
+               .withColumnRenamed("wp_lat2", "wp_lat")
+               .withColumnRenamed("wp_azi2", "wp_azi")
+               .drop("_ls_s12", "_ls_azi1", "_ls_azi2", "_s"))

@@ -34,7 +34,7 @@ _MAXIT1 = 20
 _MAXIT2 = _MAXIT1 + _DIGITS + 10
 _DEGREE = math.pi / 180
 
-nA3 = nC3 = nC1 = nC2 = 6
+nA3 = nC3 = nC1 = nC2 = nC4 = 6
 
 
 def _sumx(u, v):
@@ -48,10 +48,17 @@ def _sumx(u, v):
 
 
 def _ang_normalize(x):
-    """remainder(x, 360), -180 -> 180 (geodesic.c:245-248)."""
-    x = np.remainder(x, 360.0)
-    x = np.where(x > 180.0, x - 360.0, x)  # remainder() in [0,360)
-    return np.where(x == -180.0, 180.0, x)
+    """remainder(x, 360), -180 -> 180 (geodesic.c:245-248).
+
+    Must be IEEE remainder (round-half-even quotient), NOT np.remainder:
+    np.remainder(-1e-14, 360) rounds up to 360 and collapses tiny
+    negative longitudes to +0, which flips transit() parity in the
+    polygon-area crossing count (the Planimeter6 lon12 rounding case)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = x - 360.0 * np.round(x / 360.0)
+    # guard the rare half-ulp spill outside [-180, 180] at huge |x|
+    y = np.where(y > 180.0, y - 360.0, np.where(y < -180.0, y + 360.0, y))
+    return np.where(y == -180.0, 180.0, y)
 
 
 def _ang_diff(x, y):
@@ -208,6 +215,38 @@ class Geodesic:
             _polyval([float(v) for v in nums], self.n) / den
             for nums, den in c3
         ]
+        # c2: authalic radius squared (geod_init, geodesic.c:397-400)
+        e2 = self.e2
+        if e2 == 0:
+            ratio = 1.0
+        elif e2 > 0:
+            ratio = math.atanh(math.sqrt(e2)) / math.sqrt(e2)
+        else:
+            ratio = math.atan(math.sqrt(-e2)) / math.sqrt(-e2)
+        self.c2 = (a * a + self.b * self.b * ratio) / 2
+        # C4coeff (geodesic.c:1783-1838), traversal order l asc, eps^j desc
+        c4 = [
+            ((97,), 15015), ((1088, 156), 45045),
+            ((-224, -4784, 1573), 45045),
+            ((-10656, 14144, -4576, -858), 45045),
+            ((64, 624, -4576, 6864, -3003), 15015),
+            ((100, 208, 572, 3432, -12012, 30030), 45045),
+            ((1,), 9009), ((-2944, 468), 135135),
+            ((5792, 1040, -1287), 135135),
+            ((5952, -11648, 9152, -2574), 135135),
+            ((-64, -624, 4576, -6864, 3003), 135135),
+            ((8,), 10725), ((1856, -936), 225225),
+            ((-8448, 4992, -1144), 225225),
+            ((-1440, 4160, -4576, 1716), 225225),
+            ((-136,), 63063), ((1024, -208), 105105),
+            ((3584, -3328, 1144), 315315),
+            ((-128,), 135135), ((-2560, 832), 405405),
+            ((128,), 99099),
+        ]
+        self.C4x = [
+            _polyval([float(v) for v in nums], self.n) / den
+            for nums, den in c4
+        ]
 
     # -- series evaluated at per-point eps -----------------------------
     def _A3f(self, eps):
@@ -223,6 +262,18 @@ class Geodesic:
             c[ell] = mult * _polyval(self.C3x[o:o + m + 1], eps)
             o += m + 1
         c[0] = np.zeros_like(eps)
+        return c
+
+    def _C4f(self, eps):
+        """C4f (geodesic.c for the area series; cos indexing c[0..5])."""
+        c = [None] * nC4
+        mult = np.ones_like(eps)
+        o = 0
+        for ell in range(nC4):
+            m = nC4 - ell - 1
+            c[ell] = mult * _polyval(self.C4x[o:o + m + 1], eps)
+            o += m + 1
+            mult = mult * eps
         return c
 
     def _lengths(self, eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2,
@@ -252,9 +303,11 @@ class Geodesic:
                 - csig1 * csig2 * J12)
         return s12b, m12b, m0
 
-    def inverse(self, lat1, lon1, lat2, lon2):
+    def inverse(self, lat1, lon1, lat2, lon2, want_area: bool = False):
         """geod_geninverse (geodesic.c:780-1065): degrees in,
-        returns (s12 meters, azi1 deg, azi2 deg, a12 deg)."""
+        returns (s12 meters, azi1 deg, azi2 deg, a12 deg); with
+        want_area also S12 (the geodesic quadrilateral area term,
+        geodesic.c:1044-1104) as a fifth element."""
         g = self
         lat1 = np.atleast_1d(np.asarray(lat1, dtype=np.float64))
         lon1 = np.atleast_1d(np.asarray(lon1, dtype=np.float64))
@@ -309,6 +362,10 @@ class Geodesic:
         calp1 = np.zeros(n)
         salp2 = np.zeros(n)
         calp2 = np.zeros(n)
+        # area bookkeeping: somg12 > 1 marks "compute from omg12 later"
+        omg12 = np.zeros(n)
+        somg12 = np.full(n, 2.0)
+        comg12 = np.zeros(n)
 
         # ---- meridian branch (geodesic.c:875-920) ----------------------
         meridian = (la1 == -90) | (slam12 == 0)
@@ -350,6 +407,7 @@ class Geodesic:
         calp2 = np.where(use, 0.0, calp2)
         s12x = np.where(use, g.a * lam12, s12x)
         sig12 = np.where(use, eq_sig12, sig12)
+        omg12 = np.where(use, eq_sig12, omg12)  # omg12 = lam12/f1
         m12x = np.where(use, g.b * np.sin(eq_sig12), m12x)
         a12 = np.where(use, lon12 / g.f1, a12)
 
@@ -364,6 +422,8 @@ class Geodesic:
             sig12 = np.where(use, gs_sig12, sig12)
             s12x = np.where(use, gs_sig12 * g.b * dnm, s12x)
             m12x = np.where(use, dnm**2 * g.b * np.sin(gs_sig12 / dnm), m12x)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                omg12 = np.where(use, lam12 / (g.f1 * dnm), omg12)
             a12 = np.where(use, gs_sig12 / _DEGREE, a12)
             salp1 = np.where(use, gs_salp1, salp1)
             calp1 = np.where(use, gs_calp1, calp1)
@@ -373,7 +433,7 @@ class Geodesic:
             newton = general & (gs_sig12 < 0)
             if newton.any():
                 (nt_sig12, nt_salp1, nt_calp1, nt_salp2, nt_calp2,
-                 nt_s12x, nt_m12x) = self._newton(
+                 nt_s12x, nt_m12x, nt_domg12) = self._newton(
                     sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                     slam12, clam12, gs_salp1, gs_calp1, newton)
                 use = newton
@@ -385,8 +445,51 @@ class Geodesic:
                 calp1 = np.where(use, nt_calp1, calp1)
                 salp2 = np.where(use, nt_salp2, salp2)
                 calp2 = np.where(use, nt_calp2, calp2)
+                # omg12 = lam12 - domg12 (geodesic.c:1029-1034)
+                sd, cd = np.sin(nt_domg12), np.cos(nt_domg12)
+                somg12 = np.where(use, slam12 * cd - clam12 * sd, somg12)
+                comg12 = np.where(use, clam12 * cd + slam12 * sd, comg12)
 
         s12 = 0.0 + s12x
+
+        S12 = None
+        if want_area:
+            # area block (geodesic.c:1044-1104), in the INTERNAL
+            # (swapped/signed) frame before the azimuth restoration
+            salp0 = salp1 * cbet1
+            calp0 = np.hypot(calp1, salp1 * sbet1)
+            nz = (calp0 != 0) & (salp0 != 0)
+            a_ssig1, a_csig1 = _norm2(sbet1, calp1 * cbet1)
+            a_ssig2, a_csig2 = _norm2(sbet2, calp2 * cbet2)
+            k2 = calp0**2 * g.ep2
+            a_eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+            A4 = g.a**2 * calp0 * salp0 * g.e2
+            C4a = self._C4f(a_eps)
+            B41 = _sin_cos_series(False, a_ssig1, a_csig1, C4a)
+            B42 = _sin_cos_series(False, a_ssig2, a_csig2, C4a)
+            S12 = np.where(nz, A4 * (B42 - B41), 0.0)
+
+            nonmer = ~meridian_done
+            recompute = nonmer & (somg12 > 1)
+            somg12 = np.where(recompute, np.sin(omg12), somg12)
+            comg12 = np.where(recompute, np.cos(omg12), comg12)
+            gamma = nonmer & (comg12 > -0.7071) & (sbet2 - sbet1 < 1.75)
+            domg = 1 + comg12
+            dbet1 = 1 + cbet1
+            dbet2 = 1 + cbet2
+            alp12_g = 2 * np.arctan2(
+                somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+                domg * (sbet1 * sbet2 + dbet1 * dbet2),
+            )
+            salp12 = salp2 * calp1 - calp2 * salp1
+            calp12 = calp2 * calp1 + salp2 * salp1
+            fix = (salp12 == 0) & (calp12 < 0)
+            salp12 = np.where(fix, _TINY * calp1, salp12)
+            calp12 = np.where(fix, -1.0, calp12)
+            alp12 = np.where(gamma, alp12_g, np.arctan2(salp12, calp12))
+            S12 = S12 + g.c2 * alp12
+            S12 = S12 * (swapp * lonsign * latsign)
+            S12 = S12 + 0.0
 
         # swap back (geodesic.c:1036-1049)
         sw = swapp < 0
@@ -399,6 +502,8 @@ class Geodesic:
 
         azi1 = _atan2d(salp1, calp1)
         azi2 = _atan2d(salp2, calp2)
+        if want_area:
+            return s12, azi1, azi2, a12, S12
         return s12, azi1, azi2, a12
 
     def _inverse_start(self, sbet1, cbet1, dn1, sbet2, cbet2, dn2,
@@ -580,13 +685,14 @@ class Geodesic:
         eps = np.zeros(n)
         salp2 = np.zeros(n)
         calp2 = np.ones(n)
+        domg12 = np.zeros(n)
 
         for numit in range(_MAXIT2):
             if done.all():
                 break
             diffp = numit < _MAXIT1
             (lam12, t_salp2, t_calp2, t_sig12, t_ssig1, t_csig1,
-             t_ssig2, t_csig2, t_eps, _domg12, dv) = self._lambda12(
+             t_ssig2, t_csig2, t_eps, t_domg12, dv) = self._lambda12(
                 sbet1, cbet1, dn1, sbet2, cbet2, dn2,
                 salp1, calp1, slam12, clam12, diffp)
             v = lam12
@@ -599,6 +705,7 @@ class Geodesic:
             ssig2 = np.where(upd, t_ssig2, ssig2)
             csig2 = np.where(upd, t_csig2, csig2)
             eps = np.where(upd, t_eps, eps)
+            domg12 = np.where(upd, t_domg12, domg12)
 
             conv = tripb | ~(np.abs(v) >= np.where(tripn, 8, 1) * _TOL0)
             done = done | (upd & conv)
@@ -652,7 +759,8 @@ class Geodesic:
         s12b, m12b, _ = self._lengths(
             eps, sig12, ssig1, csig1, dn1, ssig2, csig2, dn2, want_s12=True
         )
-        return sig12, salp1, calp1, salp2, calp2, s12b * g.b, m12b * g.b
+        return (sig12, salp1, calp1, salp2, calp2, s12b * g.b, m12b * g.b,
+                domg12)
 
 
 def _astroid(x, y):
@@ -808,3 +916,79 @@ def geodesic_direct(lon1, lat1, azi1, s12,
 
 
 Geodesic.direct = _geod_direct
+
+
+# ---------------------------------------------------------------------------
+# polygon area / perimeter (geod_polygonarea, geodesic.c:1898-2069)
+# ---------------------------------------------------------------------------
+
+def _transit(lon1, lon2):
+    """transit (geodesic.c:1838-1848): +-1 when the edge crosses the
+    prime meridian east/west-going, else 0.  Vectorized."""
+    lon1 = _ang_normalize(np.asarray(lon1, dtype=np.float64))
+    lon2 = _ang_normalize(np.asarray(lon2, dtype=np.float64))
+    lon12, _ = _ang_diff(lon1, lon2)
+    return np.where(
+        (lon1 <= 0) & (lon2 > 0) & (lon12 > 0), 1,
+        np.where((lon2 <= 0) & (lon1 > 0) & (lon12 < 0), -1, 0),
+    )
+
+
+def _area_reduce(area: float, area0: float, crossings: int,
+                 reverse: bool, sign: bool) -> float:
+    """areareduceA/B (geodesic.c:1850-1896) on an exact (fsum) total."""
+    area = math.remainder(area, area0)
+    if crossings & 1:
+        area += (area0 / 2) if area < 0 else (-area0 / 2)
+    if not reverse:  # clockwise -> counter-clockwise convention
+        area = -area
+    if sign:  # put area in (-area0/2, area0/2]
+        if area > area0 / 2:
+            area -= area0
+        elif area <= -area0 / 2:
+            area += area0
+    else:  # put area in [0, area0)
+        if area >= area0:
+            area -= area0
+        elif area < 0:
+            area += area0
+    return 0.0 + area
+
+
+def geodesic_polygon_area(lons, lats, a: float = 6378137.0,
+                          f: float = 1 / 298.257223563,
+                          reverse: bool = False, sign: bool = True):
+    """geod_polygonarea (geodesic.c:2059-2069): closed polygon from the
+    vertex sequence (degrees, in order; closing edge implicit).
+
+    Returns (area_m2, perimeter_m, n).  All n edges solve in ONE
+    vectorized inverse call; the S12/s12 totals use math.fsum (the
+    reference uses Neumaier accumulators for the same reason).
+    Counter-clockwise positive with sign=True, matching planimeter."""
+    g = _cached_geodesic(a, f)
+    lats = np.atleast_1d(np.asarray(lats, dtype=np.float64))
+    lons = _ang_normalize(np.atleast_1d(np.asarray(lons, dtype=np.float64)))
+    n = len(lats)
+    if n < 2:
+        return 0.0, 0.0, n
+    la2 = np.roll(lats, -1)
+    lo2 = np.roll(lons, -1)
+    s12, _, _, _, S12 = g.inverse(lats, lons, la2, lo2, want_area=True)
+    perimeter = math.fsum(s12.tolist())
+    crossings = int(_transit(lons, lo2).sum())
+    area0 = 4 * math.pi * g.c2
+    area = _area_reduce(math.fsum(S12.tolist()), area0, crossings,
+                        reverse, sign)
+    return area, perimeter, n
+
+
+def geodesic_polyline_length(lons, lats, a: float = 6378137.0,
+                             f: float = 1 / 298.257223563):
+    """polyline variant (geod_polygon_init(p, 1)): open path length."""
+    g = _cached_geodesic(a, f)
+    lats = np.atleast_1d(np.asarray(lats, dtype=np.float64))
+    lons = _ang_normalize(np.atleast_1d(np.asarray(lons, dtype=np.float64)))
+    if len(lats) < 2:
+        return 0.0, len(lats)
+    s12, _, _, _ = g.inverse(lats[:-1], lons[:-1], lats[1:], lons[1:])
+    return math.fsum(s12.tolist()), len(lats)
