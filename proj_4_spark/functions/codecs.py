@@ -1,18 +1,19 @@
-"""Pure-NumPy codecs for self-describing uncompressed media formats.
+"""Pure-NumPy/stdlib codecs for public media formats.
 
 The task brief stubs decode for formats that need external libraries
-(JPEG/PNG/MP4 — not in this container); these three REAL public formats
-need only header parsing + reshapes, so the engine ships working
-encode/decode for them:
+(JPEG/MP4 — not in this container); these four REAL public formats need
+only the stdlib + NumPy, so the engine ships working encode/decode:
 
 - BMP: 24-bit uncompressed BI_RGB (BITMAPFILEHEADER + BITMAPINFOHEADER,
   bottom-up rows, 4-byte row padding) — the Windows DIB spec.
+- PNG: 8-bit gray/gray+alpha/RGB/RGBA, stdlib zlib inflate + the five
+  spec scanline filters (None/Sub/Up/Average/Paeth) — the PNG spec.
 - WAV: RIFF/WAVE PCM 16-bit (fmt + data chunks).
 - Y4M: YUV4MPEG2 (plain-text header + FRAME-delimited raw planes,
   C444 colourspace) — the mjpegtools interchange format.
 
-Everything is numpy slicing over the byte buffer: zero-copy-ish, fully
-vectorized per payload, deterministic.
+Everything is numpy slicing over the byte buffer (plus the sequential
+per-row PNG unfilter the format mandates), deterministic.
 """
 
 from __future__ import annotations
@@ -140,14 +141,142 @@ def decode_y4m(data: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
+# ------------------------------- PNG ---------------------------------------
+# Real decoder: stdlib zlib inflate + per-row unfiltering (PNG spec
+# filters 0-4: None/Sub/Up/Average/Paeth).  8-bit depth, colour types
+# 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); no palette, no interlace.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W) or (H, W, C) uint8 -> PNG bytes.  `filter_type` applies
+    one PNG filter to every scanline (0-4; useful for decoder tests)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c  # bytes per pixel at depth 8
+    raw = px.reshape(h, w * c).astype(np.int32)
+    prev = np.zeros(w * c, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:
+            out = cur - left
+        elif filter_type == 2:
+            out = cur - prev
+        elif filter_type == 3:
+            out = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            out = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        lines.append(bytes([filter_type]) + (out & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 (C=1 gray, 2 gray+alpha, 3 RGB,
+    4 RGBA).  Full five-filter unfiltering; 16-bit/palette/interlace
+    variants raise ValueError."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color})")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        cur = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up — fully vectorized
+            line = cur + prev
+        elif f == 1:  # Sub — prefix dependence per channel lane
+            line = cur.copy()
+            for x in range(c, stride):
+                line[x] = (line[x] + line[x - c]) & 0xFF
+        elif f == 3:  # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                ul = prev[x - c] if x >= c else 0
+                p = left + prev[x] - ul
+                pa, pb, pc_ = abs(p - left), abs(p - prev[x]), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc_) else (
+                    prev[x] if pb <= pc_ else ul)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = (line & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
 def sniff_and_decode(payload: bytes):
     """Magic-sniffing decode: returns (array, kind) or raises ValueError
     for codec formats that need external libraries."""
     if payload[:2] == b"BM":
         return decode_bmp(payload), "image"
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload), "image"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         s, _rate = decode_wav(payload)
         return s.astype(np.float32) / 32768.0, "audio"
     if payload.startswith(b"YUV4MPEG2"):
         return decode_y4m(payload), "video"
-    raise ValueError("payload needs an external codec (jpeg/png/mp4)")
+    raise ValueError("payload needs an external codec (jpeg/mp4)")

@@ -7,7 +7,7 @@ pandas UDFs over mapInPandas.
 Decode is REAL for self-describing uncompressed formats (BMP images,
 PCM16 WAV audio, YUV4MPEG2 video — pure-NumPy codecs in
 functions/codecs.py, encode+decode roundtrip-tested); formats that need
-external libraries (JPEG/PNG/MP4 — not in this container) raise
+external libraries (JPEG/MP4 — not in this container) raise
 `DecodeUnavailable`, and a deterministic fake (`fake=True`) remains for
 shape-only tests.
 
@@ -36,7 +36,7 @@ class DecodeUnavailable(NotImplementedError):
 
 def _real_decode(payload: bytes, media_type: str):
     """Decode self-describing formats with the pure-NumPy codecs; raise
-    DecodeUnavailable for library-requiring formats (jpeg/png/mp4)."""
+    DecodeUnavailable for library-requiring formats (jpeg/mp4)."""
     from proj_4_spark.functions.codecs import sniff_and_decode
 
     try:

@@ -315,3 +315,69 @@ def test_ann_large_dim_plan_stays_small(spark):
     # every query finds at least itself (its own bucket always probed)
     for q in range(3):
         assert q in set(got[got.q_id == q]["vec_id"])
+
+
+def test_png_roundtrip_all_filters():
+    """Real PNG codec: encode with each of the five spec filters ->
+    decode must be bit-exact for gray / gray+alpha / RGB / RGBA."""
+    from proj_4_spark.functions.codecs import (
+        decode_png, encode_png, sniff_and_decode,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    shapes = [(11, 7), (9, 5, 2), (13, 6, 3), (8, 9, 4)]
+    for shape in shapes:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = img if img.ndim == 3 else img[:, :, None]
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft))
+            assert np.array_equal(got, want), (shape, ft)
+
+    # gradient images exercise the predictors with correlated data
+    grad = (np.add.outer(np.arange(32), np.arange(48)) % 256).astype(np.uint8)
+    rgb = np.stack([grad, grad[::-1], np.roll(grad, 7, axis=1)], axis=-1)
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(rgb, filter_type=ft)), rgb)
+
+    arr, kind = sniff_and_decode(encode_png(rgb))
+    assert kind == "image" and arr.shape == rgb.shape
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth rejected, not mis-decoded
+    import struct as _s
+    import zlib as _z
+    bad_ihdr = _s.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    from proj_4_spark.functions.codecs import _PNG_SIG, _png_chunk
+    with pytest.raises(ValueError):
+        decode_png(_PNG_SIG + _png_chunk(b"IHDR", bad_ihdr)
+                   + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
+                   + _png_chunk(b"IEND", b""))
+
+
+def test_multimodal_png_payload(spark):
+    """A PNG payload flows through the real mapInPandas decode path."""
+    import pandas as pd
+
+    from proj_4_spark.functions.codecs import encode_png
+    from proj_4_spark.functions.multimodal import extract_features
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            for _ in range(8)]
+    pdf = pd.DataFrame({
+        "media_id": [f"png-{i}" for i in range(8)],
+        "payload": [encode_png(im, filter_type=i % 5) for i, im in enumerate(imgs)],
+        "meta": [{"media_type": "image"}] * 8,
+    })
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary, "
+             "meta struct<media_type: string>")
+    feats = extract_features(media).toPandas().set_index("media_id")
+    assert len(feats) == 8
+    for i, im in enumerate(imgs):
+        f = np.asarray(feats.loc[f"png-{i}", "features"])
+        # feature[0] is the mean of the decoded array — exact for a
+        # lossless roundtrip
+        assert f[0] == pytest.approx(im.mean(), abs=1e-9)
+        assert f[3] == im.max() and f[2] == im.min()
