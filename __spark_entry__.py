@@ -789,6 +789,32 @@ def _q_knn_haversine(spark, sf_dir):
     )
 
 
+def _q_knn_karney_sphere(spark, sf_dir):
+    """The PRODUCTION Karney metric path (full vectorized inverse:
+    meridian/equatorial/Newton branches inside the kNN UDF) run on a
+    SPHERE (f=0), where the geodesic distance equals the great-circle
+    arc — so DuckDB brute-force value-checks the Karney code itself,
+    not a twin formula.  cm integerization absorbs the asin-vs-atan2
+    formulation ulps.  (The f!=0 ellipsoidal path is pinned by geodtest
+    20/20 and brute-force parity in pytest.)"""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.spatial.knn import knn_join
+
+    pts = _geo_points(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_offset"), "lon", "lat",
+    )
+    queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
+        F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
+    )
+    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
+                   metric="karney", a=6378137.0, f=0.0)
+    return out.select(
+        "q_id", "doc_id", "rank", _i(F.col("dist_m"), 100).alias("dist_cm")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1186,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "alt_op_select": _q_alt_op_select,
         "polygon_area_sphere": _q_polygon_area_sphere,
+        "knn_karney_sphere": _q_knn_karney_sphere,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1414,6 +1441,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         # brute-force haversine kNN with identical metric + tie-break:
         # verifies the cell-partitioned join's result set value-for-value
+        # the production Karney metric at f=0 == great-circle distance:
+        # brute-force recompute on the 6378137 sphere (see
+        # _q_knn_karney_sphere for why this value-checks the real path)
+        "knn_karney_sphere": (
+            "select q_id, doc_id, rank, "
+            "cast(round(dist_m * 100.0, 0) as bigint) as dist_cm from ("
+            "  select q.event_id::varchar as q_id, p.event_id::varchar as doc_id, "
+            "  2.0 * 6378137.0 * asin(least(1.0, sqrt("
+            f"    pow(sin((p.lat - q.lat) * {_D2R} / 2.0), 2)"
+            f"    + cos(q.lat * {_D2R}) * cos(p.lat * {_D2R})"
+            f"    * pow(sin((p.lon - q.lon) * {_D2R} / 2.0), 2)))) as dist_m, "
+            "  row_number() over (partition by q.event_id order by "
+            "  2.0 * 6378137.0 * asin(least(1.0, sqrt("
+            f"    pow(sin((p.lat - q.lat) * {_D2R} / 2.0), 2)"
+            f"    + cos(q.lat * {_D2R}) * cos(p.lat * {_D2R})"
+            f"    * pow(sin((p.lon - q.lon) * {_D2R} / 2.0), 2)))), "
+            "  p.event_id::varchar) as rank "
+            f"  from ({GEO_SQL_SRC}) p cross join "
+            f"  (select * from ({GEO_SQL_SRC}) where event_id % 211 = 0) q"
+            ") where rank <= 5"
+        ),
         "knn_haversine": (
             "select q_id, doc_id, rank, "
             "cast(round(dist_m * 1000.0, 0) as bigint) as dist_mm from ("
