@@ -973,6 +973,89 @@ from terms group by zone_id
 """
 
 
+def _q_geodesic_waypoints_sphere(spark, sf_dir):
+    """Geodesic line sampling through the PRODUCTION direct solver
+    (kernels/geodesic._geod_direct: C1'/C3 series, LONG_UNROLL) at f=0,
+    where waypoints are great-circle slerp points — SQL-expressible, so
+    DuckDB value-checks the direct path itself (the ellipsoidal case is
+    geodtest-pinned).  Lines: consecutive event points; 5 waypoints."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import geodesic_line_sample_df
+
+    p = _geo_points(spark, sf_dir)
+    lines = p.where("event_id % 97 = 0").select(
+        F.col("event_id").alias("line_id"),
+        F.col("lon").alias("lon1"), F.col("lat").alias("lat1"),
+        # deterministic second endpoint from the same generator family
+        ((F.col("event_id") * 31 % 360000) / 1000.0 - 180.0).alias("lon2"),
+        ((F.col("event_id") * 73 % 170000) / 1000.0 - 85.0).alias("lat2"),
+    )
+    out = geodesic_line_sample_df(lines, n_points=5, f_=0.0)
+    return out.select(
+        "line_id", "k",
+        _i(F.col("wp_lon"), 10000000).alias("wp_lon_e7"),
+        _i(F.col("wp_lat"), 10000000).alias("wp_lat_e7"),
+    )
+
+
+def _sql_geodesic_waypoints_sphere() -> str:
+    """DuckDB twin of _q_geodesic_waypoints_sphere: great-circle slerp
+    via unit vectors — wp = (sin((1-t)w)*A + sin(t*w)*B)/sin(w) with w
+    the central angle; exact on the sphere, 1e-7 deg integerization
+    absorbs formulation ulps."""
+    d2r = "(pi() / 180.0)"
+    lines = (
+        "select event_id as line_id, lon as lon1, lat as lat1, "
+        "(event_id * 31 % 360000) / 1000.0 - 180.0 as lon2, "
+        "(event_id * 73 % 170000) / 1000.0 - 85.0 as lat2 "
+        f"from ({GEO_SQL_SRC}) where event_id % 97 = 0"
+    )
+    return f"""
+with lines as ({lines}),
+uv as (
+  select line_id, lon1, lat1, lon2, lat2,
+    cos(lat1 * {d2r}) * cos(lon1 * {d2r}) as ax,
+    cos(lat1 * {d2r}) * sin(lon1 * {d2r}) as ay,
+    sin(lat1 * {d2r}) as az,
+    cos(lat2 * {d2r}) * cos(lon2 * {d2r}) as bx,
+    cos(lat2 * {d2r}) * sin(lon2 * {d2r}) as by,
+    sin(lat2 * {d2r}) as bz
+  from lines
+),
+ang as (
+  select *, atan2(
+    sqrt(pow(ay * bz - az * by, 2) + pow(az * bx - ax * bz, 2)
+         + pow(ax * by - ay * bx, 2)),
+    ax * bx + ay * by + az * bz) as w
+  from uv
+),
+wps as (
+  -- w ~ 0 (degenerate identical endpoints): every waypoint is A
+  select line_id, k, w,
+    case when w < 1e-12 then ax else
+      (sin((1.0 - k / 4.0) * w) * ax + sin((k / 4.0) * w) * bx) / sin(w)
+    end as px,
+    case when w < 1e-12 then ay else
+      (sin((1.0 - k / 4.0) * w) * ay + sin((k / 4.0) * w) * by) / sin(w)
+    end as py,
+    case when w < 1e-12 then az else
+      (sin((1.0 - k / 4.0) * w) * az + sin((k / 4.0) * w) * bz) / sin(w)
+    end as pz
+  from ang cross join (select unnest(range(5)) as k)
+)
+-- the -180 -> +180 fold mirrors the engine's AngNormalize convention
+select line_id, cast(k as int) as k,
+  case when cast(round(atan2(py, px) / {d2r} * 10000000.0, 0) as bigint)
+            = -1800000000 then 1800000000
+       else cast(round(atan2(py, px) / {d2r} * 10000000.0, 0) as bigint)
+  end as wp_lon_e7,
+  cast(round(asin(greatest(-1.0, least(1.0, pz / sqrt(px*px + py*py + pz*pz))))
+       / {d2r} * 10000000.0, 0) as bigint) as wp_lat_e7
+from wps
+"""
+
+
 def _q_alt_op_select(spark, sf_dir):
     """Per-point alternative-operation selection + retry
     (src/4D_api.cpp:204-364 over a static candidate list): UTM zone 32
@@ -1213,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alt_op_select": _q_alt_op_select,
         "polygon_area_sphere": _q_polygon_area_sphere,
         "knn_karney_sphere": _q_knn_karney_sphere,
+        "geodesic_waypoints_sphere": _q_geodesic_waypoints_sphere,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1488,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         # lists and in-bucket/in-list exact cosine from the same parquet
         "alt_op_select": _sql_alt_op_select(),
         "polygon_area_sphere": _sql_polygon_area_sphere(),
+        "geodesic_waypoints_sphere": _sql_geodesic_waypoints_sphere(),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, dim=64, seed=42,
                                      multiprobe=2, k=5),
         "ann_ivf_topk": _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64,
