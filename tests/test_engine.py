@@ -369,3 +369,61 @@ def test_geodesic_dataframe_surface(spark):
     assert np.abs(out["d_lat2"] - out["lat2"]).max() < 1e-9
     dlon = np.abs((out["d_lon2"] - out["lon2"] + 180.0) % 360.0 - 180.0)
     assert dlon.max() < 1e-8
+
+
+def test_binary_uv_stream_roundtrip_and_cli_parity():
+    """The `proj -b` wire format (src/apps/proj.cpp:65-67,127-130):
+    raw native float64 PJ_UV records, radians in, meters out — byte
+    roundtrip exact, and the stream transform equals the ASCII-path
+    engine value-for-value (builtins.gie:6102 vector)."""
+    import numpy as np
+
+    from proj_4_spark.engine.plan import create_operation
+    from proj_4_spark.sources.binary_stream import (
+        decode_uv, encode_uv, proj_binary_stream,
+    )
+
+    deg = np.pi / 180
+    u = np.array([12 * deg, 8.5 * deg, -72 * deg])
+    v = np.array([56 * deg, 47.25 * deg, -33 * deg])
+    blob = encode_uv(u, v)
+    u2, v2 = decode_uv(blob)
+    assert np.array_equal(u, u2) and np.array_equal(v, v2)
+    # trailing partial record ignored (fread semantics)
+    u3, _ = decode_uv(blob + b"\x00" * 7)
+    assert len(u3) == 3
+
+    out = proj_binary_stream(blob, "+proj=utm +zone=32 +ellps=GRS80")
+    x, y = decode_uv(out)
+    op = create_operation("+proj=utm +zone=32 +ellps=GRS80", emulation=False)
+    ex, ey, _, _ = op.apply(u, v, np.zeros(3), np.zeros(3))
+    assert np.array_equal(x, ex) and np.array_equal(y, ey)
+    assert x[0] == pytest.approx(687071.43910944, abs=1e-7)  # gie pin
+
+    # inverse direction round-trips the stream
+    back = proj_binary_stream(out, "+proj=utm +zone=32 +ellps=GRS80",
+                              direction="inv")
+    bu, bv = decode_uv(back)
+    assert np.allclose(bu, u, atol=1e-12) and np.allclose(bv, v, atol=1e-12)
+
+
+def test_binary_uv_stream_spark_source(spark, tmp_path):
+    import numpy as np
+
+    from proj_4_spark.sources.binary_stream import encode_uv, read_uv_stream_df
+
+    deg = np.pi / 180
+    rng = np.random.Generator(np.random.PCG64(3))
+    for i in range(3):  # three shard files = three parallel tasks
+        u = rng.uniform(-3, 3, 50) * deg * 57
+        v = rng.uniform(-80, 80, 50) * deg
+        (tmp_path / f"shard{i}.bin").write_bytes(
+            encode_uv(u * 0 + rng.uniform(-1, 1, 50), v))
+    df = read_uv_stream_df(spark, str(tmp_path),
+                           projstring="+proj=merc +ellps=GRS80")
+    got = df.toPandas()
+    assert len(got) == 150
+    assert set(got["idx"]) == set(range(50))
+    assert got["x"].notna().all()
+    # x = a * lam for merc: exact linear relation
+    assert np.allclose(got["x"], 6378137.0 * got["u"], rtol=1e-15)
