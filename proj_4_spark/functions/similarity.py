@@ -246,11 +246,17 @@ def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
         # index of the max element (JVM-side, no UDF)
         return F.array_position(arr, F.array_max(arr)).cast("int") - 1
 
+    # two-step projection: _argmax references its input twice, and
+    # CollapseProject keeps non-cheap expressions (the pandas UDF at
+    # production dims) in their own projection instead of inlining the
+    # matmul twice per row
     corpus = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         _norm_col(F.col(vec_col)).alias("v_norm"),
-        _argmax(centroid_dots_col(F.col(vec_col), cents)).alias("list_id"),
-    ).repartition("list_id")
+        centroid_dots_col(F.col(vec_col), cents).alias("_cd"),
+    )
+    corpus = corpus.withColumn("list_id", _argmax(F.col("_cd"))) \
+                   .drop("_cd").repartition("list_id")
 
     q = query_df.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
