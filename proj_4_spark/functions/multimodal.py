@@ -128,6 +128,87 @@ def frame_sample(media_df, payload_col: str = "payload", meta_col: str = "meta",
     return media_df.mapInPandas(gen, schema=schema)
 
 
+def resize_array(arr: np.ndarray, height: int, width: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Pure-NumPy image resize, (H, W[, C]) uint8 -> (height, width[, C]).
+
+    Half-pixel-center sampling (the OpenCV/PIL convention): source
+    coordinate of output pixel i is (i + 0.5) * scale - 0.5, clamped.
+    `bilinear` is separable gather + lerp (fully vectorized); `nearest`
+    is a pure integer gather.  Bilinear of a linear ramp is exact —
+    pinned in tests."""
+    arr = np.asarray(arr)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+
+    def src_coords(n_out, n_in):
+        x = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        return np.clip(x, 0.0, n_in - 1.0)
+
+    ys, xs = src_coords(height, h), src_coords(width, w)
+    if method == "nearest":
+        out = arr[np.round(ys).astype(np.int64)[:, None],
+                  np.round(xs).astype(np.int64)[None, :]]
+    elif method == "bilinear":
+        y0 = np.floor(ys).astype(np.int64)
+        x0 = np.floor(xs).astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        a = arr[y0[:, None], x0[None, :]].astype(np.float64)
+        b = arr[y0[:, None], x1[None, :]].astype(np.float64)
+        cc = arr[y1[:, None], x0[None, :]].astype(np.float64)
+        d = arr[y1[:, None], x1[None, :]].astype(np.float64)
+        top = a + (b - a) * fx
+        bot = cc + (d - cc) * fx
+        out = np.clip(np.round(top + (bot - top) * fy), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_images(media_df, height: int, width: int,
+                  method: str = "bilinear",
+                  payload_col: str = "payload", meta_col: str = "meta",
+                  fake: bool = False):
+    """Image resize over a binary media column: decode (real codecs) ->
+    resize_array -> re-encode as PNG; non-image rows pass through
+    untouched.  mapInPandas, bytes never materialize in JVM rows.
+
+    Adds out_width/out_height columns; payload is replaced for images."""
+    from proj_4_spark.functions.codecs import encode_png
+
+    decode = _fake_decode if fake else _real_decode
+
+    def gen(batches):
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
+                if meta["media_type"] != "image":
+                    payloads.append(payload)
+                    ws.append(meta["width"])
+                    hs.append(meta["height"])
+                    continue
+                arr = decode(payload, "image")
+                small = resize_array(arr, height, width, method)
+                payloads.append(encode_png(small))
+                ws.append(width)
+                hs.append(height)
+            out = pdf.copy()
+            out[payload_col] = payloads
+            out["out_width"] = np.asarray(ws, dtype=np.int32)
+            out["out_height"] = np.asarray(hs, dtype=np.int32)
+            yield out
+
+    schema = ", ".join(
+        f"{c} {t}" for c, t in media_df.dtypes
+    ) + ", out_width int, out_height int"
+    return media_df.mapInPandas(gen, schema=schema)
+
+
 def synth_media_table(spark, n: int = 200, seed: int = 42, real: bool = True):
     """Deterministic media table for tests/bench.  With real=True the
     payloads are genuine BMP / PCM16-WAV / Y4M bytes (encoded by the

@@ -381,3 +381,59 @@ def test_multimodal_png_payload(spark):
         # lossless roundtrip
         assert f[0] == pytest.approx(im.mean(), abs=1e-9)
         assert f[3] == im.max() and f[2] == im.min()
+
+
+def test_resize_array_exactness():
+    from proj_4_spark.functions.multimodal import resize_array
+
+    # nearest: integer 2x downscale picks exact source pixels
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    nn = resize_array(src, 4, 4, method="nearest")
+    # half-pixel centers: output (i,j) samples source (2i+0.5, 2j+0.5)
+    # -> round() ties-to-even picks pixel 2i (0.5 rounds to 0, 2.5 to 2)
+    assert nn.shape == (4, 4)
+    assert nn[0, 0] == src[0, 0] and nn[3, 3] == src[6, 6]
+
+    # bilinear of a linear ramp is EXACT at any scale
+    ramp = np.add.outer(np.arange(0, 160, 10), np.arange(0, 16)) \
+             .astype(np.uint8)  # 16x16 linear
+    up = resize_array(ramp, 31, 31, method="bilinear").astype(np.float64)
+    ys = np.clip((np.arange(31) + 0.5) * (16 / 31) - 0.5, 0, 15)
+    xs = np.clip((np.arange(31) + 0.5) * (16 / 31) - 0.5, 0, 15)
+    expect = np.round(np.add.outer(ys * 10, xs))
+    assert np.array_equal(up, expect)
+
+    # channels preserved independently
+    rgb = np.stack([ramp, ramp[::-1], ramp.T], axis=-1)
+    out = resize_array(rgb, 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out[:, :, 0], resize_array(ramp, 8, 8))
+
+    # identity resize is a no-op
+    assert np.array_equal(resize_array(rgb, 16, 16), rgb)
+
+
+def test_resize_images_spark(spark):
+    from proj_4_spark.functions.codecs import decode_png
+    from proj_4_spark.functions.multimodal import (
+        resize_array, resize_images, synth_media_table,
+    )
+    from proj_4_spark.functions.codecs import sniff_and_decode
+
+    media = synth_media_table(spark, 30)
+    out = resize_images(media, 8, 8).toPandas()
+    assert len(out) == 30
+    imgs = out[[m["media_type"] == "image" for m in out["meta"]]]
+    assert (imgs["out_width"] == 8).all() and (imgs["out_height"] == 8).all()
+    # resized payloads are real PNGs of the right shape, values equal to
+    # a local decode->resize of the same source payload
+    src = synth_media_table(spark, 30).toPandas().set_index("media_id")
+    for _, row in imgs.iterrows():
+        got = decode_png(bytes(row["payload"]))
+        assert got.shape == (8, 8, 3)
+        arr, _ = sniff_and_decode(bytes(src.loc[row["media_id"], "payload"]))
+        assert np.array_equal(got, resize_array(arr, 8, 8))
+    # non-images untouched byte-for-byte
+    others = out[[m["media_type"] != "image" for m in out["meta"]]]
+    for _, row in others.iterrows():
+        assert bytes(row["payload"]) == bytes(src.loc[row["media_id"], "payload"])
