@@ -47,13 +47,18 @@ class Candidate:
     src/proj_internal.h: pj + accuracy + area-of-use bboxes + flags)."""
 
     op: Operation
-    # area of use, degrees: (minx/west, miny/south, maxx/east, maxy/north)
+    # area of use: (minx/west, miny/south, maxx/east, maxy/north).
+    # bbox_units="degrees" (the EPSG convention; compared in radians
+    # against angular inputs) or "native" (source-CRS units — projected
+    # meters — matching how proj_create_crs_to_crs stores minxSrc etc.
+    # transformed into source coordinates).
     bbox_src: tuple[float, float, float, float]
     bbox_dst: tuple[float, float, float, float] | None = None
     accuracy: float = -1.0  # < 0: unknown (4D_api.cpp accuracy semantics)
     is_offshore: bool = False
     needs_grids: bool = False
     name: str = ""
+    bbox_units: str = "degrees"
 
     def __post_init__(self):
         if self.bbox_dst is None:
@@ -84,8 +89,10 @@ class AltOperation:
             raise ValueError("need at least one candidate")
         self.candidates = list(candidates)
         d2r = np.pi / 180.0
-        self._src = np.array([c.bbox_src for c in candidates]) * d2r
-        self._dst = np.array([c.bbox_dst for c in candidates]) * d2r
+        scale = np.array([[d2r if c.bbox_units == "degrees" else 1.0]
+                          for c in candidates])
+        self._src = np.array([c.bbox_src for c in candidates]) * scale
+        self._dst = np.array([c.bbox_dst for c in candidates]) * scale
         self._acc = np.array([c.accuracy for c in candidates])
         self._off = np.array([c.is_offshore for c in candidates])
 

@@ -4,14 +4,18 @@
 reference's data/sql/ignf.sql (sources/initfiles._IGNF_PRESETS); the NTF
 legs ride the real ntf_r93.gsb grid.
 
-28 of 34 lines match string-exact.  Documented exceptions:
+28 of 34 lines match string-exact in the main replay.  Documented
+exceptions:
 - 3 lines sit within ~1 mm of the printed rounding boundary (the grid
   roundtrip differs from the reference's DB pipeline at the 0.1 mm
   level) -> compared numerically at 2 mm;
 - 2 lines are the Corsica point OUTSIDE the ntf_r93 grid, where the
   reference's CRS database falls back to a per-point alternative
-  operation (the proj.db operation-selection machinery, declared out of
-  scope in SURVEY.md §7.7) while the grid chain falls through to null;
+  operation — REPLAYED STRING-EXACT in
+  test_ignf_corsica_alternative_operation below via engine/altops
+  (grid candidate fails outside coverage -> retry -> the IGNF
+  -168,-60,320 helmert), closing the r2 "needs DB route selection"
+  gap for these lines;
 - 1 line (RGR92 -> REUN47 geocentric) matches to ~1 m: the reference's
   DB route for this pair is not the plain TSG601 helmert (no helmert
   variant/convention reproduces its output exactly) -> compared at 2 m.
@@ -84,3 +88,43 @@ def test_ignf_golden_replay():
             failures.append((cur, inp, mine, golden))
     assert not failures, failures[:6]
     assert n_exact >= 28
+
+
+def test_ignf_corsica_alternative_operation():
+    """The two skipped Corsica lines, replayed through the per-point
+    alternative-operation machinery (engine/altops): the grid candidate
+    (ntf_r93.gsb WITHOUT the null fallback) fails outside coverage, the
+    retry selects the IGNF NTF->RGF93 3-param helmert (-168,-60,320),
+    and the output matches proj_outIGNF.dist STRING-EXACT.  Mainland
+    points must keep routing through the grid (chosen 0) with their
+    existing golden output."""
+    from proj_4_spark.engine.altops import AltOperation, Candidate
+    from proj_4_spark.engine.plan import create_crs_to_crs
+
+    lambe_grid = (
+        "+proj=lcc +nadgrids=ntf_r93.gsb +a=6378249.2 +rf=293.466021 "
+        "+pm=2.337229167 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+        "+lat_1=46.8 +x_0=600000 +y_0=2200000 +units=m +no_defs")
+    lambe_helm = lambe_grid.replace("+nadgrids=ntf_r93.gsb",
+                                    "+towgs84=-168,-60,320")
+    BIG = (-1e30, -1e30, 1e30, 1e30)
+    cases = [
+        ("+init=IGNF:LAMB93",
+         "1238837.253\t5057451.037 0.000", "645204.279\t6133556.746 0.000"),
+        ("+init=IGNF:GEOPORTALFXX",
+         "658259.467\t3623786.764 0.000", "179047.633\t4708817.007 0.000"),
+    ]
+    for dst, corsica_golden, mainland_golden in cases:
+        alt = AltOperation([
+            Candidate(op=create_crs_to_crs(lambe_grid, dst), bbox_src=BIG,
+                      accuracy=0.05, needs_grids=True, bbox_units="native"),
+            Candidate(op=create_crs_to_crs(lambe_helm, dst), bbox_src=BIG,
+                      accuracy=2.0, needs_grids=False, bbox_units="native"),
+        ])
+        x = np.array([1203792.5981, 600000.0])       # corsica, mainland
+        y = np.array([626873.17210, 1699510.8340])
+        ox, oy, oz, _, chosen = alt.apply(x, y, np.zeros(2), np.zeros(2))
+        assert chosen.tolist() == [1, 0]
+        got = [f"{ox[i]:.3f}\t{oy[i]:.3f} {oz[i]:.3f}" for i in range(2)]
+        assert got[0] == corsica_golden, (dst, got[0])
+        assert got[1] == mainland_golden, (dst, got[1])
