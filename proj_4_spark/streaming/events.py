@@ -155,3 +155,31 @@ def stream_exact_dedup(stream_df, id_col: str = "doc_id",
     # Spark < 3.5 fallback: include the event-time column in the key so
     # watermark eviction applies (semantics: unique per (hash, ts)).
     return deduped.dropDuplicates(["text_hash", ts_col])
+
+
+def stream_geo_tiles(stream_df, projstring: str = "+proj=webmerc +ellps=WGS84",
+                     ts_col: str = "ts", lon_col: str = "lon",
+                     lat_col: str = "lat", zoom: int = 8,
+                     window: str = "10 minutes", watermark: str = "15 minutes"):
+    """The flagship doc-geo pipeline as a STREAM: Arrow-batched
+    projection transform -> JVM integer tile assignment -> event-time
+    windowed tile histogram with a watermark bounding late-data state.
+
+    Composes the batch building blocks unchanged (engine/spark.transform
+    + spatial/tiles.assign_tiles are plan-level constructs, so they work
+    on streaming DataFrames as-is) — the streaming twin of
+    __spark_entry__'s docs_geo_pipeline/webmerc_tiles."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.spatial.tiles import assign_tiles
+
+    wm = transform(stream_df.withWatermark(ts_col, watermark), projstring,
+                   x=lon_col, y=lat_col, out_prefix="wm_", keep_errors=False)
+    tiled = assign_tiles(wm, x="wm_x", y="wm_y", zoom=zoom)
+    return (
+        tiled.groupBy(F.window(F.col(ts_col), window), "tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"),
+                "tile_x", "tile_y", "n")
+    )

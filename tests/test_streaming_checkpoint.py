@@ -275,3 +275,59 @@ def test_stream_dedup_state_evicts_at_watermark(spark, tmp_path):
     assert texts.count("dup") == 2, got  # one per horizon, not one total
     assert texts.count("other") == 1 and texts.count("advance") == 1
     assert 0 in got["doc_id"].values and 4 in got["doc_id"].values
+
+
+def test_stream_geo_tiles_matches_batch(spark, tmp_path):
+    """Streaming transform->tile histogram == the batch computation over
+    the same replayed events (stream/batch parity of the geo path)."""
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.spatial.tiles import assign_tiles
+    from proj_4_spark.streaming.events import stream_geo_tiles
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = []
+    for i in range(2000):
+        rows.append((i, base + pd.Timedelta(seconds=i * 7),
+                     (i * 7919 % 360000) / 1000.0 - 180.0,
+                     (i * 104729 % 170000) / 1000.0 - 85.0))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "lon", "lat"])
+    ).select("event_id", F.col("ts").cast("timestamp"), "lon", "lat")
+    src.write.mode("overwrite").parquet(str(tmp_path / "geo_in"))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "geo_in"))
+    q = (stream_geo_tiles(stream, zoom=6, window="10 minutes",
+                          watermark="5 minutes")
+         .writeStream.format("memory").queryName("geo_tiles")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "geo_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("select * from geo_tiles").toPandas()
+           .sort_values(["window_start", "tile_x", "tile_y"])
+           .reset_index(drop=True))
+
+    wm = transform(src, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                   out_prefix="wm_", keep_errors=False)
+    batch = (assign_tiles(wm, x="wm_x", y="wm_y", zoom=6)
+             .groupBy(F.window("ts", "10 minutes"), "tile_x", "tile_y")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("window.start").alias("window_start"),
+                     "tile_x", "tile_y", "n")
+             .toPandas()
+             .sort_values(["window_start", "tile_x", "tile_y"])
+             .reset_index(drop=True))
+    # append mode emits only windows the watermark closed (end <=
+    # max_ts - 5 min); everything else must match batch exactly
+    import pandas as pd
+
+    max_ts = pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=1999 * 7)
+    horizon = max_ts - pd.Timedelta(minutes=5)
+    closed = batch[batch["window_start"] + pd.Timedelta(minutes=10) <= horizon]
+    assert len(got) >= len(closed), (len(got), len(closed))
+    merged = got.merge(batch, on=["window_start", "tile_x", "tile_y"],
+                       suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["n_s"] == merged["n_b"]).all()
