@@ -59,6 +59,11 @@ class Candidate:
     needs_grids: bool = False
     name: str = ""
     bbox_units: str = "degrees"
+    # projstring spec when built via from_projstring: lets the Spark
+    # surface ship the (tiny) string and rebuild the operation — with
+    # its loaded grids — ON THE WORKER instead of pickling megabytes of
+    # grid arrays into the UDF closure of every task binary
+    spec: str | None = None
 
     def __post_init__(self):
         if self.bbox_dst is None:
@@ -69,6 +74,7 @@ class Candidate:
         needs = "+grids=" in projstring or "grids=" in projstring
         kw.setdefault("needs_grids", needs)
         kw.setdefault("name", projstring)
+        kw.setdefault("spec", projstring)
         return cls(op=create_operation(projstring, emulation=False),
                    bbox_src=tuple(float(v) for v in bbox_src), **kw)
 
@@ -173,26 +179,62 @@ class AltOperation:
         return ox, oy, oz, ot, chosen
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_alt_operation(meta: tuple) -> "AltOperation":
+    """Worker-side AltOperation rebuild from (spec, bboxes, ...) tuples
+    — one construction (incl. grid loads) per worker process."""
+    cands = [
+        Candidate(op=create_operation(spec, emulation=False),
+                  bbox_src=bs, bbox_dst=bd, accuracy=acc, is_offshore=off,
+                  needs_grids=ng, name=nm, bbox_units=bu, spec=spec)
+        for spec, bs, bd, acc, off, ng, nm, bu in meta
+    ]
+    return AltOperation(cands)
+
+
 def alt_transform(df, candidates: list[Candidate],
                   lon: str = "lon", lat: str = "lat",
                   out_prefix: str = "", degrees: bool = True,
                   with_chosen: bool = True):
     """DataFrame surface: per-point alternative-operation selection over
-    degree lon/lat columns via one Arrow-batched pandas UDF (the
-    candidate list, incl. loaded grids, ships as a closure broadcast).
+    degree lon/lat columns via one Arrow-batched pandas UDF.
+
+    When every candidate carries a projstring `spec` (the
+    from_projstring path), only the specs + metadata ship to workers
+    and each worker rebuilds (and caches) the operations — grids load
+    once per worker from their own search path, never through the task
+    binary.  Candidates with bespoke ops (no spec) fall back to closure
+    pickling.
 
     Returns df plus columns {x, y, chosen_op} (prefix-able)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    alt = AltOperation(candidates)
     d2r = np.pi / 180.0
+    if all(c.spec is not None for c in candidates):
+        meta = tuple(
+            (c.spec, tuple(c.bbox_src), tuple(c.bbox_dst), c.accuracy,
+             c.is_offshore, c.needs_grids, c.name, c.bbox_units)
+            for c in candidates
+        )
+
+        def _get_alt():
+            return _cached_alt_operation(meta)
+    else:
+        alt_obj = AltOperation(candidates)
+
+        def _get_alt():
+            return alt_obj
 
     @pandas_udf("struct<x: double, y: double, chosen: int>")
     def _alt(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
         if len(lo) == 0:
             return pd.DataFrame({"x": [], "y": [], "chosen": []})
+        alt = _get_alt()
         lam = lo.to_numpy(np.float64) * (d2r if degrees else 1.0)
         phi = la.to_numpy(np.float64) * (d2r if degrees else 1.0)
         zz = np.zeros_like(lam)
