@@ -1,0 +1,105 @@
+"""spark-submit entry point for the interleaved-document geo pipeline.
+
+The north-rule deployment shape: the engine ships as a --py-files zip,
+this script is the driver program, and the job is RESUMABLE — processed
+doc_ids snapshot per stage and an anti-join skips them on restart —
+with per-partition lineage/metrics written next to the output.
+
+    zip -r proj_4_spark.zip proj_4_spark/
+    spark-submit --master <cluster> --py-files proj_4_spark.zip \
+        jobs/geo_pipeline_job.py \
+        --input  /path/to/docs.parquet   # (doc_id, spans) interleaved \
+        --output /path/to/tiles_out      \
+        --run-id run-2026-08-16 [--zoom 8] [--resume]
+
+Pipeline: scan -> posexplode media spans -> regexp geo-tag parse (JVM)
+-> fused webmerc transform UDF -> integer tile assignment -> tile
+histogram; plus lineage rows (partition id, row counts) and transform
+error counts per partition.  On a real cluster the input is an Iceberg
+table; snapshots then ride Iceberg metadata (sources/checkpoint.py
+documents the swap-in) — the parquet snapshot path below is the
+sandbox-portable fallback.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="parquet of interleaved docs (doc_id, spans)")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--zoom", type=int, default=8)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip doc_ids recorded in a previous snapshot")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName(f"geo-pipeline-{args.run_id}")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.docs.media import explode_media_points
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.sources.checkpoint import (
+        read_lineage,
+        remaining_docs,
+        transform_error_counts,
+        with_partition_lineage,
+        write_snapshot,
+    )
+    from proj_4_spark.spatial.tiles import assign_tiles
+
+    snap_dir = os.path.join(args.output, "_snapshots")
+    metrics_dir = os.path.join(args.output, "_metrics")
+
+    docs = spark.read.parquet(args.input)
+    if args.resume:
+        docs = remaining_docs(docs, spark, snap_dir, "tiles")
+
+    pts = with_partition_lineage(
+        explode_media_points(docs), args.run_id, "extract",
+        metrics_dir=metrics_dir)
+    wm = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                   out_prefix="wm_", keep_errors=True)
+    errs = transform_error_counts(wm, "wm_x").toPandas()
+    ok = wm.where(F.col("wm_x").isNotNull() & ~F.isnan("wm_x"))
+    tiles = (assign_tiles(ok, x="wm_x", y="wm_y", zoom=args.zoom)
+             .groupBy("zoom", "tile_x", "tile_y")
+             .agg(F.count("*").alias("n")))
+    tiles.write.mode("overwrite").parquet(os.path.join(args.output, "tiles"))
+
+    # mark processed docs for resumability AFTER the output commit
+    write_snapshot(docs.select("doc_id"), snap_dir, "tiles",
+                   mode="append" if args.resume else "overwrite")
+
+    lineage = read_lineage(spark, metrics_dir, args.run_id, "extract").toPandas()
+    summary = {
+        "run_id": args.run_id,
+        "docs_processed": int(docs.count()),
+        "points": int(lineage["n_rows"].sum()) if len(lineage) else 0,
+        "partitions": int(len(lineage)),
+        "transform_errors": int(errs["n_errors"].sum()) if len(errs) else 0,
+        "tiles": int(spark.read.parquet(
+            os.path.join(args.output, "tiles")).count()),
+    }
+    print("GEO_PIPELINE_SUMMARY " + json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

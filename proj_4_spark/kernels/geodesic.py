@@ -459,8 +459,11 @@ class Geodesic:
             salp0 = salp1 * cbet1
             calp0 = np.hypot(calp1, salp1 * sbet1)
             nz = (calp0 != 0) & (salp0 != 0)
-            a_ssig1, a_csig1 = _norm2(sbet1, calp1 * cbet1)
-            a_ssig2, a_csig2 = _norm2(sbet2, calp2 * cbet2)
+            # lanes with calp0 == salp0 == 0 are masked out below (the C
+            # code guards them before computing); silence their 0/0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a_ssig1, a_csig1 = _norm2(sbet1, calp1 * cbet1)
+                a_ssig2, a_csig2 = _norm2(sbet2, calp2 * cbet2)
             k2 = calp0**2 * g.ep2
             a_eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
             A4 = g.a**2 * calp0 * salp0 * g.e2
