@@ -75,6 +75,10 @@ def main(argv=None):
         metrics_dir=metrics_dir)
     wm = transform(pts, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
                    out_prefix="wm_", keep_errors=True)
+    # cache: the transformed points feed BOTH the error accounting and
+    # the tile write — without it the whole pipeline (and the lineage
+    # side-channel) would execute twice
+    wm = wm.cache()
     errs = transform_error_counts(wm, "wm_x").toPandas()
     ok = wm.where(F.col("wm_x").isNotNull() & ~F.isnan("wm_x"))
     tiles = (assign_tiles(ok, x="wm_x", y="wm_y", zoom=args.zoom)

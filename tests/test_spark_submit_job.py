@@ -76,6 +76,11 @@ def test_spark_submit_geo_pipeline(tmp_path):
               .orderBy("tile_x", "tile_y").toPandas())
     assert len(got) == len(expect)
     assert (got["n"].to_numpy() == expect["n"].to_numpy()).all()
+    # lineage counted each point exactly ONCE (the wm cache prevents the
+    # error-accounting action from re-running the pipeline)
+    from proj_4_spark.docs.media import explode_media_points
+    n_pts = explode_media_points(spark.read.parquet(input_path)).count()
+    assert summary["points"] == n_pts, (summary["points"], n_pts)
 
     # resumability: a second run with --resume processes 0 new docs
     res2 = subprocess.run(
