@@ -156,3 +156,39 @@ def test_line_sample_df(spark):
     lons = got["wp_lon"].to_numpy()
     seg, _, _, _ = g.inverse(lats[:-1], lons[:-1], lats[1:], lons[1:])
     assert np.allclose(seg, seg[0], rtol=1e-9)
+
+
+def test_polygon_area_properties():
+    """Property checks (hypothesis-style over seeded samples):
+    - reversing vertex order negates the signed area (sign=True);
+    - splitting a convex polygon along a diagonal: areas add;
+    - perimeter is rotation-invariant (cyclic shift of vertices)."""
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        cx = rng.uniform(-150, 150)
+        cy = rng.uniform(-60, 60)
+        k = int(rng.integers(4, 9))
+        radius = rng.uniform(0.5, 6.0)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        lons = cx + radius * np.cos(ang)
+        lats = cy + radius * np.sin(ang)
+
+        a_fwd, p_fwd, _ = geodesic_polygon_area(lons, lats)
+        a_rev, p_rev, _ = geodesic_polygon_area(lons[::-1], lats[::-1])
+        assert a_rev == pytest.approx(-a_fwd, rel=0, abs=1e-3)
+        assert p_rev == pytest.approx(p_fwd, abs=1e-6)
+
+        # split along the 0 -> j diagonal (convex by construction)
+        j = k // 2
+        a1, _, _ = geodesic_polygon_area(lons[:j + 1], lats[:j + 1])
+        a2, _, _ = geodesic_polygon_area(
+            np.concatenate([lons[j:], lons[:1]]),
+            np.concatenate([lats[j:], lats[:1]]))
+        assert a1 + a2 == pytest.approx(a_fwd, rel=1e-9, abs=1e-2), trial
+
+        # cyclic shift: same polygon
+        s = int(rng.integers(1, k))
+        a_shift, p_shift, _ = geodesic_polygon_area(
+            np.roll(lons, s), np.roll(lats, s))
+        assert a_shift == pytest.approx(a_fwd, rel=0, abs=1e-3)
+        assert p_shift == pytest.approx(p_fwd, abs=1e-6)
