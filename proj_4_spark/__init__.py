@@ -15,9 +15,17 @@ Architecture (SURVEY.md §7):
   functions/ text analysis, dedup, similarity
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
+from proj_4_spark.engine.altops import (  # noqa: F401
+    AltOperation,
+    Candidate,
+)
 from proj_4_spark.engine.plan import (  # noqa: F401
     create_crs_to_crs,
     create_operation,
+)
+from proj_4_spark.kernels.geodesic import (  # noqa: F401
+    geodesic_polygon_area,
+    geodesic_polyline_length,
 )

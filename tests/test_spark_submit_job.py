@@ -35,7 +35,6 @@ def test_spark_submit_geo_pipeline(tmp_path):
 
     # input: the committed interleaved-docs fixture (doc_id, spans)
     sys.path.insert(0, REPO)
-    from proj_4_spark.sources.fixtures import ensure_fixture
     import __spark_entry__ as E
 
     input_path = E._docs_fixture_path()
