@@ -198,7 +198,7 @@ def _cached_alt_operation(meta: tuple) -> "AltOperation":
 def alt_transform(df, candidates: list[Candidate],
                   lon: str = "lon", lat: str = "lat",
                   out_prefix: str = "", degrees: bool = True,
-                  with_chosen: bool = True):
+                  with_chosen: bool = True, direction: str = "fwd"):
     """DataFrame surface: per-point alternative-operation selection over
     degree lon/lat columns via one Arrow-batched pandas UDF.
 
@@ -238,7 +238,7 @@ def alt_transform(df, candidates: list[Candidate],
         lam = lo.to_numpy(np.float64) * (d2r if degrees else 1.0)
         phi = la.to_numpy(np.float64) * (d2r if degrees else 1.0)
         zz = np.zeros_like(lam)
-        x, y, _, _, chosen = alt.apply(lam, phi, zz, zz.copy(), "fwd")
+        x, y, _, _, chosen = alt.apply(lam, phi, zz, zz.copy(), direction)
         return pd.DataFrame({"x": x, "y": y,
                              "chosen": chosen.astype(np.int32)})
 

@@ -261,6 +261,8 @@ def geodesic_line_sample_df(df, n_points: int,
     (k, frac, wp_lon, wp_lat, wp_azi)."""
     from pyspark.sql import functions as F
 
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2 (both endpoints)")
     solved = geodesic_inverse_df(df, lon1, lat1, lon2, lat2,
                                  a=a, f_=f_, out_prefix="_ls_")
     solved = solved.withColumn(
