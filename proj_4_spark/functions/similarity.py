@@ -216,11 +216,66 @@ def centroid_dots_col(vec_col, cents: np.ndarray, use_pandas: bool | None = None
     return _cd(vec_col)
 
 
+def train_centroids(emb_df, n_centroids: int, dim: int, n_iter: int = 5,
+                    seed: int = 42, vec_col: str = "embedding",
+                    normalize: bool = True) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) for the IVF coarse
+    quantizer: assignment is one centroid_dots_col argmax pass (JVM or
+    Arrow-matmul path by dim), the update is ONE groupBy aggregation per
+    iteration with map-side partial sums (F.aggregate element-wise sum
+    over the vector column — no Python in the update).
+
+    Returns (n_centroids, dim) float64 unit centroids, deterministic
+    given the seed (empty clusters keep their previous centroid).
+    Scale shape per iteration: one scan + one shuffle of n_centroids*dim
+    partial sums — independent of corpus size beyond the scan."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    base = emb_df.select(F.col(vec_col).alias("v"))
+    for _ in range(n_iter):
+        cd = centroid_dots_col(F.col("v"), cents)
+        assigned = base.select(
+            "v",
+            (F.array_position(cd, F.array_max(cd)).cast("int") - 1)
+            .alias("list_id"),
+        )
+        # element-wise sums via posexplode + hash aggregate: map-side
+        # partial aggregation shrinks the shuffle to n_centroids*dim
+        # partials per task regardless of corpus size (collect_list-style
+        # per-cluster materialization would not)
+        sums = (assigned
+                .select("list_id", F.posexplode("v").alias("i", "val"))
+                .groupBy("list_id", "i")
+                .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                     F.count("*").alias("n"))
+                .collect())
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids, dtype=np.int64)
+        for row in sums:
+            acc[row["list_id"], row["i"]] = row["s"]
+            cnt[row["list_id"]] = row["n"]
+        new = cents.copy()
+        nz = cnt > 0
+        means = acc[nz] / cnt[nz, None]
+        if normalize:
+            nrm = np.linalg.norm(means, axis=1, keepdims=True)
+            means = np.where(nrm > 0, means / np.where(nrm == 0, 1, nrm),
+                             means)
+        new[nz] = means
+        cents = new
+    return cents
+
+
 def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
              n_probe: int = 4, dim: int | None = None, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "embedding",
-             raw_cosine: bool = False):
+             raw_cosine: bool = False,
+             centroids: np.ndarray | None = None):
     """ANN via IVF (inverted-file) coarse quantization: corpus vectors
     are assigned to their nearest of `n_centroids` fixed random-unit
     centroids (one JVM-side argmax over dot products — no k-means
@@ -238,9 +293,13 @@ def ivf_topk(emb_df, query_df, k: int = 5, n_centroids: int = 16,
 
     if dim is None:
         raise ValueError("dim is required (embedding width)")
-    rng = np.random.Generator(np.random.PCG64(seed))
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        n_centroids = cents.shape[0]
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        cents = rng.standard_normal((n_centroids, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     def _argmax(arr):
         # index of the max element (JVM-side, no UDF)
