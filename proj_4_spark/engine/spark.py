@@ -231,7 +231,8 @@ def geodesic_polygon_area_df(df, poly_id: str = "poly_id",
     inside applyInPandas — no per-edge Python, no driver collect."""
     from pyspark.sql import functions as F
 
-    schema = (f"{poly_id} string, area_m2 double, perimeter_m double, "
+    id_type = dict(df.dtypes)[poly_id]  # preserve the caller's id type
+    schema = (f"{poly_id} {id_type}, area_m2 double, perimeter_m double, "
               "n_vertices int")
 
     def _area(pdf: pd.DataFrame) -> pd.DataFrame:
