@@ -15,9 +15,16 @@ with per-partition lineage/metrics written next to the output.
 Pipeline: scan -> posexplode media spans -> regexp geo-tag parse (JVM)
 -> fused webmerc transform UDF -> integer tile assignment -> tile
 histogram; plus lineage rows (partition id, row counts) and transform
-error counts per partition.  On a real cluster the input is an Iceberg
-table; snapshots then ride Iceberg metadata (sources/checkpoint.py
-documents the swap-in) — the parquet snapshot path below is the
+error counts per partition.
+
+Output layout: `<output>/tiles/run_id=<id>/` holds the PARTIAL tile
+histogram of the docs processed by that run (tile counts are mergeable
+— readers sum `n` across runs, as the summary does).  A rerun of the
+same run_id replaces only its own partition (dynamic partition
+overwrite); prior runs' tiles are never touched.  On a real cluster
+the input is an Iceberg table; snapshots + the partition overwrite
+then ride Iceberg metadata as atomic commits (sources/checkpoint.py
+documents the swap-in) — the parquet paths below are the
 sandbox-portable fallback.
 """
 
@@ -69,6 +76,11 @@ def main(argv=None):
     docs = spark.read.parquet(args.input)
     if args.resume:
         docs = remaining_docs(docs, spark, snap_dir, "tiles")
+    # materialize the doc set ONCE, before anything mutates the snapshot
+    # this run's anti-join reads (the lazy plan would otherwise recount
+    # against the post-append snapshot and report 0)
+    docs = docs.cache()
+    n_docs = docs.count()
 
     pts = with_partition_lineage(
         explode_media_points(docs), args.run_id, "extract",
@@ -83,22 +95,32 @@ def main(argv=None):
     ok = wm.where(F.col("wm_x").isNotNull() & ~F.isnan("wm_x"))
     tiles = (assign_tiles(ok, x="wm_x", y="wm_y", zoom=args.zoom)
              .groupBy("zoom", "tile_x", "tile_y")
-             .agg(F.count("*").alias("n")))
-    tiles.write.mode("overwrite").parquet(os.path.join(args.output, "tiles"))
+             .agg(F.count("*").alias("n"))
+             .withColumn("run_id", F.lit(args.run_id)))
+    # PARTIAL histogram per run, dynamic partition overwrite: a resume
+    # run replaces only its own run_id partition — prior runs' tiles are
+    # never touched (tile counts are mergeable: readers sum across runs;
+    # on Iceberg this write is a single atomic snapshot commit)
+    (tiles.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("run_id")
+     .parquet(os.path.join(args.output, "tiles")))
 
     # mark processed docs for resumability AFTER the output commit
     write_snapshot(docs.select("doc_id"), snap_dir, "tiles",
                    mode="append" if args.resume else "overwrite")
 
+    merged = (spark.read.parquet(os.path.join(args.output, "tiles"))
+              .groupBy("zoom", "tile_x", "tile_y")
+              .agg(F.sum("n").alias("n")))
     lineage = read_lineage(spark, metrics_dir, args.run_id, "extract").toPandas()
     summary = {
         "run_id": args.run_id,
-        "docs_processed": int(docs.count()),
+        "docs_processed": int(n_docs),
         "points": int(lineage["n_rows"].sum()) if len(lineage) else 0,
         "partitions": int(len(lineage)),
         "transform_errors": int(errs["n_errors"].sum()) if len(errs) else 0,
-        "tiles": int(spark.read.parquet(
-            os.path.join(args.output, "tiles")).count()),
+        "tiles": int(merged.count()),
     }
     print("GEO_PIPELINE_SUMMARY " + json.dumps(summary))
     spark.stop()

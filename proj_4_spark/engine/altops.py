@@ -59,6 +59,11 @@ class Candidate:
     needs_grids: bool = False
     name: str = ""
     bbox_units: str = "degrees"
+    # destination-side units may differ from the source side (e.g. a
+    # geographic->projected candidate: degrees src, meters dst — the
+    # inverse direction compares projected inputs against bbox_dst);
+    # None inherits bbox_units
+    bbox_dst_units: str | None = None
     # projstring spec when built via from_projstring: lets the Spark
     # surface ship the (tiny) string and rebuild the operation — with
     # its loaded grids — ON THE WORKER instead of pickling megabytes of
@@ -68,6 +73,8 @@ class Candidate:
     def __post_init__(self):
         if self.bbox_dst is None:
             self.bbox_dst = self.bbox_src
+        if self.bbox_dst_units is None:
+            self.bbox_dst_units = self.bbox_units
 
     @classmethod
     def from_projstring(cls, projstring: str, bbox_src, **kw):
@@ -95,10 +102,12 @@ class AltOperation:
             raise ValueError("need at least one candidate")
         self.candidates = list(candidates)
         d2r = np.pi / 180.0
-        scale = np.array([[d2r if c.bbox_units == "degrees" else 1.0]
-                          for c in candidates])
-        self._src = np.array([c.bbox_src for c in candidates]) * scale
-        self._dst = np.array([c.bbox_dst for c in candidates]) * scale
+        s_scale = np.array([[d2r if c.bbox_units == "degrees" else 1.0]
+                            for c in candidates])
+        d_scale = np.array([[d2r if c.bbox_dst_units == "degrees" else 1.0]
+                            for c in candidates])
+        self._src = np.array([c.bbox_src for c in candidates]) * s_scale
+        self._dst = np.array([c.bbox_dst for c in candidates]) * d_scale
         self._acc = np.array([c.accuracy for c in candidates])
         self._off = np.array([c.is_offshore for c in candidates])
 
@@ -189,8 +198,9 @@ def _cached_alt_operation(meta: tuple) -> "AltOperation":
     cands = [
         Candidate(op=create_operation(spec, emulation=False),
                   bbox_src=bs, bbox_dst=bd, accuracy=acc, is_offshore=off,
-                  needs_grids=ng, name=nm, bbox_units=bu, spec=spec)
-        for spec, bs, bd, acc, off, ng, nm, bu in meta
+                  needs_grids=ng, name=nm, bbox_units=bu,
+                  bbox_dst_units=bdu, spec=spec)
+        for spec, bs, bd, acc, off, ng, nm, bu, bdu in meta
     ]
     return AltOperation(cands)
 
@@ -218,7 +228,8 @@ def alt_transform(df, candidates: list[Candidate],
     if all(c.spec is not None for c in candidates):
         meta = tuple(
             (c.spec, tuple(c.bbox_src), tuple(c.bbox_dst), c.accuracy,
-             c.is_offshore, c.needs_grids, c.name, c.bbox_units)
+             c.is_offshore, c.needs_grids, c.name, c.bbox_units,
+             c.bbox_dst_units)
             for c in candidates
         )
 

@@ -184,23 +184,33 @@ def resize_images(media_df, height: int, width: int,
     decode = _fake_decode if fake else _real_decode
 
     def gen(batches):
+        import pandas as pd
+
         for pdf in batches:
-            payloads, ws, hs = [], [], []
+            payloads, ws, hs, metas = [], [], [], []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
                 if meta["media_type"] != "image":
+                    # non-image rows pass through byte- and meta-identical;
+                    # width/height may legitimately be null for audio
                     payloads.append(payload)
-                    ws.append(meta["width"])
-                    hs.append(meta["height"])
+                    ws.append(meta.get("width"))
+                    hs.append(meta.get("height"))
+                    metas.append(meta)
                     continue
                 arr = decode(payload, "image")
                 small = resize_array(arr, height, width, method)
                 payloads.append(encode_png(small))
                 ws.append(width)
                 hs.append(height)
+                # keep meta truthful about the NEW payload
+                metas.append({**meta, "width": width, "height": height,
+                              "codec": "png"})
             out = pdf.copy()
             out[payload_col] = payloads
-            out["out_width"] = np.asarray(ws, dtype=np.int32)
-            out["out_height"] = np.asarray(hs, dtype=np.int32)
+            out[meta_col] = metas
+            # nullable Int32: None widths (audio rows) must not crash
+            out["out_width"] = pd.array(ws, dtype="Int32")
+            out["out_height"] = pd.array(hs, dtype="Int32")
             yield out
 
     schema = ", ".join(

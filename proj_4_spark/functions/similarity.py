@@ -237,11 +237,15 @@ def train_centroids(emb_df, n_centroids: int, dim: int, n_iter: int = 5,
 
     base = emb_df.select(F.col(vec_col).alias("v"))
     for _ in range(n_iter):
-        cd = centroid_dots_col(F.col("v"), cents)
-        assigned = base.select(
+        # two-step projection (same reason as ivf_topk): argmax
+        # references the dots twice, and only a separate projection
+        # stops CollapseProject from inlining the per-row matmul twice
+        dotted = base.select(
+            "v", centroid_dots_col(F.col("v"), cents).alias("_cd"))
+        assigned = dotted.select(
             "v",
-            (F.array_position(cd, F.array_max(cd)).cast("int") - 1)
-            .alias("list_id"),
+            (F.array_position(F.col("_cd"), F.array_max(F.col("_cd")))
+             .cast("int") - 1).alias("list_id"),
         )
         # element-wise sums via posexplode + hash aggregate: map-side
         # partial aggregation shrinks the shuffle to n_centroids*dim

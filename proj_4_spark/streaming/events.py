@@ -150,11 +150,16 @@ def stream_exact_dedup(stream_df, id_col: str = "doc_id",
         .withColumn("text_hash", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
     )
-    if hasattr(deduped, "dropDuplicatesWithinWatermark"):
-        return deduped.dropDuplicatesWithinWatermark(["text_hash"])
-    # Spark < 3.5 fallback: include the event-time column in the key so
-    # watermark eviction applies (semantics: unique per (hash, ts)).
-    return deduped.dropDuplicates(["text_hash", ts_col])
+    if not hasattr(deduped, "dropDuplicatesWithinWatermark"):
+        # Spark < 3.5: there is NO variant with these semantics —
+        # dropDuplicates([hash]) never evicts state, and
+        # dropDuplicates([hash, ts]) deduplicates nothing (every
+        # occurrence has a distinct ts).  Fail loudly rather than
+        # silently ship either wrong behavior.
+        raise RuntimeError(
+            "stream_exact_dedup requires Spark >= 3.5 "
+            "(dropDuplicatesWithinWatermark)")
+    return deduped.dropDuplicatesWithinWatermark(["text_hash"])
 
 
 def stream_geo_tiles(stream_df, projstring: str = "+proj=webmerc +ellps=WGS84",

@@ -118,19 +118,50 @@ def test_unknown_accuracy_first_match_is_sticky():
 
 
 def test_inverse_direction_uses_dst_bbox():
+    """Selection for direction='inv' must use the DESTINATION bboxes:
+    a worse-accuracy world candidate exists, so routing to candidate 0
+    proves the narrow dst bbox was consulted (not fallback order — the
+    assertion on candidate 1 below would catch that)."""
     cands = [
         Candidate.from_projstring(
             "+proj=helmert +x=1000", bbox_src=(-10, -10, 10, 10),
-            bbox_dst=(100, 20, 140, 60), accuracy=1.0),
+            bbox_dst=(100, 20, 140, 60), accuracy=2.0),
         Candidate.from_projstring(
             "+proj=helmert +x=2000", bbox_src=(-10, -10, 10, 10),
-            bbox_dst=(-180, -90, 180, 90), accuracy=2.0),
+            bbox_dst=(-180, -90, 180, 90), accuracy=1.0),
     ]
     alt = AltOperation(cands)
-    # point at (120, 30): inside candidate-0's DST bbox only
+    # degree bboxes compare against RADIAN inputs (Operation.apply units)
+    inside = np.array([120.0]) * D2R   # inside candidate-0's DST bbox
+    outside = np.array([50.0]) * D2R   # only the world candidate matches
+    lat = np.array([30.0]) * D2R
     x, _, _, _, chosen = alt.apply(
-        np.array([120.0]), np.array([30.0]), np.zeros(1), np.zeros(1), "inv")
-    assert chosen[0] == 0 and x[0] == pytest.approx(120.0 - 1000)
+        np.concatenate([inside, outside]), np.concatenate([lat, lat]),
+        np.zeros(2), np.zeros(2), "inv")
+    # candidate 0 is spatially first for the inside point; candidate 1
+    # (better accuracy, world bbox) replaces it — 4D_api ranking — so
+    # the discriminating row is the OUTSIDE point: dst-bbox containment
+    # must route it to candidate 1, while a src-bbox bug (src boxes
+    # exclude both points) would route both to the fallback
+    assert chosen[1] == 1 and x[1] == pytest.approx(outside[0] - 2000)
+    assert chosen[0] == 1 and x[0] == pytest.approx(inside[0] - 2000)
+
+    # and with NO world candidate, only the inside point matches c0 via
+    # its dst bbox; the outside point must fall back (helmert grid-free)
+    alt2 = AltOperation(cands[:1])
+    x2, _, _, _, ch2 = alt2.apply(
+        np.concatenate([inside, outside]), np.concatenate([lat, lat]),
+        np.zeros(2), np.zeros(2), "inv")
+    assert ch2[0] == 0 and x2[0] == pytest.approx(inside[0] - 1000)
+    # outside point: no spatial match -> grid-free fallback chose c0 too,
+    # but ONLY via the fallback path; prove selection saw no match by
+    # checking a grids-only variant errors instead
+    grid_only = [Candidate.from_projstring(
+        "+proj=hgridshift +grids=conus", bbox_src=(-10, -10, 10, 10),
+        bbox_dst=(100, 20, 140, 60), accuracy=1.0)]
+    x3, _, _, _, ch3 = AltOperation(grid_only).apply(
+        outside, lat, np.zeros(1), np.zeros(1), "inv")
+    assert ch3[0] == -1 and not np.isfinite(x3[0])
 
 
 def test_alt_transform_dataframe_surface(spark):

@@ -433,10 +433,39 @@ def test_resize_images_spark(spark):
         assert got.shape == (8, 8, 3)
         arr, _ = sniff_and_decode(bytes(src.loc[row["media_id"], "payload"]))
         assert np.array_equal(got, resize_array(arr, 8, 8))
+    # meta is truthful about the new payload
+    for _, row in imgs.iterrows():
+        assert row["meta"]["codec"] == "png"
+        assert row["meta"]["width"] == 8 and row["meta"]["height"] == 8
     # non-images untouched byte-for-byte
     others = out[[m["media_type"] != "image" for m in out["meta"]]]
     for _, row in others.iterrows():
         assert bytes(row["payload"]) == bytes(src.loc[row["media_id"], "payload"])
+
+
+def test_resize_images_null_meta_dims(spark):
+    """Audio/video rows with NULL meta width/height must pass through
+    (nullable out_width), not crash the Arrow batch."""
+    import pandas as pd
+
+    from proj_4_spark.functions.codecs import encode_wav
+    from proj_4_spark.functions.multimodal import resize_images
+
+    wav = encode_wav(np.zeros(100, dtype=np.int16))
+    pdf = pd.DataFrame({
+        "media_id": ["a0"],
+        "payload": [wav],
+        "meta": [{"media_type": "audio", "width": None, "height": None,
+                  "duration_ms": 6, "codec": "pcm16"}],
+    })
+    media = spark.createDataFrame(
+        pdf, "media_id string, payload binary, "
+             "meta struct<media_type: string, width: int, height: int, "
+             "duration_ms: int, codec: string>")
+    out = resize_images(media, 8, 8).toPandas()
+    assert len(out) == 1
+    assert pd.isna(out.iloc[0]["out_width"])
+    assert bytes(out.iloc[0]["payload"]) == wav
 
 
 def test_train_centroids_improves_ivf(spark):

@@ -66,11 +66,17 @@ def test_spark_submit_geo_pipeline(tmp_path):
     # fixture deliberately contains pole/out-of-range spans
     assert summary["transform_errors"] > 0
 
-    # the output equals the flagship driver query (same fixture, zoom 6)
+    def merged_tiles(spark):
+        from pyspark.sql import functions as F
+        return (spark.read.parquet(os.path.join(out, "tiles"))
+                .groupBy("zoom", "tile_x", "tile_y")
+                .agg(F.sum("n").alias("n"))
+                .orderBy("tile_x", "tile_y").toPandas())
+
+    # the merged output equals the flagship driver query (same fixture)
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.master("local[4]").getOrCreate()
-    got = (spark.read.parquet(os.path.join(out, "tiles"))
-           .orderBy("tile_x", "tile_y").toPandas())
+    got = merged_tiles(spark)
     expect = (E._q_docs_geo_pipeline(spark, "unused")
               .orderBy("tile_x", "tile_y").toPandas())
     assert len(got) == len(expect)
@@ -80,20 +86,54 @@ def test_spark_submit_geo_pipeline(tmp_path):
     from proj_4_spark.docs.media import explode_media_points
     n_pts = explode_media_points(spark.read.parquet(input_path)).count()
     assert summary["points"] == n_pts, (summary["points"], n_pts)
+    assert summary["docs_processed"] == \
+        spark.read.parquet(input_path).count()
 
-    # resumability: a second run with --resume processes 0 new docs
-    res2 = subprocess.run(
-        [spark_submit, "--master", "local[4]",
-         "--conf", "spark.ui.enabled=false",
-         "--py-files", zpath,
-         os.path.join(REPO, "jobs", "geo_pipeline_job.py"),
-         "--input", input_path, "--output", out,
-         "--run-id", "t-submit-2", "--zoom", "6", "--resume",
-         "--shuffle-partitions", "8"],
-        capture_output=True, text=True, timeout=600, env=env,
-        cwd=str(tmp_path))
-    assert res2.returncode == 0, res2.stderr[-4000:]
-    line2 = [ln for ln in res2.stdout.splitlines()
-             if ln.startswith("GEO_PIPELINE_SUMMARY ")]
-    summary2 = json.loads(line2[-1].split(" ", 1)[1])
-    assert summary2["docs_processed"] == 0
+    def run_job(run_id, inp, extra=()):
+        r = subprocess.run(
+            [spark_submit, "--master", "local[4]",
+             "--conf", "spark.ui.enabled=false",
+             "--py-files", zpath,
+             os.path.join(REPO, "jobs", "geo_pipeline_job.py"),
+             "--input", inp, "--output", out,
+             "--run-id", run_id, "--zoom", "6",
+             "--shuffle-partitions", "8", *extra],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-4000:]
+        ln = [x for x in r.stdout.splitlines()
+              if x.startswith("GEO_PIPELINE_SUMMARY ")]
+        return json.loads(ln[-1].split(" ", 1)[1])
+
+    # resume over the SAME input: 0 new docs AND the prior output is
+    # intact (partial-histogram partitions: nothing overwritten)
+    s2 = run_job("t-submit-2", input_path, ("--resume",))
+    assert s2["docs_processed"] == 0
+    got2 = merged_tiles(spark)
+    assert (got2["n"].to_numpy() == expect["n"].to_numpy()).all()
+
+    # resume over an EXTENDED input: only the new docs process, and the
+    # merged histogram equals the full-input batch computation
+    from pyspark.sql import functions as F
+    base_docs = spark.read.parquet(input_path)
+    extra_docs = (base_docs.limit(40)
+                  .withColumn("doc_id", F.concat(F.lit("extra-"),
+                                                 F.col("doc_id"))))
+    ext_dir = str(tmp_path / "ext_input")
+    base_docs.unionByName(extra_docs).write.mode("overwrite").parquet(ext_dir)
+    s3 = run_job("t-submit-3", ext_dir, ("--resume",))
+    assert s3["docs_processed"] == 40, s3
+
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.spatial.tiles import assign_tiles
+    full_pts = explode_media_points(spark.read.parquet(ext_dir))
+    full_wm = transform(full_pts, "+proj=webmerc +ellps=WGS84",
+                        x="lon", y="lat", out_prefix="wm_",
+                        keep_errors=False)
+    full_expect = (assign_tiles(full_wm, x="wm_x", y="wm_y", zoom=6)
+                   .groupBy("zoom", "tile_x", "tile_y")
+                   .agg(F.count("*").alias("n"))
+                   .orderBy("tile_x", "tile_y").toPandas())
+    got3 = merged_tiles(spark)
+    assert len(got3) == len(full_expect)
+    assert (got3["n"].to_numpy() == full_expect["n"].to_numpy()).all()
