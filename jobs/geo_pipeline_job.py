@@ -36,6 +36,42 @@ import os
 import sys
 
 
+def _reconcile_orphan_tiles(spark, tiles_dir: str, snap_dir: str):
+    """Delete tile partitions whose run_id never reached the snapshot.
+
+    A run_id directory under tiles/ with no snapshot rows means the job
+    died after the tiles write but before the snapshot append — those
+    docs count as unprocessed, so their partial histogram must go."""
+    import shutil
+
+    from proj_4_spark.sources.checkpoint import snapshot_dir
+
+    if not os.path.isdir(tiles_dir):
+        return []
+    tile_runs = {d.split("=", 1)[1] for d in os.listdir(tiles_dir)
+                 if d.startswith("run_id=")}
+    snapped = set()
+    try:
+        snap = spark.read.parquet(snapshot_dir(snap_dir, "tiles"))
+        if "run_id" in snap.columns:
+            snapped = {r["run_id"] for r in
+                       snap.select("run_id").distinct().collect()}
+        else:
+            # pre-run_id snapshot format: cannot attribute doc_ids to
+            # runs; treat every existing tile partition as committed
+            snapped = tile_runs
+    except Exception:
+        pass  # no snapshot at all -> every tile partition is orphaned
+    orphans = sorted(tile_runs - snapped)
+    for rid in orphans:
+        shutil.rmtree(os.path.join(tiles_dir, f"run_id={rid}"),
+                      ignore_errors=True)
+    if orphans:
+        print(f"GEO_PIPELINE_RECONCILE dropped orphaned tile partitions: "
+              f"{orphans}")
+    return orphans
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
@@ -72,9 +108,18 @@ def main(argv=None):
 
     snap_dir = os.path.join(args.output, "_snapshots")
     metrics_dir = os.path.join(args.output, "_metrics")
+    tiles_dir = os.path.join(args.output, "tiles")
 
     docs = spark.read.parquet(args.input)
     if args.resume:
+        # Reconcile orphaned tile partitions BEFORE the anti-join: if a
+        # prior run died between its tiles write and its snapshot
+        # append, that run_id has tiles but no snapshot rows — its docs
+        # are about to be re-processed by this run, so its partial
+        # histogram must be dropped or those tiles double-count.  (On
+        # Iceberg, tiles+snapshot ride one atomic commit and this
+        # branch never fires; it is the parquet-fallback safety net.)
+        _reconcile_orphan_tiles(spark, tiles_dir, snap_dir)
         docs = remaining_docs(docs, spark, snap_dir, "tiles")
     # materialize the doc set ONCE, before anything mutates the snapshot
     # this run's anti-join reads (the lazy plan would otherwise recount
@@ -104,13 +149,16 @@ def main(argv=None):
     (tiles.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("run_id")
-     .parquet(os.path.join(args.output, "tiles")))
+     .parquet(tiles_dir))
 
-    # mark processed docs for resumability AFTER the output commit
-    write_snapshot(docs.select("doc_id"), snap_dir, "tiles",
+    # mark processed docs for resumability AFTER the output commit; the
+    # run_id column lets a later resume detect orphaned tile partitions
+    # (tiles committed, snapshot append lost) and reconcile them
+    write_snapshot(docs.select("doc_id").withColumn("run_id", F.lit(args.run_id)),
+                   snap_dir, "tiles",
                    mode="append" if args.resume else "overwrite")
 
-    merged = (spark.read.parquet(os.path.join(args.output, "tiles"))
+    merged = (spark.read.parquet(tiles_dir)
               .groupBy("zoom", "tile_x", "tile_y")
               .agg(F.sum("n").alias("n")))
     lineage = read_lineage(spark, metrics_dir, args.run_id, "extract").toPandas()

@@ -207,10 +207,14 @@ def _cached_alt_operation(meta: tuple) -> "AltOperation":
 
 def alt_transform(df, candidates: list[Candidate],
                   lon: str = "lon", lat: str = "lat",
-                  out_prefix: str = "", degrees: bool = True,
+                  out_prefix: str = "", degrees: bool | None = None,
                   with_chosen: bool = True, direction: str = "fwd"):
     """DataFrame surface: per-point alternative-operation selection over
     degree lon/lat columns via one Arrow-batched pandas UDF.
+
+    `degrees` defaults to True for direction='fwd' (geographic degree
+    inputs) and False for direction='inv', where the inputs are
+    typically projected meters and a deg->rad scale would corrupt them.
 
     When every candidate carries a projstring `spec` (the
     from_projstring path), only the specs + metadata ship to workers
@@ -225,6 +229,8 @@ def alt_transform(df, candidates: list[Candidate],
     from pyspark.sql.functions import pandas_udf
 
     d2r = np.pi / 180.0
+    if degrees is None:
+        degrees = direction == "fwd"
     if all(c.spec is not None for c in candidates):
         meta = tuple(
             (c.spec, tuple(c.bbox_src), tuple(c.bbox_dst), c.accuracy,

@@ -233,37 +233,63 @@ def decode_png(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + stride)
     filters = raw[:, 0]
+    bad = set(np.unique(filters)) - {0, 1, 2, 3, 4}
+    if bad:
+        raise ValueError(f"bad PNG filter byte {bad.pop()}")
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = filters[y]
-        cur = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = raw[y, 1:]
         if f == 0:
             line = cur
-        elif f == 2:  # Up — fully vectorized
-            line = cur + prev
-        elif f == 1:  # Sub — prefix dependence per channel lane
-            line = cur.copy()
-            for x in range(c, stride):
-                line[x] = (line[x] + line[x - c]) & 0xFF
-        elif f == 3:  # Average
-            line = cur.copy()
-            for x in range(stride):
-                left = line[x - c] if x >= c else 0
-                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            line = cur.copy()
-            for x in range(stride):
-                left = line[x - c] if x >= c else 0
-                ul = prev[x - c] if x >= c else 0
-                p = left + prev[x] - ul
-                pa, pb, pc_ = abs(p - left), abs(p - prev[x]), abs(p - ul)
-                pred = left if (pa <= pb and pa <= pc_) else (
-                    prev[x] if pb <= pc_ else ul)
-                line[x] = (line[x] + pred) & 0xFF
+        elif f == 1:
+            # Sub: t[x] = cur[x] + t[x-c] is a per-channel-lane prefix
+            # sum; mod-256 addition is associative, so a uint8 cumsum
+            # (which wraps naturally) is the exact whole-row answer.
+            line = np.cumsum(cur.reshape(w, c), axis=0,
+                             dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up — fully vectorized (uint8 add wraps mod 256)
+            line = cur + out[y - 1] if y else cur
         else:
-            raise ValueError(f"bad PNG filter byte {f}")
-        out[y] = (line & 0xFF).astype(np.uint8)
+            # Average/Paeth carry a true sequential dependence on the
+            # in-progress left neighbour, so no whole-row closed form
+            # exists; run the recurrence as a tight scalar loop over
+            # plain Python ints (~8x faster than per-byte ndarray
+            # indexing).  The reference's C loop is src/filemanager.cpp
+            # territory; PNG spec filters per RFC 2083 §6.
+            cu = cur.tolist()
+            pr = out[y - 1].tolist() if y else [0] * stride
+            tl = [0] * stride
+            if f == 3:  # Average
+                for x in range(stride):
+                    left = tl[x - c] if x >= c else 0
+                    tl[x] = (cu[x] + ((left + pr[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    if x >= c:
+                        left = tl[x - c]
+                        ul = pr[x - c]
+                    else:
+                        left = ul = 0
+                    up = pr[x]
+                    pa = up - ul
+                    if pa < 0:
+                        pa = -pa
+                    pb = left - ul
+                    if pb < 0:
+                        pb = -pb
+                    pc_ = left + up - 2 * ul
+                    if pc_ < 0:
+                        pc_ = -pc_
+                    if pa <= pb and pa <= pc_:
+                        pred = left
+                    elif pb <= pc_:
+                        pred = up
+                    else:
+                        pred = ul
+                    tl[x] = (cu[x] + pred) & 0xFF
+            line = np.asarray(tl, dtype=np.uint8)
+        out[y] = line
     return out.reshape(h, w, c)
 
 

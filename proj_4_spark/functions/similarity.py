@@ -174,10 +174,19 @@ def lsh_bucket_topk(emb_df, query_df, k: int = 5, n_planes: int = 8,
         "cosine", _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm"))
     )
     cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
+    # Multiprobe yields the same (q_id, vec_id) candidate from several
+    # probed buckets; all copies carry an identical cosine, so under the
+    # ranking window's own ordering (cosine desc, vec_id) duplicates are
+    # ADJACENT and a lag() marks every copy after the first.  This folds
+    # the dedup into the ranking window's single Exchange(q_id) — a
+    # groupBy(q_id, vec_id) would add a second full-candidate shuffle on
+    # a partitioning the window can't reuse.
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
     return (
-        cand.groupBy("q_id", "vec_id").agg(F.first("cosine").alias("cosine"))
-        .withColumn("rank", F.row_number().over(
-            Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")))
+        cand.select("q_id", "vec_id", "cosine")
+        .withColumn("_prev", F.lag("vec_id").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("vec_id")))
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank", cos_out.alias("cosine"))
     )
@@ -260,6 +269,11 @@ def train_centroids(emb_df, n_centroids: int, dim: int, n_iter: int = 5,
         acc = np.zeros((n_centroids, dim))
         cnt = np.zeros(n_centroids, dtype=np.int64)
         for row in sums:
+            # a non-finite corpus vector yields array_max=NaN ->
+            # array_position null -> null list_id; skip it rather than
+            # letting one bad vector abort training with a TypeError
+            if row["list_id"] is None:
+                continue
             acc[row["list_id"], row["i"]] = row["s"]
             cnt[row["list_id"]] = row["n"]
         new = cents.copy()

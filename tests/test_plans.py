@@ -195,3 +195,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path_factory):
         spark.sql(f"drop table {tb}")
     assert "SortMergeJoin" in txt
     assert "Exchange" not in txt, txt[:3000]
+
+
+def test_lsh_topk_single_exchange_for_dedup_and_rank(spark):
+    """lsh_bucket_topk dedups multiprobe duplicate candidates inside the
+    ranking window's own Exchange(q_id): exactly one hashpartitioning
+    exchange after the candidate join, and none on (q_id, vec_id)."""
+    import re
+
+    from proj_4_spark.functions.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as q_id", "embedding")
+    txt = plan_of(lsh_bucket_topk(emb, queries, k=3, n_planes=8, dim=64,
+                                  multiprobe=2))
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt)
+    # broadcast of the query side is fine; hash exchanges must be the
+    # single window partitioning by q_id
+    assert len(parts) == 1, parts
+    assert parts[0].startswith("q_id"), parts
+    assert "vec_id" not in parts[0], parts
+    assert "HashAggregate" not in txt, txt[:3000]

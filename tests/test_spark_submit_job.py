@@ -137,3 +137,20 @@ def test_spark_submit_geo_pipeline(tmp_path):
     got3 = merged_tiles(spark)
     assert len(got3) == len(full_expect)
     assert (got3["n"].to_numpy() == full_expect["n"].to_numpy()).all()
+
+    # crash reconciliation: a run that died between its tiles write and
+    # its snapshot append leaves an orphaned run_id partition whose docs
+    # a later resume re-processes — the orphan must be dropped or those
+    # tiles double-count.  Simulate by cloning t-submit-3's partition
+    # under a run_id that has no snapshot rows.
+    orphan = os.path.join(out, "tiles", "run_id=t-crashed")
+    shutil.copytree(os.path.join(out, "tiles", "run_id=t-submit-3"), orphan)
+    assert os.path.isdir(orphan)
+    # sanity: merged now double-counts (the bug being fixed)
+    assert merged_tiles(spark)["n"].sum() > full_expect["n"].sum()
+    s4 = run_job("t-submit-4", ext_dir, ("--resume",))
+    assert s4["docs_processed"] == 0, s4
+    assert not os.path.isdir(orphan), "orphan partition not reconciled"
+    got4 = merged_tiles(spark)
+    assert len(got4) == len(full_expect)
+    assert (got4["n"].to_numpy() == full_expect["n"].to_numpy()).all()
