@@ -16,6 +16,7 @@ compared exactly.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -371,6 +372,41 @@ def _sql_docs_geo_pipeline() -> str:
         "    ) where isfinite(wm_x) and isfinite(wm_y)"
         "  )"
         ") group by tile_x, tile_y"
+    )
+
+
+def _sql_stream_geo_tiles() -> str:
+    """DuckDB batch twin of the STREAMING geo-tile query: same chain as
+    _sql_docs_geo_pipeline plus the 10-minute event-time window bucket
+    (minutes = numeric doc_id suffix % 25, floored to the window)."""
+    from proj_4_spark.spatial.tiles import tile_sql
+
+    path = _docs_fixture_path()
+    lam = f"(lon * {_D2R})"
+    phi = f"(lat * {_D2R})"
+    wm_x = f"({lam} * 6378137.0)"
+    wm_y = f"(ln(greatest(tan(pi()/4 + 0.5 * {phi}), 1e-300)) * 6378137.0)"
+    tx, ty = tile_sql("wm_x", "wm_y", 6)
+    return (
+        "select win, tile_x, tile_y, count(*) as n from ("
+        f"  select win, {tx} as tile_x, {ty} as tile_y from ("
+        f"    select win, wm_x, wm_y from ("
+        f"      select {wm_x} as wm_x, {wm_y} as wm_y, lon, lat, win from ("
+        "        select"
+        "          try_cast(regexp_extract(s.media_ref, '[?&]lon=(-?[0-9.]+)', 1)"
+        "               as double) as lon,"
+        "          try_cast(regexp_extract(s.media_ref, '[?&]lat=(-?[0-9.]+)', 1)"
+        "               as double) as lat,"
+        "          lpad(cast((cast(substring(d.doc_id, 5, 12) as bigint) % 25)"
+        "               // 10 * 10 as varchar), 2, '0') as win"
+        f"        from parquet_scan('{path}') d, unnest(d.spans) as t(s)"
+        "        where s.kind = 'media'"
+        "      )"
+        f"      where abs({lam}) <= 10.0"
+        f"        and abs(abs({phi}) - pi()/2) > 1e-10"
+        "    ) where isfinite(wm_x) and isfinite(wm_y)"
+        "  )"
+        ") group by win, tile_x, tile_y"
     )
 
 
@@ -748,10 +784,22 @@ def _q_pip_cells(spark, sf_dir):
     return hits.groupBy("zone_id").agg(F.count("*").alias("n"))
 
 
+def _knn_karney_fixture_path() -> str:
+    """Brute-force Karney expected-distance fixture (sf0.01) — built
+    once driver-side with no Spark and no cell index, so the DuckDB
+    re-rank over it independently checks the distributed join."""
+    import proj_4_spark.sources.fixtures as FX
+
+    return FX.ensure_fixture("knn_karney_expected.parquet",
+                             FX.knn_karney_expected_table)
+
+
 def _q_knn(spark, sf_dir):
-    """Cell-partitioned kNN (non-SQL-expressible with identical distance
-    metric — rows-only check; exactness vs brute force is covered in
-    tests/test_spatial.py)."""
+    """Cell-partitioned kNN with the production ellipsoidal-Karney
+    metric.  Value-verified: the DuckDB oracle re-ranks a driver-side
+    brute-force all-pairs fixture (same vectorized kernel, no
+    cells/rings/Spark) and must reproduce ranks AND mm-integerized
+    distances."""
     from pyspark.sql import functions as F
 
     from proj_4_spark.spatial.knn import knn_join
@@ -763,7 +811,10 @@ def _q_knn(spark, sf_dir):
     queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
         F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
     )
-    return knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3)
+    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3)
+    return out.select(
+        "q_id", "doc_id", "rank", _i(F.col("dist_m"), 1000).alias("dist_mm")
+    )
 
 
 def _q_knn_haversine(spark, sf_dir):
@@ -1252,11 +1303,22 @@ def _q_docs_geo_pipeline(spark, sf_dir):
     return tiled.groupBy("zoom", "tile_x", "tile_y").agg(F.count("*").alias("n"))
 
 
+def _multimodal_fixture_path() -> str:
+    """Expected features per media_id, computed driver-side (no Spark)
+    from the same deterministic payload bytes + feature math."""
+    import proj_4_spark.sources.fixtures as FX
+
+    return FX.ensure_fixture("multimodal_expected.parquet",
+                             FX.multimodal_expected_table)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal decode + feature extraction over REAL payloads
     (pure-NumPy BMP/WAV/Y4M codecs; jpeg/mp4 remain stubbed behind
-    DecodeUnavailable).  Rows-only: the decoded values are pinned by
-    tests/test_functions.py::test_multimodal_real_decode_end_to_end."""
+    DecodeUnavailable).  Value-verified: the DuckDB oracle reads a
+    driver-side fixture of expected features (same payload generator +
+    per-payload math, zero Spark), so what this gate checks is the
+    mapInPandas decode plumbing itself."""
     from pyspark.sql import functions as F
 
     from proj_4_spark.functions.multimodal import extract_features, synth_media_table
@@ -1266,8 +1328,64 @@ def _q_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id",
         F.col("meta.media_type").alias("media_type"),
-        F.round(F.col("features")[0], 4).alias("f_mean"),
-        F.round(F.col("features")[1], 4).alias("f_std"),
+        _i(F.col("features")[0], 10000).alias("f_mean_i"),
+        _i(F.col("features")[1], 10000).alias("f_std_i"),
+    )
+
+
+def _stream_input_dir() -> str:
+    """Directory-shaped copy of the docs fixture (Spark's file stream
+    source reads directories): fixtures/docs_geo_stream_input/."""
+    import shutil
+
+    import proj_4_spark.sources.fixtures as FX
+
+    src = _docs_fixture_path()
+    d = os.path.join(FX.FIXTURE_DIR, "docs_geo_stream_input")
+    dst = os.path.join(d, "docs.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copyfile(src, dst)
+    return d
+
+
+def _q_stream_geo_tiles(spark, sf_dir):
+    """The flagship doc-geo pipeline as a STRUCTURED STREAM, driven to
+    completion with an availableNow trigger: file stream source ->
+    explode media spans -> event-time ts (minutes derived from doc_id,
+    spanning three 10-minute windows) -> streaming/events.
+    stream_geo_tiles (watermark + windowed tile histogram) -> memory
+    sink.  Value-verified: the DuckDB oracle recomputes the whole chain
+    batch-side from the same parquet — stream==batch checked by the
+    driver, not just pytest."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.docs.media import explode_media_points
+    from proj_4_spark.streaming.events import stream_geo_tiles
+
+    schema = spark.read.parquet(_docs_fixture_path()).schema
+    docs = (spark.readStream.schema(schema)
+            .parquet(_stream_input_dir()))
+    pts = explode_media_points(docs).withColumn(
+        "ts",
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, "
+               "cast(substring(doc_id, 5, 12) as bigint) % 25, 0)"),
+    )
+    tiles = stream_geo_tiles(pts, zoom=6, window="10 minutes",
+                             watermark="15 minutes")
+    name = f"stream_geo_tiles_{uuid.uuid4().hex[:8]}"
+    q = (tiles.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 os.path.join(tempfile.mkdtemp(), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format("window_start", "mm").alias("win"),
+        "tile_x", "tile_y", "n",
     )
 
 
@@ -1307,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "revenue_by_nation": _q_revenue_by_nation,
         "docs_geo_pipeline": _q_docs_geo_pipeline,
+        "stream_geo_tiles": _q_stream_geo_tiles,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -1582,10 +1701,32 @@ def oracle_sql() -> dict[str, str]:
         # parse, merc error semantics (|lam|>10rad, |phi|-pi/2<=1e-10),
         # spherical webmerc, integer tile assignment, histogram
         "docs_geo_pipeline": _sql_docs_geo_pipeline(),
-        # knn_cell_partitioned (Karney metric not SQL-expressible — the
-        # haversine twin above value-checks the machinery; brute-force
-        # parity pinned in pytest) and multimodal_features (real-decode
-        # values pinned in pytest): intentionally no oracle -> rows-only.
+        # streaming twin: stream==batch, value-verified by the driver
+        "stream_geo_tiles": _sql_stream_geo_tiles(),
+        # ellipsoidal-Karney kNN: DuckDB independently re-ranks a
+        # driver-side brute-force all-pairs fixture (built with the same
+        # vectorized Karney kernel but NO cells/rings/Spark — the
+        # distributed machinery is what this gate checks; the metric is
+        # pinned by the geodtest suites).  1 mm integerization absorbs
+        # batch-composition iteration noise far below libm ulp.
+        "knn_cell_partitioned": (
+            "select q_id, doc_id, rank, "
+            "cast(round(dist * 1000.0, 0) as bigint) as dist_mm from ("
+            "  select q_id, doc_id, dist, "
+            "  row_number() over (partition by q_id order by dist, doc_id)"
+            "    as rank "
+            f"  from read_parquet('{_knn_karney_fixture_path()}')"
+            ") where rank <= 5"
+        ),
+        # multimodal: expected features computed driver-side from the
+        # same deterministic payloads + per-payload math (no Spark) —
+        # the gate value-checks the mapInPandas decode plumbing.
+        "multimodal_features": (
+            "select media_id, media_type, "
+            "cast(round(f_mean * 10000.0, 0) as bigint) as f_mean_i, "
+            "cast(round(f_std * 10000.0, 0) as bigint) as f_std_i "
+            f"from read_parquet('{_multimodal_fixture_path()}')"
+        ),
     }
 
 

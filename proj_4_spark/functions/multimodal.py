@@ -63,6 +63,23 @@ def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     raise ValueError(f"unknown media_type {media_type!r}")
 
 
+def payload_features(payload: bytes, media_type: str,
+                     fake: bool = False) -> list:
+    """Single-payload decode -> 8-dim feature vector.  Shared by the
+    Spark mapInPandas path and the driver-side fixture generator, so the
+    DuckDB oracle checks the SAME math through different plumbing."""
+    decode = _fake_decode if fake else _real_decode
+    arr = decode(payload, media_type).astype(np.float64)
+    flat = arr.ravel()
+    q = np.quantile(flat, [0.25, 0.75])
+    return [
+        float(flat.mean()), float(flat.std()),
+        float(flat.min()), float(flat.max()),
+        float(q[0]), float(q[1]),
+        float(len(flat)), float(arr.ndim),
+    ]
+
+
 def extract_features(media_df, payload_col: str = "payload",
                      meta_col: str = "meta", fake: bool = False):
     """binary payload -> fixed-width feature vector (array<float>, 8 dims:
@@ -70,21 +87,13 @@ def extract_features(media_df, payload_col: str = "payload",
 
     mapInPandas so each Arrow batch decodes in one Python hop.
     """
-    decode = _fake_decode if fake else _real_decode
 
     def gen(batches):
         for pdf in batches:
-            feats = []
-            for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
-                arr = decode(payload, meta["media_type"]).astype(np.float64)
-                flat = arr.ravel()
-                q = np.quantile(flat, [0.25, 0.75])
-                feats.append([
-                    float(flat.mean()), float(flat.std()),
-                    float(flat.min()), float(flat.max()),
-                    float(q[0]), float(q[1]),
-                    float(len(flat)), float(arr.ndim),
-                ])
+            feats = [
+                payload_features(payload, meta["media_type"], fake=fake)
+                for payload, meta in zip(pdf[payload_col], pdf[meta_col])
+            ]
             out = pdf[[c for c in pdf.columns if c not in (payload_col,)]].copy()
             out["features"] = feats
             yield out
@@ -219,50 +228,53 @@ def resize_images(media_df, height: int, width: int,
     return media_df.mapInPandas(gen, schema=schema)
 
 
+def synth_media_row(i: int, seed: int = 42, real: bool = True):
+    """Deterministic (payload, meta) for row id `i` — one PCG64
+    substream per row so generation distributes and the driver-side
+    fixture generator reproduces the exact bytes."""
+    from proj_4_spark.functions.codecs import encode_bmp, encode_wav, encode_y4m
+
+    rng = np.random.Generator(np.random.PCG64(seed ^ int(i)))
+    kind = ["image", "audio", "video"][int(i) % 3]
+    if not real:
+        payload = rng.bytes(64 + int(i) % 128)
+        codec = "fake"
+        w = h = 16 if kind != "audio" else 0
+        dur = 100 if kind != "image" else 0
+    elif kind == "image":
+        w = h = 16 + 8 * (int(i) % 3)
+        payload = encode_bmp(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        codec, dur = "bmp", 0
+    elif kind == "audio":
+        nsamp = 1600 + 160 * (int(i) % 5)
+        payload = encode_wav(
+            (rng.standard_normal(nsamp) * 3000).astype(np.int16))
+        codec, w, h, dur = "pcm16", 0, 0, nsamp // 16
+    else:
+        w, h = 8, 8
+        payload = encode_y4m(
+            rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8))
+        codec, dur = "y4m", 160
+    meta = {"media_type": kind, "width": w, "height": h,
+            "duration_ms": dur, "codec": codec}
+    return payload, meta
+
+
 def synth_media_table(spark, n: int = 200, seed: int = 42, real: bool = True):
     """Deterministic media table for tests/bench.  With real=True the
     payloads are genuine BMP / PCM16-WAV / Y4M bytes (encoded by the
     pure-NumPy codecs, per-row PCG64 substream so generation
     distributes); real=False keeps the legacy opaque-random payloads."""
-    from proj_4_spark.functions.codecs import encode_bmp, encode_wav, encode_y4m
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            payloads = []
-            metas = []
-            kinds = ["image", "audio", "video"]
-            for i in ids:
-                rng = np.random.Generator(np.random.PCG64(seed ^ int(i)))
-                kind = kinds[int(i) % 3]
-                if not real:
-                    payloads.append(rng.bytes(64 + int(i) % 128))
-                    codec = "fake"
-                    w = h = 16 if kind != "audio" else 0
-                    dur = 100 if kind != "image" else 0
-                elif kind == "image":
-                    w = h = 16 + 8 * (int(i) % 3)
-                    payloads.append(encode_bmp(
-                        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
-                    codec, dur = "bmp", 0
-                elif kind == "audio":
-                    nsamp = 1600 + 160 * (int(i) % 5)
-                    payloads.append(encode_wav(
-                        (rng.standard_normal(nsamp) * 3000).astype(np.int16)))
-                    codec, w, h, dur = "pcm16", 0, 0, nsamp // 16
-                else:
-                    w, h = 8, 8
-                    payloads.append(encode_y4m(
-                        rng.integers(0, 256, (4, h, w, 3), dtype=np.uint8)))
-                    codec, dur = "y4m", 160
-                metas.append({
-                    "media_type": kind, "width": w, "height": h,
-                    "duration_ms": dur, "codec": codec,
-                })
+            rows = [synth_media_row(int(i), seed=seed, real=real)
+                    for i in ids]
             yield pd.DataFrame({
                 "media_id": [f"m-{int(i):08d}" for i in ids],
-                "payload": payloads,
-                "meta": metas,
+                "payload": [r[0] for r in rows],
+                "meta": [r[1] for r in rows],
             })
 
     return spark.range(0, n).mapInPandas(

@@ -147,3 +147,70 @@ def ensure_fixture(name: str, builder) -> str:
     if not os.path.exists(path):
         pq.write_table(builder(), path)
     return path
+
+
+def knn_karney_expected_table(sf_dir: str = "/root/testdata/sf0.01",
+                              k_keep: int = 60) -> pa.Table:
+    """Expected ellipsoidal-Karney kNN candidates for the driver's
+    `knn_cell_partitioned` query at the correctness SF: per query point
+    (event_id % 211 == 0), the `k_keep` nearest of ALL sf0.01 geo points
+    by brute force through the SAME vectorized Karney inverse the
+    production UDF uses (kernels/geodesic.py; reference geod_inverse,
+    src/geodesic.c:1166).  The DuckDB oracle re-ranks these rows
+    independently (row_number over dist, doc_id) and takes k=5 — so the
+    distributed cell/ring/guard machinery is what the gate checks, while
+    the metric itself is pinned by the geodtest suites.
+
+    Brute force is the point here: no cells, no rings, no Spark."""
+    from proj_4_spark.kernels.common import DEG_TO_RAD, geodesic_inverse_karney
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_id"])["event_id"].to_numpy()
+    ev = np.sort(ev.astype(np.int64))
+    lon = (ev * 7919 % 360000) / 1000.0 - 180.0
+    lat = (ev * 104729 % 170000) / 1000.0 - 85.0
+    a, f = 6378137.0, 1 / 298.257222101
+    q_idx = np.flatnonzero(ev % 211 == 0)
+    qs, dids, dists = [], [], []
+    lam, phi = lon * DEG_TO_RAD, lat * DEG_TO_RAD
+    for qi in q_idx:
+        d = geodesic_inverse_karney(
+            np.full_like(lam, lam[qi]), np.full_like(phi, phi[qi]),
+            lam, phi, a, f)
+        keep = np.argpartition(d, k_keep)[:k_keep]
+        qs.extend([str(ev[qi])] * k_keep)
+        dids.extend(str(ev[j]) for j in keep)
+        dists.extend(d[keep])
+    return pa.table({
+        "q_id": pa.array(qs, pa.string()),
+        "doc_id": pa.array(dids, pa.string()),
+        "dist": pa.array(np.asarray(dists), pa.float64()),
+    })
+
+
+def multimodal_expected_table(n: int = 300, seed: int = SEED) -> pa.Table:
+    """Expected decode-derived features for the driver's
+    `multimodal_features` query: the same deterministic payload per
+    media_id (functions/multimodal.synth_media_row) pushed through the
+    same per-payload feature math (payload_features) — but driver-side,
+    no Spark, so the DuckDB oracle value-checks the mapInPandas
+    plumbing (batching, Arrow binary transfer, schema) end to end."""
+    from proj_4_spark.functions.multimodal import (
+        payload_features,
+        synth_media_row,
+    )
+
+    ids, kinds, means, stds = [], [], [], []
+    for i in range(n):
+        payload, meta = synth_media_row(i, seed=seed, real=True)
+        feats = payload_features(payload, meta["media_type"])
+        ids.append(f"m-{i:08d}")
+        kinds.append(meta["media_type"])
+        means.append(feats[0])
+        stds.append(feats[1])
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "media_type": pa.array(kinds, pa.string()),
+        "f_mean": pa.array(means, pa.float64()),
+        "f_std": pa.array(stds, pa.float64()),
+    })
