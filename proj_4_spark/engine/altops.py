@@ -265,3 +265,101 @@ def alt_transform(df, candidates: list[Candidate],
     if with_chosen:
         cols.append(F.col("_alt.chosen").alias(out_prefix + "chosen_op"))
     return res.select("*", *cols).drop("_alt")
+
+
+def _epsg_code(spec) -> int:
+    if isinstance(spec, int):
+        return spec
+    s = str(spec).strip()
+    if ":" in s:
+        auth, code = s.split(":", 1)
+        if auth.upper() != "EPSG":
+            raise LookupError(f"only EPSG codes supported, got {spec!r}")
+        return int(code)
+    return int(s)
+
+
+def _helmert_spec(payload, ellps_frag: str) -> str:
+    """cart -> helmert(position vector) -> cart⁻¹ pipeline (the towgs84
+    expansion, src/datums.cpp pj_datum_set semantics)."""
+    keys = ("x", "y", "z", "rx", "ry", "rz", "s")
+    parts = " ".join(f"+{k}={v!r}" for k, v in zip(keys, payload))
+    if any(payload[3:6]):
+        parts += " +convention=position_vector"
+    return (f"+proj=pipeline +step +proj=cart {ellps_frag} "
+            f"+step +proj=helmert {parts} "
+            f"+step +inv +proj=cart +ellps=WGS84")
+
+
+def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
+                          ) -> list[Candidate]:
+    """Candidate list for a (source, target) geographic CRS pair from
+    the generated EPSG catalog — the cataloged-subset analogue of
+    proj_create_crs_to_crs_from_pj building alternativeCoordinateOperations
+    (src/4D_api.cpp:1264-1354): one Candidate per EPSG coordinate
+    operation between the two CRSs, with its area-of-use bbox and
+    accuracy, sorted most-precise first.
+
+    Grid operations (NADCON/NTv2) become hgridshift candidates; Helmert
+    operations become cart->helmert->cart⁻¹ pipelines.  Candidates whose
+    grid files are not installed are dropped when skip_missing_grids
+    (the reference keeps them but they fail at grid-load; dropping gives
+    the same per-point outcome one retry earlier).  EPSG extents that
+    cross the antimeridian are SPLIT into two candidates: the reference
+    skips wrapped bboxes at this layer (4D_api.cpp:1038) because its
+    iso19111 layer already intersected areas — splitting preserves the
+    same routing (e.g. Alaska points onto the alaska NADCON grid).
+
+    Directionality: entries are stored (src->tgt); a (tgt, src) request
+    wraps each operation in +inv steps."""
+    from proj_4_spark.sources.epsg_generated import PRESETS, TRANSFORMS
+
+    s_code, d_code = _epsg_code(src), _epsg_code(dst)
+    entries = [(e, False) for e in TRANSFORMS.get((s_code, d_code), ())]
+    entries += [(e, True) for e in TRANSFORMS.get((d_code, s_code), ())]
+    if not entries:
+        raise LookupError(
+            f"no cataloged coordinate operation EPSG:{s_code} -> "
+            f"EPSG:{d_code}")
+    out = []
+    for (code, name, kind, payload, acc, bb), inverted in entries:
+        # the entry is stored in ITS OWN (src -> tgt) direction; an
+        # inverted lookup inverts the whole operation (+inv pipeline
+        # semantics run the steps reversed with flipped directions, so
+        # the cart legs keep their correct ellipsoids)
+        entry_src = d_code if inverted else s_code
+        src_preset = PRESETS.get(entry_src, "")
+        ellps_frag = " ".join(
+            f"+{tok}" for tok in src_preset.split()
+            if tok.split("=")[0] in ("ellps", "a", "b", "rf", "datum"))
+        if kind == "grid":
+            spec = f"+proj=hgridshift +grids={payload}"
+            if inverted:
+                spec += " +inv"
+        else:
+            p7 = tuple(payload) + (0.0,) * (7 - len(payload))
+            spec = _helmert_spec(p7, ellps_frag or "+ellps=WGS84")
+            if inverted:
+                spec = spec.replace("+proj=pipeline", "+proj=pipeline +inv")
+        if bb is None:
+            bb = (-180.0, -90.0, 180.0, 90.0)
+        w, so, e, n = bb
+        boxes = [bb] if w <= e else [(w, so, 180.0, n), (-180.0, so, e, n)]
+        for box in boxes:
+            try:
+                out.append(Candidate.from_projstring(
+                    spec, box, accuracy=float(acc), name=name))
+            except Exception as ex:
+                if skip_missing_grids and (
+                        "failed_to_load_grid" in str(ex)
+                        or isinstance(ex, FileNotFoundError)):
+                    break
+                raise
+    if not out:
+        raise LookupError(
+            f"all cataloged operations EPSG:{s_code} -> EPSG:{d_code} "
+            f"need grids that are not installed")
+    # pj sorts alternative operations most-precise first so the
+    # first-spatial-match rule prefers them (4D_api.cpp list order)
+    out.sort(key=lambda c: (c.accuracy < 0, c.accuracy))
+    return out

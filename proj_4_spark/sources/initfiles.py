@@ -251,7 +251,27 @@ _IGNF_PRESETS: dict[str, str] = {
 
 
 def _epsg_builtin(code: int) -> str | None:
-    """Formulaic EPSG families (public EPSG dataset definitions)."""
+    """EPSG preset resolution, in precedence order:
+
+    1. the hand-verified presets above (each matches a reference golden
+       — CLI outputs / GIGS expected values built on the classic init
+       towgs84 selections);
+    2. formulaic families (UTM zone arithmetic);
+    3. the GENERATED catalog compiled from the reference's public EPSG
+       SQL dataset by tools/gen_epsg_catalog.py (~5600 codes) — same
+       definitions, but its towgs84 pick follows a documented
+       min-accuracy rule rather than the classic hand-curated choices,
+       so the golden-pinned entries above keep precedence.
+    """
+    if os.environ.get("PROJ4SPARK_EPSG_GENERATED_FIRST"):
+        # test knob: resolve from the generated catalog BEFORE the
+        # hand-verified presets (tests/test_epsg_catalog.py replays gie
+        # suites through the generated definitions this way)
+        from proj_4_spark.sources.epsg_generated import PRESETS
+
+        frag = PRESETS.get(code)
+        if frag is not None:
+            return frag
     if code in _EPSG_PRESETS:
         return _EPSG_PRESETS[code]
     if code == 3857:
@@ -267,7 +287,9 @@ def _epsg_builtin(code: int) -> str | None:
     if 25828 <= code <= 25838:  # ETRS89 / UTM
         return (f"proj=utm zone={code - 25800} ellps=GRS80 "
                 "towgs84=0,0,0,0,0,0,0 units=m no_defs")
-    return None
+    from proj_4_spark.sources.epsg_generated import PRESETS
+
+    return PRESETS.get(code)
 
 
 def resolve_init(spec: str) -> str:

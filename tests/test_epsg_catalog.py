@@ -1,0 +1,174 @@
+"""Generated EPSG catalog (tools/gen_epsg_catalog.py compiling the
+reference's public data/sql EPSG dataset -> sources/epsg_generated.py).
+
+Three layers of evidence:
+1. breadth — every one of the ~6000 generated presets builds a working
+   Operation; every projected one round-trips at a point inside its
+   EPSG usage extent;
+2. parity — for every code that also has a hand-verified preset (each
+   pinned against reference CLI/GIGS goldens), the generated projection
+   params produce the same raw forward coordinates;
+3. replay — gie GIGS suites run with the resolver forced to the
+   GENERATED catalog (PROJ4SPARK_EPSG_GENERATED_FIRST), including the
+   datum-shift files — towgs84 consistency across the generated entries
+   makes the hub legs cancel exactly where they must.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import warnings
+
+import numpy as np
+import pytest
+
+from proj_4_spark import create_operation
+from proj_4_spark.sources.epsg_generated import EXTENTS, PRESETS
+from proj_4_spark.sources.initfiles import _EPSG_PRESETS
+
+D = np.pi / 180.0
+
+
+def _plus(ps: str) -> str:
+    return "+" + " +".join(ps.split())
+
+
+def _test_point(code: int, ps: str) -> tuple[float, float]:
+    """Extent-center test point, clamped to within 3 deg of the central
+    meridian (old wide-extent CRSs legitimately degrade far outside
+    their zone) and away from the poles."""
+    w, s, e, n = EXTENTS[code]
+    cx = (w + e) / 2 if w <= e else ((w + e + 360) / 2 + 180) % 360 - 180
+    cy = float(np.clip((s + n) / 2, -85, 85))
+    m = re.search(r"(?:lon_0|lonc)=(-?[\d.]+)", ps)
+    z = re.search(r"zone=(\d+)", ps)
+    lon0 = (float(m.group(1)) if m
+            else (int(z.group(1)) * 6 - 183 if z else None))
+    # a non-Greenwich prime meridian makes lon_0 pm-relative; the raw
+    # extent center (always in-zone for these small national CRSs) is
+    # the right test point there
+    if " pm=" in f" {ps}":
+        lon0 = None
+    if lon0 is not None:
+        lo = ((cx - lon0 + 180) % 360) - 180
+        cx = lon0 + float(np.clip(lo, -3, 3))
+    return cx, cy
+
+
+def test_generated_catalog_breadth_and_roundtrip():
+    """All presets construct; projected ones round-trip inside their
+    usage extent.  1e-7 deg (~1 cm) is the catalog-wide bar — extreme
+    false-origin zones sit ~1-2e-8 deg from iterative-inverse
+    tolerances; the reference's own gie corpus evidences the tighter
+    1e-8 claim at its test points."""
+    assert len(PRESETS) >= 6000
+    warnings.filterwarnings("ignore")
+    worst = 0.0
+    errs = []
+    n_proj = 0
+    for code, ps in sorted(PRESETS.items()):
+        op = create_operation(_plus(ps), emulation=False)  # pj_init semantics: the raw projection (datum hub legs are cs2cs machinery, tested by the gie replay below); must not raise, all ~6000
+        if ps.startswith(("proj=longlat", "proj=geocent")) \
+                or code not in EXTENTS:
+            continue
+        n_proj += 1
+        cx, cy = _test_point(code, ps)
+        lam, phi = np.array([cx * D]), np.array([cy * D])
+        z = np.zeros(1)
+        x, y, _, _ = op.apply(lam, phi, z, z.copy())
+        li, pi_, _, _ = op.apply(x, y, z, z.copy(), direction="inv")
+        assert np.isfinite(x[0]) and np.isfinite(y[0]), (code, ps)
+        # wrap the lon residual (lon_0=180 zones come back as -180+eps)
+        dlon = abs((li[0] - lam[0] + np.pi) % (2 * np.pi) - np.pi)
+        d = max(dlon, abs(pi_[0] - phi[0])) / D
+        errs.append(d)
+        worst = max(worst, d)
+        assert d < 1e-7, (code, ps, d)
+    assert n_proj >= 4900
+    # the catalog as a whole is far tighter than the worst-case bar
+    assert float(np.median(errs)) < 1e-9, float(np.median(errs))
+
+
+def test_generated_matches_hand_verified_presets():
+    """Raw projected forward parity between the generated definitions
+    and the hand-verified (golden-pinned) presets for every overlapping
+    projected code.  towgs84 never applies to a raw transform, so this
+    isolates the projection/ellipsoid/unit compilation."""
+    checked = 0
+    for code, hand in sorted(_EPSG_PRESETS.items()):
+        gen = PRESETS.get(code)
+        if gen is None or hand.startswith(("proj=longlat", "proj=geocent")):
+            continue
+        op_h = create_operation(_plus(hand), emulation=False)
+        op_g = create_operation(_plus(gen), emulation=False)
+        cx, cy = _test_point(code, gen) if code in EXTENTS else (0.0, 0.0)
+        lam, phi = np.array([cx * D]), np.array([cy * D])
+        z = np.zeros(1)
+        xh, yh, _, _ = op_h.apply(lam, phi, z, z.copy())
+        xg, yg, _, _ = op_g.apply(lam, phi, z, z.copy())
+        assert abs(xh[0] - xg[0]) < 1e-5 and abs(yh[0] - yg[0]) < 1e-5, (
+            code, hand, gen, xh[0] - xg[0], yh[0] - yg[0])
+        checked += 1
+    assert checked >= 20
+
+
+GIGS_GENERATED = [
+    # conversions + datum shifts; 5102.1 (ED50 / EuroLambert) and 5208
+    # (NTF Paris meridian) are the two files whose classic towgs84
+    # choices differ from the generated min-accuracy rule — they pass
+    # because the generated entries are datum-consistent, so the hub
+    # legs cancel.  The FULL gigs corpus passes generated-first too
+    # (1062/0); this subset keeps the pytest runtime bounded.
+    "5101.1-jhs.gie", "5102.1.gie", "5103.1.gie", "5104.gie",
+    "5105.2.gie", "5106.gie", "5107.gie", "5109.gie", "5111.1.gie",
+    "5112.gie", "5113.gie", "5201.gie", "5208.gie",
+]
+
+
+@pytest.mark.parametrize("fname", GIGS_GENERATED)
+def test_gigs_replay_generated_first(fname, monkeypatch):
+    from proj_4_spark.gie import run_file, summarize
+
+    path = f"/root/reference/test/gigs/{fname}"
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} not in reference checkout")
+    monkeypatch.setenv("PROJ4SPARK_EPSG_GENERATED_FIRST", "1")
+    s = summarize(run_file(path))
+    assert s["fail"] == 0, s
+    assert s["pass"] > 0
+
+
+def test_generated_first_env_off_by_default(monkeypatch):
+    """Hand-verified presets keep precedence without the test knob."""
+    from proj_4_spark.sources.initfiles import resolve_init
+
+    monkeypatch.delenv("PROJ4SPARK_EPSG_GENERATED_FIRST", raising=False)
+    # 31284 hand preset pins the classic MGI towgs84 (EPSG:1618 values)
+    assert "577.326" in resolve_init("epsg:31284")
+    monkeypatch.setenv("PROJ4SPARK_EPSG_GENERATED_FIRST", "1")
+    assert "601.705" in resolve_init("epsg:31284")
+
+
+def test_deep_epsg_codes_resolve():
+    """A working cartographer's weekly diet (none in the hand catalog):
+    state plane, national grids, regional UTMs — resolve + construct."""
+    for code in (26985,   # NAD83 / Maryland
+                 2263,    # NAD83 / New York Long Island (ftUS)
+                 31466,   # DHDN / Gauss-Kruger zone 2
+                 5243,    # ETRS89 / LCC Germany (E-N)
+                 2056,    # CH1903+ / LV95
+                 27572,   # NTF (Paris) / Lambert zone II
+                 3112,    # GDA94 / Geoscience Australia Lambert
+                 5330,    # Batavia (Jakarta) / NEIEZ
+                 24378,   # Kalianpur 1975 / India zone I
+                 29902,   # TM65 / Irish Grid
+                 2326,    # Hong Kong 1980 Grid System
+                 3006,    # SWEREF99 TM
+                 6677,    # JGD2011 / Japan Plane Rectangular CS IX
+                 2193):   # NZGD2000 / New Zealand Transverse Mercator
+        from proj_4_spark.sources.initfiles import resolve_init
+
+        frag = resolve_init(f"epsg:{code}")
+        op = create_operation(_plus(frag), emulation=False)
+        assert op is not None, code

@@ -1,0 +1,675 @@
+"""Compile an EPSG preset catalog from the reference's public EPSG SQL
+dataset (data/sql/*.sql, the same files proj.db is built from by
+scripts/build_db.py) into proj-string presets, rendered the way
+`+init=epsg:` expanded under classic proj.4 init rules
+(use_proj4_init_rules, src/iso19111/factory.cpp:135-334 semantics):
+
+- projected CRS  -> conversion method/params mapped to proj kernels
+  (UTM detection, DMS/grad/arc-second unit conversion, foot-based false
+  origins converted per-axis-unit);
+- geographic CRS -> proj=longlat + ellipsoid/prime-meridian;
+- geocentric CRS -> proj=geocent;
+- towgs84        -> the best non-deprecated Helmert to WGS 84 (EPSG
+  target 4326) for the base geographic CRS: min accuracy, then min code
+  (position-vector convention; Coordinate Frame rotations sign-flipped);
+- units          -> from the coordinate system's first axis unit.
+
+Axis *order* is deliberately ignored (classic init rules: GIS-friendly
+lon/lat, easting/northing) except where the method itself is
+south/west-orientated (TM South Orientated -> axis=wsu).
+
+Output: proj_4_spark/sources/epsg_generated.py (PRESETS dict).
+
+Usage: python tools/gen_epsg_catalog.py [--sql-dir DIR] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import re
+import sys
+
+SQL_DIR = "/root/reference/data/sql"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "proj_4_spark", "sources", "epsg_generated.py")
+
+_INSERT_RE = re.compile(r"INSERT INTO \"(\w+)\" VALUES\(", re.S)
+
+
+def parse_sql_file(path: str):
+    """Yield (table, [values...]) for every INSERT in the file.
+    Values: str | float | int | None; numeric literals also keep their
+    raw text (needed for sexagesimal-DMS, which is positional)."""
+    text = open(path, encoding="utf-8").read()
+    for m in _INSERT_RE.finditer(text):
+        table = m.group(1)
+        i = m.end()
+        vals = []
+        raw = []
+        while True:
+            c = text[i]
+            if c == ')':
+                break
+            if c == ',' or c.isspace():
+                i += 1
+                continue
+            if text.startswith("--", i):  # inline SQL comment
+                i = text.index("\n", i) + 1
+                continue
+            if c == "'":
+                j = i + 1
+                buf = []
+                while True:
+                    if text[j] == "'":
+                        if text[j + 1] == "'":
+                            buf.append("'")
+                            j += 2
+                            continue
+                        break
+                    buf.append(text[j])
+                    j += 1
+                vals.append("".join(buf))
+                raw.append(None)
+                i = j + 1
+            elif text.startswith("NULL", i):
+                vals.append(None)
+                raw.append(None)
+                i += 4
+            else:
+                j = i
+                while text[j] not in ",)":
+                    j += 1
+                tok = text[i:j].strip()
+                vals.append(float(tok) if ("." in tok or "e" in tok or "E" in tok)
+                            else int(tok))
+                raw.append(tok)
+                i = j
+        yield table, vals, raw
+
+
+def load_tables(sql_dir: str):
+    tables: dict[str, list] = {}
+    for fn in sorted(os.listdir(sql_dir)):
+        if not fn.endswith(".sql"):
+            continue
+        if fn in ("esri.sql", "ignf.sql", "customizations.sql",
+                  "proj_db_table_defs.sql"):
+            continue
+        for table, vals, raw in parse_sql_file(os.path.join(sql_dir, fn)):
+            tables.setdefault(table, []).append((vals, raw))
+    return tables
+
+
+# --------------------------------------------------------------------------
+# unit conversion
+
+def dms_to_deg(raw: str) -> float:
+    """EPSG uom 9110 sexagesimal DMS: DDD.MMSSsssss (positional — must
+    come from the SQL literal text, not a parsed float)."""
+    neg = raw.startswith("-")
+    s = raw.lstrip("+-")
+    if "." in s:
+        d, frac = s.split(".", 1)
+    else:
+        d, frac = s, ""
+    frac = (frac + "0000")[: max(4, len(frac))]  # pad minutes/seconds
+    mm = int(frac[:2] or 0)
+    ss = float((frac[2:4] or "0") + ("." + frac[4:] if len(frac) > 4 else ""))
+    deg = int(d or 0) + mm / 60.0 + ss / 3600.0
+    return -deg if neg else deg
+
+
+class Units:
+    def __init__(self, rows):
+        self.factor = {}
+        self.kind = {}
+        for vals, _ in rows:
+            # ('EPSG', code, name, type, factor, deprecated?... )
+            code, name, typ, fac = int(vals[1]), vals[2], vals[3], vals[4]
+            self.factor[code] = fac
+            self.kind[code] = typ
+
+    def angle_deg(self, value, uom: int, raw: str | None) -> float:
+        # exact paths for the standard angle units (routing degrees
+        # through the radian factor would turn 21 into 20.99999999999998)
+        if uom == 9110:
+            return dms_to_deg(raw if raw is not None else repr(value))
+        if uom == 9102:   # degree
+            return value
+        if uom == 9105:   # grad
+            return value * 0.9
+        if uom == 9104:   # arc-second
+            return value / 3600.0
+        if uom == 9103:   # arc-minute
+            return value / 60.0
+        fac = self.factor.get(uom)
+        if fac is None:
+            raise KeyError(f"angle uom {uom}")
+        return value * fac * 180.0 / math.pi
+
+    def length_m(self, value, uom: int) -> float:
+        fac = self.factor.get(uom)
+        if fac is None:
+            raise KeyError(f"length uom {uom}")
+        return value * fac
+
+    def scale_unity(self, value, uom: int) -> float:
+        fac = self.factor.get(uom)
+        if fac is None:
+            raise KeyError(f"scale uom {uom}")
+        return value * fac
+
+    def rot_arcsec(self, value, uom: int) -> float:
+        if uom == 9104:   # arc-second (the overwhelmingly common case)
+            return value
+        if uom == 9103:
+            return value * 60.0
+        if uom == 9102:
+            return value * 3600.0
+        fac = self.factor.get(uom)
+        if fac is None:
+            raise KeyError(f"rot uom {uom}")
+        return value * fac * (180.0 * 3600.0) / math.pi
+
+
+# proj +units= tokens for common axis units; anything else -> +to_meter=
+UNIT_TOKEN = {
+    9001: "m",
+    9002: "ft",
+    9003: "us-ft",
+    9036: "km",
+    9096: "yd",
+}
+
+# EPSG ellipsoid code -> proj +ellps= name (proj_ellps table, pj_ellps.c)
+ELLPS_NAME = {
+    7001: "airy", 7002: "mod_airy", 7003: "aust_SA", 7004: "bessel",
+    7008: "clrk66", 7012: "clrk80", 7011: "clrk80ign", 7015: "evrst30",
+    7016: "evrstSS", 7019: "GRS80", 7020: "helmert", 7022: "intl",
+    7024: "krass", 7027: "plessis", 7030: "WGS84", 7036: "GRS67",
+    7043: "WGS72", 7044: "evrst56", 7046: "bess_nam", 7049: "IAU76",
+}
+
+# geodetic DATUM codes whose classic expansion is a named +datum=
+# (these expand to grid chains / canonical towgs84 inside the engine's
+# datum registry): 6326 WGS84, 6267 NAD27, 6269 NAD83, 6277 OSGB36
+DATUM_NAME = {6326: "WGS84", 6267: "NAD27", 6269: "NAD83", 6277: "OSGB36"}
+
+
+def fmt(v: float) -> str:
+    """Shortest round-trip decimal (classic init files print plainly)."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+class Catalog:
+    def __init__(self, tables):
+        self.units = Units(tables["unit_of_measure"])
+        self.ellipsoid = {int(v[1]): v for v, _ in tables["ellipsoid"]}
+        self.pm = {int(v[1]): (v, r) for v, r in tables["prime_meridian"]}
+        self.datum = {int(v[1]): v for v, _ in tables["geodetic_datum"]}
+        self.geod_crs = {int(v[1]): v for v, _ in tables["geodetic_crs"]}
+        self.conversion = {int(v[1]): (v, r) for v, r in tables["conversion"]}
+        self.proj_crs = {int(v[1]): v for v, _ in tables["projected_crs"]}
+        self.axis = {}
+        for v, _ in tables["axis"]:
+            # ('EPSG',code,name,abbrev,orientation,'EPSG',cs_code,order,'EPSG',uom)
+            cs = int(v[6])
+            self.axis.setdefault(cs, []).append(
+                (int(v[7]), v[4], int(v[9]) if v[9] is not None else None))
+        for cs in self.axis:
+            self.axis[cs].sort()
+        # usage -> extent bbox per (table, code)
+        self.extent = {int(v[1]): v for v, _ in tables.get("extent", [])}
+        self.usage_extent: dict[tuple[str, int], int] = {}
+        for v, _ in tables.get("usage", []):
+            try:
+                self.usage_extent[(v[2], int(v[4]))] = int(v[6])
+            except (TypeError, ValueError):
+                continue
+        # helmert candidates to WGS84 by source geographic CRS
+        self.helmert = {}
+        self.helmert_all = []   # (code, name, method, src, tgt, acc, row)
+        for v, r in tables["helmert_transformation"]:
+            if v[-1]:  # deprecated
+                continue
+            method = int(v[5])
+            if method not in (9603, 9606, 9607, 1031, 1032, 1033):
+                continue
+            src, tgt = int(v[8]), int(v[10])
+            acc = v[11] if isinstance(v[11], (int, float)) else 999.0
+            self.helmert_all.append((int(v[1]), v[2], method, src, tgt, acc, v))
+            if tgt != 4326:
+                continue
+            self.helmert.setdefault(src, []).append((acc, int(v[1]), v, r))
+        for src in self.helmert:
+            self.helmert[src].sort(key=lambda t: (t[0], t[1]))
+        # grid transformations (NADCON 9613, NTv2 9615)
+        self.grid_tf = []       # (code, name, method, src, tgt, acc, grid)
+        for v, _ in tables.get("grid_transformation", []):
+            if v[-1]:
+                continue
+            method = int(v[5])
+            if method not in (9613, 9615):
+                continue
+            grid = v[15]
+            if not isinstance(grid, str):
+                continue
+            if method == 9613 and grid.endswith(".las"):
+                grid = grid[:-4]   # NADCON pair -> merged ctable2 name
+            acc = v[11] if isinstance(v[11], (int, float)) else 999.0
+            self.grid_tf.append((int(v[1]), v[2], method, int(v[8]),
+                                 int(v[10]), acc, grid))
+
+    # ----------------------------------------------------------------
+    def towgs84(self, geod_code: int) -> str | None:
+        cands = self.helmert.get(geod_code)
+        if not cands:
+            sib = self.pm_sibling(geod_code)
+            if sib is not None:
+                cands = self.helmert.get(sib)
+        if not cands:
+            return None
+        _, _, v, _ = cands[0]
+        u = self.units
+        method = int(v[5])
+        tx = u.length_m(v[12], int(v[16]))
+        ty = u.length_m(v[13], int(v[16]))
+        tz = u.length_m(v[14], int(v[16]))
+        if v[17] is None:
+            return f"towgs84={fmt(tx)},{fmt(ty)},{fmt(tz)}"
+        rx = u.rot_arcsec(v[17], int(v[21]))
+        ry = u.rot_arcsec(v[18], int(v[21]))
+        rz = u.rot_arcsec(v[19], int(v[21]))
+        ds = v[22] * u.factor[int(v[24])] * 1e6 if v[22] is not None else 0.0
+        if method in (9607, 1032):  # Coordinate Frame -> position vector
+            rx, ry, rz = -rx, -ry, -rz
+        vals = [tx, ty, tz, round(rx, 12), round(ry, 12), round(rz, 12),
+                round(ds, 12)]
+        return "towgs84=" + ",".join(fmt(x) for x in vals)
+
+    def pm_sibling(self, geod_code: int) -> int | None:
+        """For a CRS on a non-Greenwich datum variant ('NTF (Paris)'),
+        the geographic-2D CRS of the Greenwich base datum of the same
+        name and ellipsoid — classic init gave both the same towgs84
+        (the longitude rotation commutes with the Helmert shift to
+        within the shift's own accuracy)."""
+        g = self.geod_crs.get(geod_code)
+        if g is None or g[8] is None:
+            return None
+        d = self.datum.get(int(g[8]))
+        if d is None or int(d[7]) == 8901:
+            return None
+        base_name = re.sub(r"\s*\([^)]*\)\s*$", "", d[2])
+        for code2, d2 in self.datum.items():
+            if (d2[2] == base_name and int(d2[7]) == 8901
+                    and d2[5] == d[5]):
+                for gc, g2 in self.geod_crs.items():
+                    if (g2[8] is not None and int(g2[8]) == code2
+                            and g2[4] == "geographic 2D"
+                            and gc in self.helmert):
+                        return gc
+        return None
+
+    def ellps_fragment(self, ell_code: int) -> str:
+        name = ELLPS_NAME.get(ell_code)
+        if name:
+            return f"ellps={name}"
+        v = self.ellipsoid[ell_code]
+        a = self.units.length_m(v[6], int(v[8]))
+        inv_f, b = v[9], v[10]
+        if inv_f is not None:
+            return f"a={fmt(a)} rf={fmt(inv_f)}"
+        b_m = self.units.length_m(b, int(v[8]))
+        if b_m == a:
+            return f"a={fmt(a)} b={fmt(b_m)}"
+        return f"a={fmt(a)} b={fmt(b_m)}"
+
+    def pm_fragment(self, pm_code: int) -> str | None:
+        if pm_code == 8901:  # Greenwich
+            return None
+        v, r = self.pm[pm_code]
+        deg = self.units.angle_deg(v[3], int(v[5]), r[3])
+        named = {8902: "lisbon", 8903: "paris", 8904: "bogota",
+                 8905: "madrid", 8906: "rome", 8907: "bern", 8908: "jakarta",
+                 8909: "ferro", 8910: "brussels", 8911: "stockholm",
+                 8912: "athens", 8913: "oslo"}
+        if pm_code in named:
+            return f"pm={named[pm_code]}"
+        return f"pm={fmt(deg)}"
+
+    def base_fragment(self, geod_code: int, with_towgs84: bool = True) -> str | None:
+        """Datum/ellipsoid/pm (+towgs84) fragment for a geographic CRS."""
+        g = self.geod_crs.get(geod_code)
+        if g is None:
+            return None
+        datum_code = g[8]
+        if datum_code is None:
+            return None
+        if int(datum_code) in DATUM_NAME:
+            return f"datum={DATUM_NAME[int(datum_code)]}"
+        d = self.datum.get(int(datum_code))
+        if d is None:
+            return None
+        parts = [self.ellps_fragment(int(d[5]))]
+        pmf = self.pm_fragment(int(d[7]))
+        if pmf:
+            parts.append(pmf)
+        if with_towgs84:
+            tw = self.towgs84(geod_code)
+            if tw:
+                parts.append(tw)
+        return " ".join(parts)
+
+    # ----------------------------------------------------------------
+    def conv_params(self, conv_vals, conv_raw) -> dict[int, tuple]:
+        """{param_code: (value, uom, raw)} from a conversion row."""
+        out = {}
+        # layout: ...,'EPSG',method,method_name, then 7x
+        # ('EPSG', pcode, pname, value, 'EPSG', uom)
+        i = 7
+        v, r = conv_vals, conv_raw
+        while i + 5 < len(v):
+            if v[i] != "EPSG" or v[i + 1] is None:
+                break
+            pcode = int(v[i + 1])
+            val = v[i + 3]
+            uom = v[i + 5]
+            out[pcode] = (val, int(uom) if uom is not None else None, r[i + 3])
+            i += 6
+        return out
+
+    def angle(self, p, code, default=None):
+        if code not in p:
+            return default
+        val, uom, raw = p[code]
+        return self.units.angle_deg(val, uom, raw)
+
+    def length(self, p, code, default=0.0):
+        if code not in p:
+            return default
+        val, uom, _ = p[code]
+        return self.units.length_m(val, uom)
+
+    def scale(self, p, code, default=1.0):
+        if code not in p:
+            return default
+        val, uom, _ = p[code]
+        return self.units.scale_unity(val, uom)
+
+    def method_fragment(self, method: int, p: dict) -> str | None:
+        A, L, K = self.angle, self.length, self.scale
+        if method in (9807, 9808):  # Transverse Mercator [South Orientated]
+            lat0, lon0 = A(p, 8801, 0.0), A(p, 8802, 0.0)
+            k, x0, y0 = K(p, 8805), L(p, 8806), L(p, 8807)
+            south = method == 9808
+            # UTM detection (classic init rendered these as +proj=utm)
+            zone = (lon0 + 183.0) / 6.0
+            if (not south and lat0 == 0.0 and abs(k - 0.9996) < 1e-12
+                    and x0 == 500000.0 and y0 in (0.0, 10000000.0)
+                    and abs(zone - round(zone)) < 1e-9
+                    and 1 <= round(zone) <= 60):
+                s = f"proj=utm zone={int(round(zone))}"
+                return s + (" south" if y0 == 10000000.0 else "")
+            s = (f"proj=tmerc lat_0={fmt(lat0)} lon_0={fmt(lon0)} "
+                 f"k={fmt(k)} x_0={fmt(x0)} y_0={fmt(y0)}")
+            return s + (" axis=wsu" if south else "")
+        if method == 9802:  # LCC 2SP
+            return (f"proj=lcc lat_0={fmt(A(p, 8821, 0.0))} "
+                    f"lon_0={fmt(A(p, 8822, 0.0))} "
+                    f"lat_1={fmt(A(p, 8823, 0.0))} lat_2={fmt(A(p, 8824, 0.0))} "
+                    f"x_0={fmt(L(p, 8826))} y_0={fmt(L(p, 8827))}")
+        if method == 1051:  # LCC 2SP Michigan (ellipsoid scaling factor)
+            k = self.scale(p, 1038, 1.0)
+            return (f"proj=lcc lat_0={fmt(A(p, 8821, 0.0))} "
+                    f"lon_0={fmt(A(p, 8822, 0.0))} "
+                    f"lat_1={fmt(A(p, 8823, 0.0))} lat_2={fmt(A(p, 8824, 0.0))} "
+                    f"x_0={fmt(L(p, 8826))} y_0={fmt(L(p, 8827))} k_0={fmt(k)}")
+        if method == 9801:  # LCC 1SP
+            lat0 = A(p, 8801, 0.0)
+            return (f"proj=lcc lat_1={fmt(lat0)} lat_0={fmt(lat0)} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k_0={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method == 9804:  # Mercator variant A
+            return (f"proj=merc lon_0={fmt(A(p, 8802, 0.0))} "
+                    f"k={fmt(K(p, 8805))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 9805:  # Mercator variant B
+            return (f"proj=merc lat_ts={fmt(A(p, 8823, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 1024:  # Popular Visualisation Pseudo Mercator
+            return (f"proj=webmerc lon_0={fmt(A(p, 8802, 0.0))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method == 9806:  # Cassini-Soldner
+            return (f"proj=cass lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 9809:  # Oblique Stereographic
+            return (f"proj=sterea lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method == 9810:  # Polar Stereographic variant A
+            return (f"proj=stere lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method == 9829:  # Polar Stereographic variant B
+            lat_ts = A(p, 8832, 0.0)
+            pole = 90.0 if lat_ts >= 0 else -90.0
+            return (f"proj=stere lat_0={fmt(pole)} lat_ts={fmt(lat_ts)} "
+                    f"lon_0={fmt(A(p, 8833, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method in (9812, 9815):  # Hotine Oblique Mercator A/B
+            alpha = A(p, 8813, 0.0)
+            gamma = A(p, 8814, alpha)
+            if method == 9812:
+                x0, y0, tail = L(p, 8806), L(p, 8807), " no_uoff"
+            else:
+                x0, y0, tail = L(p, 8816), L(p, 8817), ""
+            if alpha == 90.0 and gamma == 90.0 and method == 9815:
+                # HOM-B at alpha=gamma=90 IS the Swiss Oblique Mercator
+                # (classic epsg init rendered these as +proj=somerc)
+                return (f"proj=somerc lat_0={fmt(A(p, 8811, 0.0))} "
+                        f"lon_0={fmt(A(p, 8812, 0.0))} "
+                        f"k_0={fmt(K(p, 8815))} "
+                        f"x_0={fmt(x0)} y_0={fmt(y0)}")
+            return (f"proj=omerc lat_0={fmt(A(p, 8811, 0.0))} "
+                    f"lonc={fmt(A(p, 8812, 0.0))} alpha={fmt(alpha)} "
+                    f"gamma={fmt(gamma)} k={fmt(K(p, 8815))} "
+                    f"x_0={fmt(x0)} y_0={fmt(y0)}{tail}")
+        if method == 9818:  # American Polyconic
+            return (f"proj=poly lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method in (9819, 1041):  # Krovak [North Orientated]
+            s = (f"proj=krovak lat_0={fmt(A(p, 8811, 0.0))} "
+                 f"lon_0={fmt(A(p, 8833, 0.0))} "
+                 f"alpha={fmt(A(p, 1036, 0.0))} k={fmt(self.scale(p, 8819))} "
+                 f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+            return s + (" axis=swu" if method == 9819 else "")
+        if method in (9820, 9821, 1027):  # LAEA [(Spherical)]
+            s = (f"proj=laea lat_0={fmt(A(p, 8801, 0.0))} "
+                 f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                 f"y_0={fmt(L(p, 8807))}")
+            return s + (" R_A" if method in (9821, 1027) else "")
+        if method == 9822:  # Albers
+            return (f"proj=aea lat_0={fmt(A(p, 8821, 0.0))} "
+                    f"lon_0={fmt(A(p, 8822, 0.0))} "
+                    f"lat_1={fmt(A(p, 8823, 0.0))} lat_2={fmt(A(p, 8824, 0.0))} "
+                    f"x_0={fmt(L(p, 8826))} y_0={fmt(L(p, 8827))}")
+        if method == 1078:  # Equal Earth
+            return (f"proj=eqearth lon_0={fmt(A(p, 8802, 0.0))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method in (1028, 1029, 9823, 9842):  # Equidistant Cylindrical
+            s = (f"proj=eqc lat_ts={fmt(A(p, 8823, 0.0))} "
+                 f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                 f"y_0={fmt(L(p, 8807))}")
+            return s + (" R_A" if method in (1029, 9823) else "")
+        if method in (9834, 9835):  # Lambert Cylindrical Equal Area
+            s = (f"proj=cea lat_ts={fmt(A(p, 8823, 0.0))} "
+                 f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                 f"y_0={fmt(L(p, 8807))}")
+            return s + (" R_A" if method == 9834 else "")
+        if method == 9811:  # New Zealand Map Grid
+            return (f"proj=nzmg lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 9832:  # Modified Azimuthal Equidistant
+            return (f"proj=aeqd lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 9831:  # Guam Projection
+            return (f"proj=aeqd guam lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        if method == 9827:  # Bonne
+            return (f"proj=bonne lat_1={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))}")
+        return None  # unsupported method -> code dropped
+
+    def units_fragment(self, cs_code: int) -> str | None:
+        axes = self.axis.get(cs_code)
+        if not axes:
+            return "units=m"
+        uom = axes[0][2]
+        if uom is None:
+            return "units=m"
+        tok = UNIT_TOKEN.get(uom)
+        if tok:
+            return f"units={tok}"
+        fac = self.units.factor.get(uom)
+        if fac is None or self.units.kind.get(uom) != "length":
+            return None  # unsupported axis unit -> code dropped
+        return f"to_meter={fmt(fac)}"
+
+    def bbox(self, table: str, code: int):
+        """(west, south, east, north) degrees for a CRS code, or None."""
+        ext_code = self.usage_extent.get((table, code))
+        if ext_code is None:
+            return None
+        e = self.extent.get(ext_code)
+        if e is None or e[4] is None:
+            return None
+        south, north, west, east = e[4], e[5], e[6], e[7]
+        return (west, south, east, north)
+
+    # ----------------------------------------------------------------
+    def build(self):
+        presets: dict[int, str] = {}
+        extents: dict[int, tuple] = {}
+        counts = {"geographic 2D": 0, "geographic 3D": 0, "geocentric": 0,
+                  "projected": 0, "dropped": 0}
+        for code, g in self.geod_crs.items():
+            # deprecated codes stay resolvable (the classic init files
+            # carried them and the reference test suites use some)
+            typ = g[4]
+            base = self.base_fragment(code)
+            if base is None:
+                counts["dropped"] += 1
+                continue
+            if typ == "geocentric":
+                presets[code] = f"proj=geocent {base} units=m no_defs"
+                counts["geocentric"] += 1
+            elif typ in ("geographic 2D", "geographic 3D"):
+                presets[code] = f"proj=longlat {base} no_defs"
+                counts[typ] += 1
+            else:
+                continue
+            bb = self.bbox("geodetic_crs", code)
+            if bb:
+                extents[code] = bb
+        for code, pc in self.proj_crs.items():
+            # ('EPSG',code,name,desc,'EPSG',cs,'EPSG',geod,'EPSG',conv,text,dep)
+            if pc[5] is None or pc[7] is None or pc[9] is None:
+                counts["dropped"] += 1
+                continue
+            cs_code, geod_code, conv_code = int(pc[5]), int(pc[7]), int(pc[9])
+            conv = self.conversion.get(conv_code)
+            if conv is None:
+                counts["dropped"] += 1
+                continue
+            method = int(conv[0][5])
+            p = self.conv_params(conv[0], conv[1])
+            try:
+                frag = self.method_fragment(method, p)
+            except KeyError:
+                frag = None
+            base = self.base_fragment(geod_code)
+            unitf = self.units_fragment(cs_code)
+            if frag is None or base is None or unitf is None:
+                counts["dropped"] += 1
+                continue
+            presets[code] = f"{frag} {base} {unitf} no_defs"
+            counts["projected"] += 1
+            bb = self.bbox("projected_crs", code)
+            if bb:
+                extents[code] = bb
+        # coordinate-operation candidates per (src, tgt) geographic pair
+        transforms: dict[tuple, list] = {}
+        for code, name, method, src, tgt, acc, grid in self.grid_tf:
+            bb = self.bbox("grid_transformation", code)
+            transforms.setdefault((src, tgt), []).append(
+                (code, name, "grid", grid, acc, bb))
+        u = self.units
+        for code, name, method, src, tgt, acc, v in self.helmert_all:
+            bb = self.bbox("helmert_transformation", code)
+            tx = u.length_m(v[12], int(v[16]))
+            ty = u.length_m(v[13], int(v[16]))
+            tz = u.length_m(v[14], int(v[16]))
+            if v[17] is None:
+                payload = (tx, ty, tz)
+            else:
+                rx = u.rot_arcsec(v[17], int(v[21]))
+                ry = u.rot_arcsec(v[18], int(v[21]))
+                rz = u.rot_arcsec(v[19], int(v[21]))
+                ds = (v[22] * u.factor[int(v[24])] * 1e6
+                      if v[22] is not None else 0.0)
+                if method in (9607, 1032):  # Coordinate Frame -> PV
+                    rx, ry, rz = -rx, -ry, -rz
+                payload = (tx, ty, tz, round(rx, 12), round(ry, 12),
+                           round(rz, 12), round(ds, 12))
+            transforms.setdefault((src, tgt), []).append(
+                (code, name, "helmert", payload, acc, bb))
+        return presets, extents, transforms, counts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sql-dir", default=SQL_DIR)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args(argv)
+    tables = load_tables(args.sql_dir)
+    cat = Catalog(tables)
+    presets, extents, transforms, counts = cat.build()
+    with open(args.out, "w", encoding="utf-8") as f:
+        f.write('"""AUTO-GENERATED by tools/gen_epsg_catalog.py from the\n')
+        f.write("reference's public EPSG SQL dataset (data/sql/*.sql) —\n")
+        f.write('the classic +init=epsg: expansion.  DO NOT EDIT BY HAND.\n')
+        f.write(f'\nCounts: {counts}\n"""\n\n')
+        f.write("PRESETS: dict[int, str] = {\n")
+        for code in sorted(presets):
+            f.write(f"    {code}: {presets[code]!r},\n")
+        f.write("}\n\n")
+        f.write("# (west, south, east, north) degrees, from usage+extent\n")
+        f.write("EXTENTS: dict[int, tuple] = {\n")
+        for code in sorted(extents):
+            w, s_, e, n = extents[code]
+            f.write(f"    {code}: ({w!r}, {s_!r}, {e!r}, {n!r}),\n")
+        f.write("}\n\n")
+        f.write("# coordinate-operation candidates per (src_crs, tgt_crs):\n")
+        f.write("# (epsg_code, name, kind, payload, accuracy, bbox)\n")
+        f.write("# kind='grid' -> payload is the grid file; 'helmert' ->\n")
+        f.write("# payload is (tx,ty,tz[,rx,ry,rz,ds]) position-vector\n")
+        f.write("TRANSFORMS: dict[tuple, list] = {\n")
+        for key in sorted(transforms):
+            f.write(f"    {key!r}: {transforms[key]!r},\n")
+        f.write("}\n")
+    print(f"wrote {len(presets)} presets, {sum(len(v) for v in transforms.values())} transforms to {args.out}; counts={counts}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
