@@ -67,13 +67,13 @@ def run_workload(spark, sf_dir: str) -> dict[str, float]:
     # worker type
     qs["docs_geo_pipeline"](spark, "/root/testdata/sf0.001").count()
     times: dict[str, float] = {}
-    # best-of-2 per query: single-box runs show multi-second GC/straggler
+    # best-of-3 per query: single-box runs show multi-second GC/straggler
     # spikes that land on a different query each run; the min is the
     # reproducible steady-state number (queries are deterministic)
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # count() forces full execution w/o driver materialization
@@ -208,6 +208,9 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # 1-min load BEFORE this bench started minus our own footprint is
+        # unknowable, so record the raw pre/post loadavg for honesty
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }))
 
 

@@ -88,12 +88,19 @@ def knn_join(
     point_cols=("doc_id", "span_offset", "lon", "lat"),
     query_cols=("q_id", "lon", "lat"),
     metric: str = "karney",
+    n_salt: int = 1,
 ):
     """Returns (q_id, doc_id, span_offset, dist_m, rank) with rank<=k.
 
     points_df: (doc_id, span_offset, lon, lat); queries_df: (q_id, lon, lat).
     metric: "karney" (exact ellipsoidal) or "haversine" (mean sphere —
     the SQL-expressible twin used by the DuckDB correctness gate).
+    n_salt > 1 defuses hot-cell skew (a metro cell holding most of the
+    corpus): points hash-split into (cell, salt) sub-partitions and each
+    query replicates across the salts of its candidate cells, so the hot
+    cell's candidate generation spreads over n_salt tasks instead of
+    one.  The per-query ranking window is salt-agnostic, so the result
+    is IDENTICAL to n_salt=1 (pinned in tests).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -109,8 +116,13 @@ def knn_join(
         F.col(plat).alias("p_lat"),
         cells.cell_col(F.col(plon), F.col(plat), res).alias("cell"),
     )
-    # repartition points by cell once; reused across widening passes
-    pts = pts.repartition("cell").cache()
+    join_keys = ["cell"]
+    if n_salt > 1:
+        pts = pts.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"))
+        join_keys = ["cell", "salt"]
+    # repartition points by cell (and salt) once; reused across passes
+    pts = pts.repartition(*join_keys).cache()
 
     remaining = queries_df.select(
         F.col(qid).alias("q_id"), F.col(qlon).alias("q_lon"), F.col(qlat).alias("q_lat")
@@ -128,7 +140,11 @@ def knn_join(
                 )
             ),
         )
-        cand = q.join(pts, "cell", "inner")
+        if n_salt > 1:
+            q = q.withColumn(
+                "salt",
+                F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        cand = q.join(pts, join_keys, "inner")
         cand = cand.withColumn(
             "dist_m",
             geodesic_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),

@@ -216,3 +216,25 @@ def test_lsh_topk_single_exchange_for_dedup_and_rank(spark):
     assert parts[0].startswith("q_id"), parts
     assert "vec_id" not in parts[0], parts
     assert "HashAggregate" not in txt, txt[:3000]
+
+
+def test_salted_count_two_phase_agg_shape(spark):
+    """salted_count's physical plan is the two-phase shape the salting
+    docs promise: an exchange on (cell, salted_cell) for the partial
+    aggregate, then an exchange on (cell) alone for the final — the hot
+    cell's rows spread over n_salt reducers in phase 1 and only n_salt
+    partial rows meet in phase 2."""
+    import re
+
+    from proj_4_spark.spatial.salting import salted_count
+
+    df = spark.range(0, 10000).selectExpr(
+        "cast(id as string) as doc_id", "cast(id % 7 as string) as cell")
+    txt = plan_of(salted_count(df, n_salt=16))
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt)
+    assert len(parts) == 2, parts
+    two_key = [p for p in parts if "salted_cell" in p and "cell" in p]
+    one_key = [p for p in parts if "salted_cell" not in p]
+    assert len(two_key) == 1 and len(one_key) == 1, parts
+    # both phases keep partial (map-side) aggregation
+    assert txt.count("HashAggregate") >= 4, txt[:2000]

@@ -217,3 +217,37 @@ def test_salted_count_equals_plain_count(spark, media_pts):
     plain = {r["cell"]: r["count"] for r in df.groupBy("cell").count().collect()}
     salted = {r["cell"]: r["n"] for r in salted_count(df, "cell", "doc_id", 8).collect()}
     assert plain == salted
+
+
+def test_knn_salted_equals_plain(spark):
+    """n_salt>1 splits hot cells across salt sub-partitions but the
+    per-query ranking is salt-agnostic: identical output to n_salt=1."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.spatial.knn import knn_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").limit(3000)
+    pts = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_offset"),
+        # 80% of points into one hot cell near (2.3, 48.8)
+        F.when(F.col("event_id") % 5 < 4,
+               2.3 + (F.col("event_id") % 89) / 10000.0)
+        .otherwise((F.col("event_id") * 7919 % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        F.when(F.col("event_id") % 5 < 4,
+               48.8 + (F.col("event_id") % 97) / 10000.0)
+        .otherwise((F.col("event_id") * 104729 % 170000) / 1000.0 - 85.0)
+        .alias("lat"),
+    )
+    queries = pts.where("doc_id % 211 = 0").selectExpr(
+        "doc_id as q_id", "lon", "lat")
+    plain = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
+                     metric="haversine").orderBy("q_id", "rank").toPandas()
+    salted = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
+                      metric="haversine", n_salt=8
+                      ).orderBy("q_id", "rank").toPandas()
+    assert len(plain) == len(salted)
+    for c in ("q_id", "doc_id", "rank"):
+        assert (plain[c].to_numpy() == salted[c].to_numpy()).all(), c
+    assert np.allclose(plain["dist_m"], salted["dist_m"], rtol=0, atol=1e-9)
