@@ -525,6 +525,25 @@ class Catalog:
             return (f"proj=aeqd guam lat_0={fmt(A(p, 8801, 0.0))} "
                     f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
                     f"y_0={fmt(L(p, 8807))}")
+        if method == 1052:  # Colombia Urban (IOGP GN7-2)
+            h0 = self.length(p, 1039, 0.0)
+            return (f"proj=col_urban lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
+                    f"y_0={fmt(L(p, 8807))} h_0={fmt(h0)}")
+        if method == 9826:  # LCC West Orientated: 1SP with W = FE - E
+            lat0 = A(p, 8801, 0.0)
+            return (f"proj=lcc lat_1={fmt(lat0)} lat_0={fmt(lat0)} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k_0={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))} axis=wnu")
+        if method == 9813:  # Laborde Oblique Mercator (Madagascar)
+            return (f"proj=labrd lat_0={fmt(A(p, 8811, 0.0))} "
+                    f"lon_0={fmt(A(p, 8812, 0.0))} "
+                    f"azi={fmt(A(p, 8813, 0.0))} k_0={fmt(K(p, 8815))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if method == 9817:  # Lambert Conic Near-Conformal
+            return (f"proj=lcca lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k_0={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
         if method == 9827:  # Bonne
             return (f"proj=bonne lat_1={fmt(A(p, 8801, 0.0))} "
                     f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
