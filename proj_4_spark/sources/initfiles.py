@@ -304,6 +304,14 @@ def resolve_init(spec: str) -> str:
     if fname == "IGNF":
         frag = _IGNF_PRESETS.get(key)
         if frag is None:
+            # generated registry (compiled from the reference's public
+            # ignf.sql by tools/gen_epsg_catalog.py, ~600 codes); the
+            # hand presets above keep precedence (testIGNF goldens ride
+            # their nadgrids-first NTF route)
+            from proj_4_spark.sources.epsg_generated import IGNF_PRESETS
+
+            frag = IGNF_PRESETS.get(key)
+        if frag is None:
             raise LookupError(f"IGNF:{key} not in built-in catalog")
         return frag
     if fname.lower() == "epsg":

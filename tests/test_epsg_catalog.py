@@ -172,3 +172,38 @@ def test_deep_epsg_codes_resolve():
         frag = resolve_init(f"epsg:{code}")
         op = create_operation(_plus(frag), emulation=False)
         assert op is not None, code
+
+
+def test_ignf_generated_registry():
+    """~600 IGNF codes compiled from the reference's public ignf.sql:
+    every preset constructs; projected ones round-trip; the ITRF-aligned
+    frames (RGF93/RGR92/...) carry towgs84=0,0,0 like the classic IGNF
+    registry; resolve_init falls back to the generated registry for
+    codes outside the 8 hand presets."""
+    import warnings
+
+    from proj_4_spark.sources.epsg_generated import IGNF_PRESETS
+    from proj_4_spark.sources.initfiles import resolve_init
+
+    warnings.filterwarnings("ignore")
+    assert len(IGNF_PRESETS) >= 590
+    n_proj = 0
+    for code, ps in sorted(IGNF_PRESETS.items()):
+        op = create_operation(_plus(ps), emulation=False)
+        if ps.startswith(("proj=longlat", "proj=geocent")):
+            continue
+        n_proj += 1
+        lam, phi = np.array([0.1]), np.array([0.2])  # radians, generic
+        z = np.zeros(1)
+        x, y, _, _ = op.apply(lam, phi, z, z.copy())
+        li, pi_, _, _ = op.apply(x, y, z, z.copy(), direction="inv")
+        ok = np.isfinite(x[0]) and abs(li[0] - lam[0]) < 1e-9 \
+            and abs(pi_[0] - phi[0]) < 1e-9
+        assert ok, (code, ps)
+    assert n_proj >= 250
+    assert "towgs84=0,0,0" in IGNF_PRESETS["RGR92"]
+    assert "towgs84=0,0,0" in IGNF_PRESETS["LAMB93"]
+    # hand presets keep precedence; generated covers the long tail
+    assert "nadgrids" in resolve_init("IGNF:NTFG")
+    frag = resolve_init("IGNF:AMANU63UTM7S")       # not in the hand 8
+    assert frag.startswith("proj=utm zone=7 south")

@@ -24,9 +24,12 @@ def test_epsg_catalog_size_monotone():
         TRANSFORMS,
     )
 
+    from proj_4_spark.sources.epsg_generated import IGNF_PRESETS
+
     assert len(PRESETS) >= 6148
+    assert len(IGNF_PRESETS) >= 590
     assert len(EXTENTS) >= 6100
-    assert sum(len(v) for v in TRANSFORMS.values()) >= 1305
+    assert sum(len(v) for v in TRANSFORMS.values()) >= 2400
 
 
 def test_registry_parity_holds():

@@ -94,7 +94,7 @@ def load_tables(sql_dir: str):
     for fn in sorted(os.listdir(sql_dir)):
         if not fn.endswith(".sql"):
             continue
-        if fn in ("esri.sql", "ignf.sql", "customizations.sql",
+        if fn in ("esri.sql", "customizations.sql",
                   "proj_db_table_defs.sql"):
             continue
         for table, vals, raw in parse_sql_file(os.path.join(sql_dir, fn)):
@@ -198,6 +198,28 @@ ELLPS_NAME = {
 DATUM_NAME = {6326: "WGS84", 6267: "NAD27", 6269: "NAD83", 6277: "OSGB36"}
 
 
+# IGNF frames aligned to ITRF/WGS84 by definition (towgs84 = 0,0,0 in
+# the classic IGNF registry; no Helmert row exists because none is
+# needed): the modern French reference networks + WGS84/ETRS realizations
+IGNF_WGS84_FRAMES = ("RGF93", "RGR92", "RGSPM06", "RGPF", "RGM04",
+                     "RGFG95", "RGTAAF", "RGNC", "WGS84", "WGS72",
+                     "ETRS89")
+
+
+def _ignf_zero_frame(key) -> bool:
+    return (isinstance(key, str) and key.startswith("IGNF:")
+            and key.split(":", 1)[1].startswith(IGNF_WGS84_FRAMES)
+            and not key.split(":", 1)[1].startswith("WGS72"))
+
+
+def _k(auth, code):
+    """Composite table key: EPSG codes as ints (the common fast path),
+    other authorities (IGNF) as 'AUTH:code' strings."""
+    if auth == "EPSG":
+        return int(code)
+    return f"{auth}:{code}"
+
+
 def fmt(v: float) -> str:
     """Shortest round-trip decimal (classic init files print plainly)."""
     if v == int(v) and abs(v) < 1e15:
@@ -208,30 +230,32 @@ def fmt(v: float) -> str:
 class Catalog:
     def __init__(self, tables):
         self.units = Units(tables["unit_of_measure"])
-        self.ellipsoid = {int(v[1]): v for v, _ in tables["ellipsoid"]}
-        self.pm = {int(v[1]): (v, r) for v, r in tables["prime_meridian"]}
-        self.datum = {int(v[1]): v for v, _ in tables["geodetic_datum"]}
-        self.geod_crs = {int(v[1]): v for v, _ in tables["geodetic_crs"]}
-        self.conversion = {int(v[1]): (v, r) for v, r in tables["conversion"]}
-        self.proj_crs = {int(v[1]): v for v, _ in tables["projected_crs"]}
+        self.ellipsoid = {_k(v[0], v[1]): v for v, _ in tables["ellipsoid"]}
+        self.pm = {_k(v[0], v[1]): (v, r) for v, r in tables["prime_meridian"]}
+        self.datum = {_k(v[0], v[1]): v for v, _ in tables["geodetic_datum"]}
+        self.geod_crs = {_k(v[0], v[1]): v for v, _ in tables["geodetic_crs"]}
+        self.conversion = {_k(v[0], v[1]): (v, r)
+                           for v, r in tables["conversion"]}
+        self.proj_crs = {_k(v[0], v[1]): v for v, _ in tables["projected_crs"]}
         self.axis = {}
         for v, _ in tables["axis"]:
             # ('EPSG',code,name,abbrev,orientation,'EPSG',cs_code,order,'EPSG',uom)
-            cs = int(v[6])
+            cs = _k(v[5], v[6])
             self.axis.setdefault(cs, []).append(
                 (int(v[7]), v[4], int(v[9]) if v[9] is not None else None))
         for cs in self.axis:
             self.axis[cs].sort()
         # usage -> extent bbox per (table, code)
-        self.extent = {int(v[1]): v for v, _ in tables.get("extent", [])}
-        self.usage_extent: dict[tuple[str, int], int] = {}
+        self.extent = {_k(v[0], v[1]): v for v, _ in tables.get("extent", [])}
+        self.usage_extent: dict[tuple, object] = {}
         for v, _ in tables.get("usage", []):
             try:
-                self.usage_extent[(v[2], int(v[4]))] = int(v[6])
+                self.usage_extent[(v[2], _k(v[3], v[4]))] = _k(v[5], v[6])
             except (TypeError, ValueError):
                 continue
         # helmert candidates to WGS84 by source geographic CRS
         self.helmert = {}
+        self._helmert_indirect = []
         self.helmert_all = []   # (code, name, method, src, tgt, acc, row)
         for v, r in tables["helmert_transformation"]:
             if v[-1]:  # deprecated
@@ -239,14 +263,36 @@ class Catalog:
             method = int(v[5])
             if method not in (9603, 9606, 9607, 1031, 1032, 1033):
                 continue
-            src, tgt = int(v[8]), int(v[10])
+            src, tgt = _k(v[7], v[8]), _k(v[9], v[10])
             acc = v[11] if isinstance(v[11], (int, float)) else 999.0
-            self.helmert_all.append((int(v[1]), v[2], method, src, tgt, acc, v))
-            if tgt != 4326:
-                continue
-            self.helmert.setdefault(src, []).append((acc, int(v[1]), v, r))
+            self.helmert_all.append((_k(v[0], v[1]), v[2], method, src, tgt,
+                                     acc, v))
+            # WGS84 hub targets: EPSG:4326 or the IGNF WGS84 geographic
+            if tgt in (4326, "IGNF:WGS84G"):
+                self.helmert.setdefault(src, []).append(
+                    (acc, str(_k(v[0], v[1])), v, r))
+            else:
+                self._helmert_indirect.append(
+                    (acc, str(_k(v[0], v[1])), v, r, tgt))
+        # one-step hub closure: a transformation to a CRS that is
+        # itself 0,0,0-to-WGS84 (the ITRF-compatible RGF93/RGR92/...
+        # realizations) counts as a transformation to WGS84
+        zero_equiv = {k for k in self.geod_crs if _ignf_zero_frame(k)}
+        for src, rows in self.helmert.items():
+            for acc, code, v, r in rows:
+                if (v[12], v[13], v[14]) == (0.0, 0.0, 0.0) and v[17] is None:
+                    zero_equiv.add(src)
+                    break
+        for acc, code, v, r, tgt in self._helmert_indirect:
+            if tgt in zero_equiv:
+                self.helmert.setdefault(_k(v[7], v[8]), []).append(
+                    (acc, code, v, r))
         for src in self.helmert:
-            self.helmert[src].sort(key=lambda t: (t[0], t[1]))
+            # min accuracy, then min code (numeric EPSG codes compare
+            # numerically; string authority codes after, lexically)
+            self.helmert[src].sort(key=lambda t: (
+                t[0], not t[1].isdigit(),
+                int(t[1]) if t[1].isdigit() else 0, t[1]))
         # grid transformations (NADCON 9613, NTv2 9615)
         self.grid_tf = []       # (code, name, method, src, tgt, acc, grid)
         for v, _ in tables.get("grid_transformation", []):
@@ -261,11 +307,13 @@ class Catalog:
             if method == 9613 and grid.endswith(".las"):
                 grid = grid[:-4]   # NADCON pair -> merged ctable2 name
             acc = v[11] if isinstance(v[11], (int, float)) else 999.0
-            self.grid_tf.append((int(v[1]), v[2], method, int(v[8]),
-                                 int(v[10]), acc, grid))
+            self.grid_tf.append((_k(v[0], v[1]), v[2], method,
+                                 _k(v[7], v[8]), _k(v[9], v[10]), acc, grid))
 
     # ----------------------------------------------------------------
-    def towgs84(self, geod_code: int) -> str | None:
+    def towgs84(self, geod_code) -> str | None:
+        if _ignf_zero_frame(geod_code):
+            return "towgs84=0,0,0"
         cands = self.helmert.get(geod_code)
         if not cands:
             sib = self.pm_sibling(geod_code)
@@ -291,7 +339,7 @@ class Catalog:
                 round(ds, 12)]
         return "towgs84=" + ",".join(fmt(x) for x in vals)
 
-    def pm_sibling(self, geod_code: int) -> int | None:
+    def pm_sibling(self, geod_code):
         """For a CRS on a non-Greenwich datum variant ('NTF (Paris)'),
         the geographic-2D CRS of the Greenwich base datum of the same
         name and ellipsoid — classic init gave both the same towgs84
@@ -300,21 +348,21 @@ class Catalog:
         g = self.geod_crs.get(geod_code)
         if g is None or g[8] is None:
             return None
-        d = self.datum.get(int(g[8]))
-        if d is None or int(d[7]) == 8901:
+        d = self.datum.get(_k(g[7], g[8]))
+        if d is None or _k(d[6], d[7]) == 8901:
             return None
         base_name = re.sub(r"\s*\([^)]*\)\s*$", "", d[2])
         for code2, d2 in self.datum.items():
-            if (d2[2] == base_name and int(d2[7]) == 8901
+            if (d2[2] == base_name and _k(d2[6], d2[7]) == 8901
                     and d2[5] == d[5]):
                 for gc, g2 in self.geod_crs.items():
-                    if (g2[8] is not None and int(g2[8]) == code2
+                    if (g2[8] is not None and _k(g2[7], g2[8]) == code2
                             and g2[4] == "geographic 2D"
                             and gc in self.helmert):
                         return gc
         return None
 
-    def ellps_fragment(self, ell_code: int) -> str:
+    def ellps_fragment(self, ell_code) -> str:
         name = ELLPS_NAME.get(ell_code)
         if name:
             return f"ellps={name}"
@@ -328,7 +376,7 @@ class Catalog:
             return f"a={fmt(a)} b={fmt(b_m)}"
         return f"a={fmt(a)} b={fmt(b_m)}"
 
-    def pm_fragment(self, pm_code: int) -> str | None:
+    def pm_fragment(self, pm_code) -> str | None:
         if pm_code == 8901:  # Greenwich
             return None
         v, r = self.pm[pm_code]
@@ -341,21 +389,21 @@ class Catalog:
             return f"pm={named[pm_code]}"
         return f"pm={fmt(deg)}"
 
-    def base_fragment(self, geod_code: int, with_towgs84: bool = True) -> str | None:
+    def base_fragment(self, geod_code, with_towgs84: bool = True) -> str | None:
         """Datum/ellipsoid/pm (+towgs84) fragment for a geographic CRS."""
         g = self.geod_crs.get(geod_code)
         if g is None:
             return None
-        datum_code = g[8]
-        if datum_code is None:
+        if g[8] is None:
             return None
-        if int(datum_code) in DATUM_NAME:
-            return f"datum={DATUM_NAME[int(datum_code)]}"
-        d = self.datum.get(int(datum_code))
+        datum_key = _k(g[7], g[8])
+        if datum_key in DATUM_NAME:
+            return f"datum={DATUM_NAME[datum_key]}"
+        d = self.datum.get(datum_key)
         if d is None:
             return None
-        parts = [self.ellps_fragment(int(d[5]))]
-        pmf = self.pm_fragment(int(d[7]))
+        parts = [self.ellps_fragment(_k(d[4], d[5]))]
+        pmf = self.pm_fragment(_k(d[6], d[7]))
         if pmf:
             parts.append(pmf)
         if with_towgs84:
@@ -550,7 +598,20 @@ class Catalog:
                     f"y_0={fmt(L(p, 8807))}")
         return None  # unsupported method -> code dropped
 
-    def units_fragment(self, cs_code: int) -> str | None:
+    def proj_native_fragment(self, name: str, p: dict) -> str | None:
+        """IGNF conversions with a PROJ-native method ('PROJ','gstm'
+        Gauss Schreiber TM, 'PROJ','mill')."""
+        A, L, K = self.angle, self.length, self.scale
+        if name == "gstm":
+            return (f"proj=gstmerc lat_0={fmt(A(p, 8801, 0.0))} "
+                    f"lon_0={fmt(A(p, 8802, 0.0))} k_0={fmt(K(p, 8805))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        if name == "mill":
+            return (f"proj=mill lon_0={fmt(A(p, 8802, 0.0))} "
+                    f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
+        return None
+
+    def units_fragment(self, cs_code) -> str | None:
         axes = self.axis.get(cs_code)
         if not axes:
             return "units=m"
@@ -565,7 +626,7 @@ class Catalog:
             return None  # unsupported axis unit -> code dropped
         return f"to_meter={fmt(fac)}"
 
-    def bbox(self, table: str, code: int):
+    def bbox(self, table: str, code):
         """(west, south, east, north) degrees for a CRS code, or None."""
         ext_code = self.usage_extent.get((table, code))
         if ext_code is None:
@@ -606,15 +667,19 @@ class Catalog:
             if pc[5] is None or pc[7] is None or pc[9] is None:
                 counts["dropped"] += 1
                 continue
-            cs_code, geod_code, conv_code = int(pc[5]), int(pc[7]), int(pc[9])
+            cs_code = _k(pc[4], pc[5])
+            geod_code = _k(pc[6], pc[7])
+            conv_code = _k(pc[8], pc[9])
             conv = self.conversion.get(conv_code)
             if conv is None:
                 counts["dropped"] += 1
                 continue
-            method = int(conv[0][5])
             p = self.conv_params(conv[0], conv[1])
             try:
-                frag = self.method_fragment(method, p)
+                if conv[0][4] == "EPSG":
+                    frag = self.method_fragment(int(conv[0][5]), p)
+                else:
+                    frag = self.proj_native_fragment(conv[0][5], p)
             except KeyError:
                 frag = None
             base = self.base_fragment(geod_code)
@@ -669,25 +734,36 @@ def main(argv=None):
         f.write("reference's public EPSG SQL dataset (data/sql/*.sql) —\n")
         f.write('the classic +init=epsg: expansion.  DO NOT EDIT BY HAND.\n')
         f.write(f'\nCounts: {counts}\n"""\n\n')
+        epsg = {c: v for c, v in presets.items() if isinstance(c, int)}
+        ignf = {c.split(":", 1)[1]: v for c, v in presets.items()
+                if isinstance(c, str) and c.startswith("IGNF:")}
         f.write("PRESETS: dict[int, str] = {\n")
-        for code in sorted(presets):
-            f.write(f"    {code}: {presets[code]!r},\n")
+        for code in sorted(epsg):
+            f.write(f"    {code}: {epsg[code]!r},\n")
+        f.write("}\n\n")
+        f.write("# IGNF authority registry (same compilation, ignf.sql)\n")
+        f.write("IGNF_PRESETS: dict[str, str] = {\n")
+        for code in sorted(ignf):
+            f.write(f"    {code!r}: {ignf[code]!r},\n")
         f.write("}\n\n")
         f.write("# (west, south, east, north) degrees, from usage+extent\n")
-        f.write("EXTENTS: dict[int, tuple] = {\n")
-        for code in sorted(extents):
+        f.write("EXTENTS: dict = {\n")
+        for code in sorted(extents, key=lambda c: (isinstance(c, str), c)):
             w, s_, e, n = extents[code]
-            f.write(f"    {code}: ({w!r}, {s_!r}, {e!r}, {n!r}),\n")
+            f.write(f"    {code!r}: ({w!r}, {s_!r}, {e!r}, {n!r}),\n")
         f.write("}\n\n")
         f.write("# coordinate-operation candidates per (src_crs, tgt_crs):\n")
         f.write("# (epsg_code, name, kind, payload, accuracy, bbox)\n")
         f.write("# kind='grid' -> payload is the grid file; 'helmert' ->\n")
         f.write("# payload is (tx,ty,tz[,rx,ry,rz,ds]) position-vector\n")
         f.write("TRANSFORMS: dict[tuple, list] = {\n")
-        for key in sorted(transforms):
+        for key in sorted(transforms, key=repr):
             f.write(f"    {key!r}: {transforms[key]!r},\n")
         f.write("}\n")
-    print(f"wrote {len(presets)} presets, {sum(len(v) for v in transforms.values())} transforms to {args.out}; counts={counts}")
+    n_ignf = sum(1 for c in presets if isinstance(c, str))
+    print(f"wrote {len(presets)} presets ({n_ignf} IGNF), "
+          f"{sum(len(v) for v in transforms.values())} transforms "
+          f"to {args.out}; counts={counts}")
 
 
 if __name__ == "__main__":
