@@ -319,6 +319,13 @@ def resolve_init(spec: str) -> str:
         if frag is None:
             raise LookupError(f"epsg:{key} not in built-in catalog")
         return frag
+    if fname.upper() == "ESRI":
+        from proj_4_spark.sources.epsg_generated import ESRI_PRESETS
+
+        frag = ESRI_PRESETS.get(int(key))
+        if frag is None:
+            raise LookupError(f"ESRI:{key} not in generated catalog")
+        return frag
     if fname not in _KNOWN_INIT_FILES:
         # try anyway: user-supplied init file living in the search path
         pass

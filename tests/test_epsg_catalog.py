@@ -207,3 +207,53 @@ def test_ignf_generated_registry():
     assert "nadgrids" in resolve_init("IGNF:NTFG")
     frag = resolve_init("IGNF:AMANU63UTM7S")       # not in the hand 8
     assert frag.startswith("proj=utm zone=7 south")
+
+
+def test_esri_generated_registry():
+    """~2400 ESRI codes compiled from the reference's public esri.sql —
+    including the inline-WKT world family (54xxx Robinson/Mollweide/
+    Winkel...), 102003 USA Albers, 102100 web mercator, and the South
+    African Lo grids (ESRI's k=-1 south-orientated convention).  Every
+    preset constructs; projected ones round-trip at their extent center
+    (<=2 forward-only novelty projections excepted)."""
+    import warnings
+
+    from proj_4_spark.sources.epsg_generated import ESRI_PRESETS, EXTENTS
+    from proj_4_spark.sources.initfiles import resolve_init
+
+    warnings.filterwarnings("ignore")
+    assert len(ESRI_PRESETS) >= 2400
+    ok = inv_missing = 0
+    for code, ps in sorted(ESRI_PRESETS.items()):
+        op = create_operation(_plus(ps), emulation=False)
+        if ps.startswith(("proj=longlat", "proj=geocent")):
+            ok += 1
+            continue
+        bb = EXTENTS.get(f"ESRI:{code}")
+        if bb:
+            w, s, e, n = bb
+            cx = (w + e) / 2 if w <= e else ((w + e + 360) / 2 + 180) % 360 - 180
+            cy = float(np.clip((s + n) / 2, -85, 85))
+        else:
+            cx, cy = 10.0, 20.0
+        lam, phi = np.array([cx * D]), np.array([cy * D])
+        z = np.zeros(1)
+        x, y, _, _ = op.apply(lam, phi, z, z.copy())
+        assert np.isfinite(x[0]) and np.isfinite(y[0]), (code, ps)
+        try:
+            li, pi_, _, _ = op.apply(x, y, z, z.copy(), direction="inv")
+        except Exception:
+            inv_missing += 1
+            continue
+        dlon = abs((li[0] - lam[0] + np.pi) % (2 * np.pi) - np.pi)
+        d = max(dlon, abs(pi_[0] - phi[0])) / D
+        assert d < 1e-7, (code, ps, d)
+        ok += 1
+    assert inv_missing <= 2, inv_missing
+    assert ok >= 2400
+    # the household names
+    assert resolve_init("ESRI:102003").startswith(
+        "proj=aea lat_1=29.5 lat_2=45.5 lat_0=37.5 lon_0=-96")
+    assert resolve_init("ESRI:102100").startswith("proj=webmerc")
+    assert resolve_init("ESRI:54030").startswith("proj=robin")
+    assert "axis=wsu" in resolve_init("ESRI:102480")  # Lo15 south-orient.

@@ -24,10 +24,14 @@ def test_epsg_catalog_size_monotone():
         TRANSFORMS,
     )
 
-    from proj_4_spark.sources.epsg_generated import IGNF_PRESETS
+    from proj_4_spark.sources.epsg_generated import (
+        ESRI_PRESETS,
+        IGNF_PRESETS,
+    )
 
     assert len(PRESETS) >= 6148
     assert len(IGNF_PRESETS) >= 590
+    assert len(ESRI_PRESETS) >= 2400
     assert len(EXTENTS) >= 6100
     assert sum(len(v) for v in TRANSFORMS.values()) >= 2400
 

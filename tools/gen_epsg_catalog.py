@@ -35,7 +35,7 @@ SQL_DIR = "/root/reference/data/sql"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "proj_4_spark", "sources", "epsg_generated.py")
 
-_INSERT_RE = re.compile(r"INSERT INTO \"(\w+)\" VALUES\(", re.S)
+_INSERT_RE = re.compile(r"INSERT INTO \"?(\w+)\"? VALUES\s*\(", re.S)
 
 
 def parse_sql_file(path: str):
@@ -45,7 +45,15 @@ def parse_sql_file(path: str):
     text = open(path, encoding="utf-8").read()
     for m in _INSERT_RE.finditer(text):
         table = m.group(1)
-        i = m.end()
+        try:
+            yield _parse_values(text, m.end(), table)
+        except (ValueError, IndexError):
+            # rows built with SQL || concatenation (a handful of
+            # proj-string customization rows) are not preset material
+            continue
+
+
+def _parse_values(text: str, i: int, table: str):
         vals = []
         raw = []
         while True:
@@ -86,7 +94,7 @@ def parse_sql_file(path: str):
                             else int(tok))
                 raw.append(tok)
                 i = j
-        yield table, vals, raw
+        return table, vals, raw
 
 
 def load_tables(sql_dir: str):
@@ -94,8 +102,7 @@ def load_tables(sql_dir: str):
     for fn in sorted(os.listdir(sql_dir)):
         if not fn.endswith(".sql"):
             continue
-        if fn in ("esri.sql", "customizations.sql",
-                  "proj_db_table_defs.sql"):
+        if fn in ("customizations.sql", "proj_db_table_defs.sql"):
             continue
         for table, vals, raw in parse_sql_file(os.path.join(sql_dir, fn)):
             tables.setdefault(table, []).append((vals, raw))
@@ -362,13 +369,17 @@ class Catalog:
                         return gc
         return None
 
-    def ellps_fragment(self, ell_code) -> str:
+    def ellps_fragment(self, ell_code) -> str | None:
         name = ELLPS_NAME.get(ell_code)
         if name:
             return f"ellps={name}"
-        v = self.ellipsoid[ell_code]
+        v = self.ellipsoid.get(ell_code)
+        if v is None:
+            return None
         a = self.units.length_m(v[6], int(v[8]))
         inv_f, b = v[9], v[10]
+        if inv_f == 0:           # sphere convention (ESRI rf=0 rows)
+            return f"a={fmt(a)} b={fmt(a)}"
         if inv_f is not None:
             return f"a={fmt(a)} rf={fmt(inv_f)}"
         b_m = self.units.length_m(b, int(v[8]))
@@ -402,7 +413,10 @@ class Catalog:
         d = self.datum.get(datum_key)
         if d is None:
             return None
-        parts = [self.ellps_fragment(_k(d[4], d[5]))]
+        ef = self.ellps_fragment(_k(d[4], d[5]))
+        if ef is None:
+            return None
+        parts = [ef]
         pmf = self.pm_fragment(_k(d[6], d[7]))
         if pmf:
             parts.append(pmf)
@@ -454,6 +468,8 @@ class Catalog:
             lat0, lon0 = A(p, 8801, 0.0), A(p, 8802, 0.0)
             k, x0, y0 = K(p, 8805), L(p, 8806), L(p, 8807)
             south = method == 9808
+            if k < 0:       # ESRI convention for SA Lo south-orientated
+                k, south = -k, True
             # UTM detection (classic init rendered these as +proj=utm)
             zone = (lon0 + 183.0) / 6.0
             if (not south and lat0 == 0.0 and abs(k - 0.9996) < 1e-12
@@ -611,6 +627,129 @@ class Catalog:
                     f"x_0={fmt(L(p, 8806))} y_0={fmt(L(p, 8807))}")
         return None
 
+    # ESRI WKT1 text-definition compilation (the 54xxx world family,
+    # 102003 Albers, 102100 web mercator, ... have NULL conversion refs
+    # and carry an inline PROJCS[...] instead; the geodetic base is
+    # still referenced normally, so only PROJECTION/PARAMETER/UNIT need
+    # parsing).  Parameter names per the ESRI WKT1 dialect.
+    _ESRI_SIMPLE = {
+        # esri projection name -> (proj name, uses lat_ts from SP1)
+        "Albers": "aea", "Azimuthal_Equidistant": "aeqd",
+        "Equidistant_Conic": "eqdc", "Equal_Earth": "eqearth",
+        "Polyconic": "poly", "Sinusoidal": "sinu",
+        "Orthographic": "ortho", "Gnomonic": "gnom",
+        "Lambert_Azimuthal_Equal_Area": "laea", "Bonne": "bonne",
+        "Cassini": "cass", "Robinson": "robin", "Mollweide": "moll",
+        "Miller_Cylindrical": "mill", "Gall_Stereographic": "gall",
+        "Hammer_Aitoff": "hammer", "Aitoff": "aitoff",
+        "Winkel_I": "wink1", "Winkel_II": "wink2",
+        "Winkel_Tripel": "wintri", "Wagner_IV": "wag4",
+        "Wagner_V": "wag5", "Wagner_VII": "wag7",
+        "Eckert_I": "eck1", "Eckert_II": "eck2", "Eckert_III": "eck3",
+        "Eckert_IV": "eck4", "Eckert_V": "eck5", "Eckert_VI": "eck6",
+        "Craster_Parabolic": "crast", "Quartic_Authalic": "qua_aut",
+        "Flat_Polar_Quartic": "mbtfpq", "Loximuthal": "loxim",
+        "Natural_Earth": "natearth", "Natural_Earth_II": "natearth2",
+        "Patterson": "patterson", "Times": "times",
+        "Compact_Miller": "comill", "Van_der_Grinten_I": "vandg",
+        "Goode_Homolosine": "goode", "Plate_Carree": "eqc",
+        "Equidistant_Cylindrical": "eqc", "Behrmann": "cea",
+        "Cylindrical_Equal_Area": "cea",
+    }
+
+    def esri_wkt_fragment(self, wkt: str) -> tuple | None:
+        """(projection fragment, units fragment) from an inline ESRI
+        PROJCS WKT, or None if the projection has no kernel mapping."""
+        mproj = re.search(r'PROJECTION\["([A-Za-z_0-9]+)"\]', wkt)
+        if not mproj:
+            return None
+        name = mproj.group(1)
+        prm = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r'PARAMETER\["([A-Za-z_0-9]+)",(-?[0-9.eE+]+)\]', wkt)}
+        units = re.findall(r'UNIT\["([^"]+)",([0-9.eE+-]+)', wkt)
+        ufac = float(units[-1][1]) if units else 1.0
+        if abs(ufac - 1.0) < 1e-15:
+            unitf = "units=m"
+        elif abs(ufac - 0.3048) < 1e-12:
+            unitf = "units=ft"
+        elif abs(ufac - 1200.0 / 3937.0) < 1e-12:
+            unitf = "units=us-ft"
+        else:
+            unitf = f"to_meter={fmt(ufac)}"
+
+        def g(k, d=0.0):
+            return prm.get(k, d)
+
+        x0, y0 = g("False_Easting") * ufac, g("False_Northing") * ufac
+        lon0 = g("Central_Meridian")
+        tail = f"x_0={fmt(x0)} y_0={fmt(y0)}"
+        if name in self._ESRI_SIMPLE:
+            pn = self._ESRI_SIMPLE[name]
+            parts = [f"proj={pn}"]
+            if name == "Albers":
+                parts.append(f"lat_1={fmt(g('Standard_Parallel_1'))} "
+                             f"lat_2={fmt(g('Standard_Parallel_2'))} "
+                             f"lat_0={fmt(g('Latitude_Of_Origin'))}")
+            elif name == "Equidistant_Conic":
+                parts.append(f"lat_1={fmt(g('Standard_Parallel_1'))} "
+                             f"lat_2={fmt(g('Standard_Parallel_2'))} "
+                             f"lat_0={fmt(g('Latitude_Of_Origin'))}")
+            elif name in ("Equidistant_Cylindrical", "Plate_Carree",
+                          "Behrmann", "Cylindrical_Equal_Area",
+                          "Mercator"):
+                ts = 30.0 if name == "Behrmann" else g("Standard_Parallel_1")
+                parts.append(f"lat_ts={fmt(ts)}")
+            elif name in ("Azimuthal_Equidistant", "Orthographic",
+                          "Gnomonic", "Lambert_Azimuthal_Equal_Area",
+                          "Polyconic", "Cassini"):
+                parts.append(f"lat_0={fmt(g('Latitude_Of_Origin'))}")
+            elif name == "Bonne":
+                parts.append(f"lat_1={fmt(g('Standard_Parallel_1'))}")
+            elif name in ("Winkel_I", "Winkel_II", "Winkel_Tripel",
+                          "Loximuthal"):
+                parts.append(f"lat_1={fmt(g('Standard_Parallel_1', g('Central_Parallel')))}")
+            return (" ".join(parts + [f"lon_0={fmt(lon0)}", tail]), unitf)
+        if name == "Mercator":
+            return (f"proj=merc lat_ts={fmt(g('Standard_Parallel_1'))} "
+                    f"lon_0={fmt(lon0)} {tail}", unitf)
+        if name == "Mercator_Auxiliary_Sphere":
+            if g("Auxiliary_Sphere_Type") != 0.0:
+                return None
+            return (f"proj=webmerc lon_0={fmt(lon0)} {tail}", unitf)
+        if name == "Stereographic":
+            return (f"proj=stere lat_0={fmt(g('Latitude_Of_Origin'))} "
+                    f"lon_0={fmt(lon0)} k={fmt(g('Scale_Factor', 1.0))} "
+                    f"{tail}", unitf)
+        if name in ("Stereographic_North_Pole", "Stereographic_South_Pole"):
+            pole = 90.0 if name.endswith("North_Pole") else -90.0
+            return (f"proj=stere lat_0={fmt(pole)} "
+                    f"lat_ts={fmt(g('Standard_Parallel_1', pole))} "
+                    f"lon_0={fmt(lon0)} {tail}", unitf)
+        if name == "Transverse_Mercator_Complex":
+            return (f"proj=etmerc lat_0={fmt(g('Latitude_Of_Origin'))} "
+                    f"lon_0={fmt(lon0)} k={fmt(g('Scale_Factor', 1.0))} "
+                    f"{tail}", unitf)
+        if name == "IGAC_Plano_Cartesiano":  # Colombia Urban
+            return (f"proj=col_urban "
+                    f"lat_0={fmt(g('Latitude_Of_Center'))} "
+                    f"lon_0={fmt(g('Longitude_Of_Center'))} "
+                    f"h_0={fmt(g('Height'))} {tail}", unitf)
+        if name == "Rectified_Skew_Orthomorphic_Natural_Origin":
+            return (f"proj=omerc lat_0={fmt(g('Latitude_Of_Center'))} "
+                    f"lonc={fmt(g('Longitude_Of_Center'))} "
+                    f"alpha={fmt(g('Azimuth'))} "
+                    f"gamma={fmt(g('XY_Plane_Rotation', g('Azimuth')))} "
+                    f"k={fmt(g('Scale_Factor', 1.0))} {tail} no_uoff",
+                    unitf)
+        if name == "Vertical_Near_Side_Perspective":
+            return (f"proj=nsper lat_0={fmt(g('Latitude_Of_Center'))} "
+                    f"lon_0={fmt(g('Longitude_Of_Center', lon0))} "
+                    f"h={fmt(g('Height'))} {tail}", unitf)
+        if name == "Geostationary_Satellite":
+            return (f"proj=geos lon_0={fmt(lon0)} h={fmt(g('Height'))} "
+                    f"{tail}", unitf)
+        return None
+
     def units_fragment(self, cs_code) -> str | None:
         axes = self.axis.get(cs_code)
         if not axes:
@@ -664,6 +803,21 @@ class Catalog:
                 extents[code] = bb
         for code, pc in self.proj_crs.items():
             # ('EPSG',code,name,desc,'EPSG',cs,'EPSG',geod,'EPSG',conv,text,dep)
+            if pc[7] is not None and pc[9] is None \
+                    and isinstance(pc[10], str) and "PROJCS" in pc[10]:
+                # ESRI inline WKT definition (conversion ref is NULL)
+                got = self.esri_wkt_fragment(pc[10])
+                base = self.base_fragment(_k(pc[6], pc[7]))
+                if got is None or base is None:
+                    counts["dropped"] += 1
+                    continue
+                frag, unitf = got
+                presets[code] = f"{frag} {base} {unitf} no_defs"
+                counts["projected"] += 1
+                bb = self.bbox("projected_crs", code)
+                if bb:
+                    extents[code] = bb
+                continue
             if pc[5] is None or pc[7] is None or pc[9] is None:
                 counts["dropped"] += 1
                 continue
@@ -737,6 +891,8 @@ def main(argv=None):
         epsg = {c: v for c, v in presets.items() if isinstance(c, int)}
         ignf = {c.split(":", 1)[1]: v for c, v in presets.items()
                 if isinstance(c, str) and c.startswith("IGNF:")}
+        esri = {int(c.split(":", 1)[1]): v for c, v in presets.items()
+                if isinstance(c, str) and c.startswith("ESRI:")}
         f.write("PRESETS: dict[int, str] = {\n")
         for code in sorted(epsg):
             f.write(f"    {code}: {epsg[code]!r},\n")
@@ -745,6 +901,11 @@ def main(argv=None):
         f.write("IGNF_PRESETS: dict[str, str] = {\n")
         for code in sorted(ignf):
             f.write(f"    {code!r}: {ignf[code]!r},\n")
+        f.write("}\n\n")
+        f.write("# ESRI authority registry (same compilation, esri.sql)\n")
+        f.write("ESRI_PRESETS: dict[int, str] = {\n")
+        for code in sorted(esri):
+            f.write(f"    {code}: {esri[code]!r},\n")
         f.write("}\n\n")
         f.write("# (west, south, east, north) degrees, from usage+extent\n")
         f.write("EXTENTS: dict = {\n")
@@ -760,8 +921,11 @@ def main(argv=None):
         for key in sorted(transforms, key=repr):
             f.write(f"    {key!r}: {transforms[key]!r},\n")
         f.write("}\n")
-    n_ignf = sum(1 for c in presets if isinstance(c, str))
-    print(f"wrote {len(presets)} presets ({n_ignf} IGNF), "
+    n_ignf = sum(1 for c in presets
+                 if isinstance(c, str) and c.startswith("IGNF:"))
+    n_esri = sum(1 for c in presets
+                 if isinstance(c, str) and c.startswith("ESRI:"))
+    print(f"wrote {len(presets)} presets ({n_ignf} IGNF, {n_esri} ESRI), "
           f"{sum(len(v) for v in transforms.values())} transforms "
           f"to {args.out}; counts={counts}")
 
