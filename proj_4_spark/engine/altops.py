@@ -267,15 +267,17 @@ def alt_transform(df, candidates: list[Candidate],
     return res.select("*", *cols).drop("_alt")
 
 
-def _epsg_code(spec) -> int:
+def _epsg_code(spec):
+    """Catalog key for a CRS spec: EPSG codes as ints, other cataloged
+    authorities (IGNF) as 'AUTH:code' strings (the TRANSFORMS keying)."""
     if isinstance(spec, int):
         return spec
     s = str(spec).strip()
     if ":" in s:
         auth, code = s.split(":", 1)
-        if auth.upper() != "EPSG":
-            raise LookupError(f"only EPSG codes supported, got {spec!r}")
-        return int(code)
+        if auth.upper() == "EPSG":
+            return int(code)
+        return f"{auth.upper()}:{code}"
     return int(s)
 
 

@@ -264,3 +264,26 @@ def test_crs_to_crs_candidates_helmert_and_inverse():
     rc = next(c for c in inv if c.name == fwd[ch[0]].name)
     rx, ry, _, _ = rc.op.apply(fx, fy, fz, z.copy())
     assert abs(rx[0] - lon[0]) / D < 1e-9 and abs(ry[0] - lat[0]) / D < 1e-9
+
+
+def test_crs_to_crs_candidates_ignf_authority():
+    """TRANSFORMS also carries the IGNF registry's operations: the
+    NTF->RGF93 geographic pair routes through the ntf_r93.gsb NTv2
+    candidate, matching the classic IGNF nadgrids chain."""
+    import warnings
+
+    import numpy as np
+
+    from proj_4_spark.engine.altops import AltOperation, crs_to_crs_candidates
+
+    warnings.filterwarnings("ignore")
+    cands = crs_to_crs_candidates("IGNF:NTFG", "IGNF:RGF93G")
+    assert any(c.needs_grids for c in cands)
+    D = np.pi / 180.0
+    x, y = np.array([2.3 * D]), np.array([48.8 * D])  # Paris
+    z = np.zeros(1)
+    ox, oy, _, _, ch = AltOperation(cands).apply(x, y, z, z.copy(), "fwd")
+    assert ch[0] >= 0
+    # NTF -> RGF93 around Paris is a few arc-seconds (~-168 m in X)
+    dlon_as = (ox[0] - x[0]) / D * 3600
+    assert -4.0 < dlon_as < -1.0, dlon_as
