@@ -683,6 +683,29 @@ def _q_aea_fwd(spark, sf_dir):
     )
 
 
+def _q_esri_albers(spark, sf_dir):
+    """USA Contiguous Albers through the GENERATED catalog: the
+    projstring is `+init=ESRI:102003`, so the whole authority-resolution
+    path (tools/gen_epsg_catalog.py's inline-WKT compilation ->
+    sources/initfiles.resolve_init -> init expansion) sits inside the
+    value-verified chain, not just in pytest."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    pts = _geo_points(spark, sf_dir)
+    # +break_cs2cs_recursion = pj_init (proj app) semantics: the raw
+    # projection without the datum=NAD83 hub leg, whose zero-shift
+    # cart roundtrip would add micrometer noise at cm-rounding edges
+    out = transform(pts, "+init=ESRI:102003 +break_cs2cs_recursion",
+                    x="lon", y="lat", out_prefix="a_")
+    return out.select(
+        "event_id",
+        _i(F.col("a_x"), 100).alias("x_cm"),
+        _i(F.col("a_y"), 100).alias("y_cm"),
+    )
+
+
 def _q_axisswap(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1400,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "helmert_7param": _q_helmert,
         "lcc_fwd": _q_lcc_fwd,
         "aea_fwd": _q_aea_fwd,
+        "esri_usa_albers": _q_esri_albers,
         "axisswap": _q_axisswap,
         "unitconvert": _q_unitconvert,
         "pipeline_datum_shift": _q_pipeline_composed,
@@ -1497,6 +1521,24 @@ def oracle_sql() -> dict[str, str]:
     aea_x = sqli(f"({aea_rho} * sin({aq['n']!r} * {lam})) * {_A!r}", 100)
     aea_y = sqli(f"({aq['rho0']!r} - {aea_rho} * cos({aq['n']!r} * {lam})) * {_A!r}", 100)
 
+    # ESRI:102003 (USA Contiguous Albers) resolved through the GENERATED
+    # catalog: same Albers closed form with that CRS's constants and the
+    # lon_0=-96 adjlon wrap (per-point math all in SQL; the kernel only
+    # contributes the setup scalars n/c/dd/rho0, like lcc/aea above)
+    from proj_4_spark.sources.initfiles import resolve_init
+    ea_op = create_operation(
+        "+" + " +".join(resolve_init("ESRI:102003").split()),
+        emulation=False)
+    eq_ = ea_op.P.opaque
+    ea_raw = f"((lon * {_D2R}) - ({-96.0 * math.pi / 180.0!r}))"
+    ea_lam = (
+        f"(case when abs({ea_raw}) < pi() + 1e-12 then {ea_raw} "
+        f"else ({ea_raw} + pi()) - 2*pi()*floor(({ea_raw} + pi())/(2*pi())) - pi() end)"
+    )
+    ea_rho = f"({eq_['dd']!r} * sqrt({eq_['c']!r} - {eq_['n']!r} * {_sql_qsfn(f'sin({phi})')}))"
+    ea_x = sqli(f"({ea_rho} * sin({eq_['n']!r} * {ea_lam})) * {_A!r}", 100)
+    ea_y = sqli(f"({eq_['rho0']!r} - {ea_rho} * cos({eq_['n']!r} * {ea_lam})) * {_A!r}", 100)
+
     # pipeline cart->helmert(+10,-20,+30)->cart_inv oracle: closed-form
     # cart fwd, add, cart inv (Bowring closed form, cart.cpp:150-205)
     B = _A * math.sqrt(1 - _ES)
@@ -1570,6 +1612,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "aea_fwd": (
             f"select event_id, {aea_x} as x_cm, {aea_y} as y_cm from ({GEO_SQL_SRC})"
+        ),
+        "esri_usa_albers": (
+            f"select event_id, {ea_x} as x_cm, {ea_y} as y_cm from ({GEO_SQL_SRC})"
         ),
         "axisswap": (
             f"select event_id, lat as sx, -lon as sy from ({GEO_SQL_SRC})"
