@@ -15,7 +15,7 @@ Architecture (SURVEY.md §7):
   functions/ text analysis, dedup, similarity
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 from proj_4_spark.engine.altops import (  # noqa: F401
     AltOperation,

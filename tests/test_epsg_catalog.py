@@ -257,3 +257,50 @@ def test_esri_generated_registry():
     assert resolve_init("ESRI:102100").startswith("proj=webmerc")
     assert resolve_init("ESRI:54030").startswith("proj=robin")
     assert "axis=wsu" in resolve_init("ESRI:102480")  # Lo15 south-orient.
+
+
+def test_catalog_regeneration_is_deterministic(tmp_path):
+    """Re-running the generator against the reference's data/sql
+    reproduces the committed module byte-for-byte — the catalog can
+    always be audited/rebuilt from its public source."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "regen.py"
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/gen_epsg_catalog.py",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    committed = open(
+        "/root/repo/proj_4_spark/sources/epsg_generated.py").read()
+    assert out.read_text() == committed
+
+
+def test_dms_conversion_properties():
+    """EPSG 9110 sexagesimal DMS positional semantics."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_epsg_catalog import dms_to_deg
+
+    # worked examples from the dataset rows used by the hand presets
+    assert dms_to_deg("46.3") == 46.5                       # 46d30'
+    assert abs(dms_to_deg("46.570866") - 46.95240555555556) < 1e-12
+    assert abs(dms_to_deg("51.100000204") - 51.16666723333333) < 1e-12
+    assert dms_to_deg("-0.30") == -0.5                      # sign at zero deg
+    assert dms_to_deg("120") == 120.0
+    assert abs(dms_to_deg("-71.0730") - -(71 + 7/60 + 30/3600)) < 1e-12
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 359), st.integers(0, 59), st.integers(0, 59),
+           st.booleans())
+    def roundtrip(d, m, sec, neg):
+        lit = f"{d}.{m:02d}{sec:02d}"
+        got = dms_to_deg(("-" if neg else "") + lit)
+        want = (d + m / 60 + sec / 3600) * (-1 if neg else 1)
+        assert abs(got - want) < 1e-12, (lit, got, want)
+
+    roundtrip()
