@@ -21,6 +21,7 @@ no driver loops.
 from __future__ import annotations
 
 from functools import lru_cache
+import math
 
 import numpy as np
 import pandas as pd
@@ -39,6 +40,81 @@ def _cached_operation(projstring: str):
     return create_operation(projstring)
 
 
+def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
+    """True when the operation is a bare spherical-web-mercator forward
+    that the JVM expression twin below reproduces exactly: single op,
+    no datum/grid/axis modifiers, no +over/+geoc/long-wrap."""
+    P = getattr(op, "P", None)
+    if P is None or direction != "fwd":
+        return False
+    if getattr(P, "name", None) != "webmerc":
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
+    """JVM-expression twin of the webmerc forward (kernels/merc.py
+    merc_s_forward + the engine's fwd prepare/finalize): the flagship
+    doc-geo pipeline becomes pure whole-stage codegen — zero Python in
+    the hot path.  Semantics replicated term for term:
+
+    - error rows (NaN, matching the UDF path's HUGE_VAL analogue): null
+      or NaN inputs, |lam|>10 rad pre-wrap (fwd.cpp:55), |phi| within
+      1e-10 of the pole (merc.cpp) or beyond it (PJ_EPS_LAT clip+check);
+    - adjlon wrap (>= pi+1e-12 tolerance) before and after -lam0;
+    - y via log(tan(pi/4 + phi/2)) with the log1p branch at |phi|<=eps
+      (merc.cpp:14-20);
+    - finalize: *a, +x0/y0, *fr_meter.
+
+    Parity with the Arrow-UDF path is pinned bit-pattern-for-NaN and
+    <=1e-6 m for values in tests/test_engine.py."""
+    from pyspark.sql import functions as F
+
+    nan = F.lit(float("nan"))
+    pi = math.pi
+    lam = xcol.cast("double")
+    phi = ycol.cast("double")
+    if degrees:
+        lam = F.radians(lam)
+        phi = F.radians(phi)
+
+    def adjlon(c):
+        return F.when(
+            F.abs(c) >= F.lit(pi + 1e-12),
+            (c + pi) - 2.0 * pi * F.floor((c + pi) / (2.0 * pi)) - pi,
+        ).otherwise(c)
+
+    err = (
+        xcol.isNull() | F.isnan(xcol.cast("double"))
+        | ycol.isNull() | F.isnan(ycol.cast("double"))
+        | (lam > 10.0) | (lam < -10.0)
+        | (F.abs(phi) >= pi / 2.0 - 1e-10)
+    )
+    if z_supplied:
+        err = err | zcol.isNull() | F.isnan(zcol.cast("double"))
+    lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
+    phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
+    eps = float(np.finfo(np.float64).eps)
+    ywm = F.when(F.abs(phic) <= eps, F.log1p(phic)).otherwise(
+        F.log(F.tan(pi / 4.0 + 0.5 * phic)))
+    k0 = P.k0
+    xe = F.lit(P.fr_meter) * (k0 * lamw * P.a + F.lit(P.x0))
+    ye = F.lit(P.fr_meter) * (k0 * ywm * P.a + F.lit(P.y0))
+    xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+    yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+    return xout, yout
+
+
 def transform(
     df,
     projstring: str,
@@ -50,6 +126,7 @@ def transform(
     degrees: bool = True,
     out_prefix: str = "",
     keep_errors: bool = True,
+    jvm_fast_path: bool = True,
 ):
     """Apply a proj-string operation to coordinate columns of ``df``.
 
@@ -77,6 +154,24 @@ def transform(
     ang_out = op_probe.angular_output(direction)
     z_supplied = z is not None
     t_supplied = t is not None
+
+    if jvm_fast_path and _webmerc_jvm_fast_path_ok(op_probe, direction):
+        # whole-stage-codegen twin: no Python worker in the hot path
+        # (null z/t from user columns surface as NaN like the UDF path)
+        zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))
+              if z else F.lit(0.0))
+        tc = (F.coalesce(F.col(t).cast("double"), F.lit(float("nan")))
+              if t else F.lit(0.0))
+        xo, yo = _webmerc_jvm_columns(
+            op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
+        out = (df.withColumn(f"{out_prefix}x", xo)
+                 .withColumn(f"{out_prefix}y", yo)
+                 .withColumn(f"{out_prefix}z", zc)
+                 .withColumn(f"{out_prefix}t", tc))
+        if not keep_errors:
+            out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                            & ~F.isnan(F.col(f"{out_prefix}x")))
+        return out
 
     @pandas_udf(_STRUCT4)
     def _tx(xs: pd.Series, ys: pd.Series, zs: pd.Series, ts: pd.Series) -> pd.DataFrame:

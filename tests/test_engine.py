@@ -427,3 +427,62 @@ def test_binary_uv_stream_spark_source(spark, tmp_path):
     assert got["x"].notna().all()
     # x = a * lam for merc: exact linear relation
     assert np.allclose(got["x"], 6378137.0 * got["u"], rtol=1e-15)
+
+
+def test_webmerc_jvm_fast_path_parity(spark):
+    """The JVM-expression webmerc twin must agree with the Arrow-UDF
+    kernel path on values (<=1e-6 m; cross-libm ulp only) AND on the
+    exact NaN pattern for every error class: null/NaN inputs, |lam|>10
+    rad, poles within/beyond 1e-10, adjlon wrap cases — and the plan
+    must contain no Python eval."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -200.0, -180.0, -179.999999, -96.0, -1e-17, 0.0,
+            1e-17, 91.3, 179.999999, 180.0, 200.0, 541.0, 572.0, 574.0,
+            None, float("nan"), 45.0]
+    lats = [-90.1, -90.0, -89.99999999999, -85.051128, -45.0, -2e-17,
+            0.0, 2e-17, 45.0, 85.051128, 89.99999999999, 90.0, 90.1,
+            None, float("nan"), 33.3, 66.6, -12.0]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+
+    fast = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                     out_prefix="f_")
+    slow = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                     out_prefix="s_", jvm_fast_path=False)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    splan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in splan or "BatchEvalPython" in splan
+
+    fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(drop=True)
+    sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(drop=True)
+    for c in ("x", "y"):
+        a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+        b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+        assert (np.isnan(a) == np.isnan(b)).all(), c
+        m = ~np.isnan(a)
+        assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (
+            c, np.abs(a[m] - b[m]).max())
+
+    # keep_errors=False drops the same rows on both paths
+    nf = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                   keep_errors=False).count()
+    ns = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                   keep_errors=False, jvm_fast_path=False).count()
+    assert nf == ns
+
+    # the guard: datum-modified (hub-leg) or inverse webmerc stays on
+    # the UDF path (datum=WGS84 IS the hub — no leg — so it still fast-
+    # paths; NAD83 wires a cart/helmert leg)
+    hub = transform(df, "+proj=webmerc +datum=NAD83", x="lon", y="lat")
+    hplan = hub._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in hplan
+    inv = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                    direction="inv")
+    assert "EvalPython" in inv._jdf.queryExecution().executedPlan().toString()
