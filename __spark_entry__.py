@@ -1405,7 +1405,9 @@ def _q_stream_geo_tiles(spark, sf_dir):
          .option("checkpointLocation",
                  os.path.join(tempfile.mkdtemp(), "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_geo_tiles did not finish within 300 s")
     return spark.table(name).select(
         F.date_format("window_start", "mm").alias("win"),
         "tile_x", "tile_y", "n",

@@ -51,8 +51,15 @@ def _reconcile_orphan_tiles(spark, tiles_dir: str, snap_dir: str):
     tile_runs = {d.split("=", 1)[1] for d in os.listdir(tiles_dir)
                  if d.startswith("run_id=")}
     snapped = set()
-    try:
-        snap = spark.read.parquet(snapshot_dir(snap_dir, "tiles"))
+    sdir = snapshot_dir(snap_dir, "tiles")
+    # only a genuinely ABSENT/EMPTY snapshot means "every partition is
+    # orphaned"; any read error (FS hiccup, corrupt footer, permission)
+    # must propagate — deleting committed tiles on a transient failure
+    # would silently undercount docs the snapshot already marks done
+    has_snapshot = os.path.isdir(sdir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(sdir))
+    if has_snapshot:
+        snap = spark.read.parquet(sdir)
         if "run_id" in snap.columns:
             snapped = {r["run_id"] for r in
                        snap.select("run_id").distinct().collect()}
@@ -60,8 +67,6 @@ def _reconcile_orphan_tiles(spark, tiles_dir: str, snap_dir: str):
             # pre-run_id snapshot format: cannot attribute doc_ids to
             # runs; treat every existing tile partition as committed
             snapped = tile_runs
-    except Exception:
-        pass  # no snapshot at all -> every tile partition is orphaned
     orphans = sorted(tile_runs - snapped)
     for rid in orphans:
         shutil.rmtree(os.path.join(tiles_dir, f"run_id={rid}"),

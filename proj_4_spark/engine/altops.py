@@ -281,16 +281,46 @@ def _epsg_code(spec):
     return int(s)
 
 
-def _helmert_spec(payload, ellps_frag: str) -> str:
+def _authority_preset(key) -> str | None:
+    """Proj-string preset for a catalog key: int = EPSG code (with ESRI's
+    numeric aliases as fallback), 'AUTH:code' = that authority's registry.
+    Returns None when the key is not cataloged — callers must NOT fall
+    back to WGS84: a wrong cart-leg ellipsoid corrupts lat/height."""
+    from proj_4_spark.sources.epsg_generated import (
+        ESRI_PRESETS, IGNF_PRESETS, PRESETS)
+
+    if isinstance(key, int):
+        return PRESETS.get(key) or ESRI_PRESETS.get(key)
+    auth, code = str(key).split(":", 1)
+    auth = auth.upper()
+    if auth == "IGNF":
+        return IGNF_PRESETS.get(code)
+    if auth == "ESRI" and code.isdigit():
+        return ESRI_PRESETS.get(int(code))
+    if auth == "EPSG" and code.isdigit():
+        return PRESETS.get(int(code))
+    return None
+
+
+def _ellps_frag(preset: str) -> str:
+    """Ellipsoid fragment of a preset proj-string, for a cart leg."""
+    return " ".join(
+        f"+{tok}" for tok in preset.split()
+        if tok.split("=")[0] in ("ellps", "a", "b", "rf", "datum"))
+
+
+def _helmert_spec(payload, src_ellps_frag: str, tgt_ellps_frag: str) -> str:
     """cart -> helmert(position vector) -> cart⁻¹ pipeline (the towgs84
-    expansion, src/datums.cpp pj_datum_set semantics)."""
+    expansion, src/datums.cpp pj_datum_set semantics).  Each cart leg
+    carries ITS OWN CRS's ellipsoid — TRANSFORMS has pairs whose target
+    is not WGS84 (e.g. ESRI:104106 -> Lisboa Bessel, ONGD17 -> ITRF89)."""
     keys = ("x", "y", "z", "rx", "ry", "rz", "s")
     parts = " ".join(f"+{k}={v!r}" for k, v in zip(keys, payload))
     if any(payload[3:6]):
         parts += " +convention=position_vector"
-    return (f"+proj=pipeline +step +proj=cart {ellps_frag} "
+    return (f"+proj=pipeline +step +proj=cart {src_ellps_frag} "
             f"+step +proj=helmert {parts} "
-            f"+step +inv +proj=cart +ellps=WGS84")
+            f"+step +inv +proj=cart {tgt_ellps_frag}")
 
 
 def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
@@ -314,7 +344,7 @@ def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
 
     Directionality: entries are stored (src->tgt); a (tgt, src) request
     wraps each operation in +inv steps."""
-    from proj_4_spark.sources.epsg_generated import PRESETS, TRANSFORMS
+    from proj_4_spark.sources.epsg_generated import TRANSFORMS
 
     s_code, d_code = _epsg_code(src), _epsg_code(dst)
     entries = [(e, False) for e in TRANSFORMS.get((s_code, d_code), ())]
@@ -330,17 +360,23 @@ def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
         # semantics run the steps reversed with flipped directions, so
         # the cart legs keep their correct ellipsoids)
         entry_src = d_code if inverted else s_code
-        src_preset = PRESETS.get(entry_src, "")
-        ellps_frag = " ".join(
-            f"+{tok}" for tok in src_preset.split()
-            if tok.split("=")[0] in ("ellps", "a", "b", "rf", "datum"))
+        entry_tgt = s_code if inverted else d_code
         if kind == "grid":
             spec = f"+proj=hgridshift +grids={payload}"
             if inverted:
                 spec += " +inv"
         else:
+            # resolve BOTH cart-leg ellipsoids from the matching
+            # authority registry; skip entries whose CRS is not
+            # cataloged rather than silently assuming WGS84
+            src_preset = _authority_preset(entry_src)
+            tgt_preset = _authority_preset(entry_tgt)
+            src_frag = _ellps_frag(src_preset) if src_preset else ""
+            tgt_frag = _ellps_frag(tgt_preset) if tgt_preset else ""
+            if not src_frag or not tgt_frag:
+                continue
             p7 = tuple(payload) + (0.0,) * (7 - len(payload))
-            spec = _helmert_spec(p7, ellps_frag or "+ellps=WGS84")
+            spec = _helmert_spec(p7, src_frag, tgt_frag)
             if inverted:
                 spec = spec.replace("+proj=pipeline", "+proj=pipeline +inv")
         if bb is None:

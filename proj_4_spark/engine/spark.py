@@ -47,6 +47,11 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     P = getattr(op, "P", None)
     if P is None or direction != "fwd":
         return False
+    # a '+proj=webmerc ... +inv' projstring builds Operation(inverted=True):
+    # direction='fwd' then runs the INVERSE kernel (proj_trans direction
+    # swap, src/4D_api.cpp) — the expression twin below is forward-only
+    if getattr(op, "inverted", False):
+        return False
     if getattr(P, "name", None) != "webmerc":
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",

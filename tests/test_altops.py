@@ -287,3 +287,41 @@ def test_crs_to_crs_candidates_ignf_authority():
     # NTF -> RGF93 around Paris is a few arc-seconds (~-168 m in X)
     dlon_as = (ox[0] - x[0]) / D * 3600
     assert -4.0 < dlon_as < -1.0, dlon_as
+
+
+def test_crs_to_crs_candidates_non_wgs84_cart_ellipsoids():
+    """Helmert cart legs resolve each side's OWN ellipsoid from its
+    authority registry — pairs whose target is not WGS84-ellipsoid
+    (ESRI:104106 Lisboa Hayford -> ESRI:104105 Lisboa Bessel, and
+    ESRI:104027 ONGD17 -> EPSG:8989 ITRF89) must not get a hardcoded
+    +ellps=WGS84 target leg (ADVICE r4, medium)."""
+    import warnings
+
+    import numpy as np
+
+    from proj_4_spark.engine.altops import AltOperation, crs_to_crs_candidates
+
+    warnings.filterwarnings("ignore")
+    lis = crs_to_crs_candidates("ESRI:104106", "ESRI:104105")
+    assert lis, "Lisboa pair must be cataloged"
+    for c in lis:
+        steps = (c.spec or "").split("+step")
+        assert "ellps=intl" in steps[1], c.spec      # Hayford source leg
+        assert "ellps=bessel" in steps[-1], c.spec   # Bessel target leg
+
+    ong = crs_to_crs_candidates("ESRI:104027", "EPSG:8989")
+    for c in ong:
+        steps = (c.spec or "").split("+step")
+        assert "ellps=GRS80" in steps[1] and "ellps=GRS80" in steps[-1]
+
+    # value check: fwd through the Lisboa pair then the reversed lookup
+    # returns the input only when the legs use the right ellipsoids
+    inv = crs_to_crs_candidates("ESRI:104105", "ESRI:104106")
+    D = np.pi / 180.0
+    lon, lat = np.array([-9.14 * D]), np.array([38.71 * D])  # Lisbon
+    z = np.zeros(1)
+    fx, fy, fz, _, ch = AltOperation(lis).apply(lon, lat, z, z.copy(), "fwd")
+    assert ch[0] >= 0
+    rc = next(c for c in inv if c.name == lis[ch[0]].name)
+    rx, ry, _, _ = rc.op.apply(fx, fy, fz, z.copy())
+    assert abs(rx[0] - lon[0]) / D < 1e-9 and abs(ry[0] - lat[0]) / D < 1e-9

@@ -486,3 +486,32 @@ def test_webmerc_jvm_fast_path_parity(spark):
     inv = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
                     direction="inv")
     assert "EvalPython" in inv._jdf.queryExecution().executedPlan().toString()
+
+
+def test_webmerc_plus_inv_projstring_stays_on_udf_path(spark):
+    """'+proj=webmerc ... +inv' builds Operation(inverted=True): calling
+    transform(direction='fwd') must run the INVERSE kernel via the UDF
+    path, never the forward-only JVM twin (ADVICE r4, high)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    pdf = pd.DataFrame({"lon": [-10000000.0, 0.0, 5000000.0],
+                        "lat": [-4000000.0, 0.0, 4000000.0]})
+    df = spark.createDataFrame(pdf)
+    res = transform(df, "+proj=webmerc +ellps=WGS84 +inv", x="lon",
+                    y="lat", degrees=False, out_prefix="o_")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan, "inverted op must not take the JVM twin"
+
+    # values must equal the explicit inverse direction (true inverse
+    # webmerc: metres -> radians), not a forward projection of metres
+    ref = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
+                    degrees=False, direction="inv", out_prefix="r_")
+    a = res.toPandas().sort_values("lon")
+    b = ref.toPandas().sort_values("lon")
+    assert np.allclose(a["o_x"], b["r_x"], rtol=0, atol=1e-12)
+    assert np.allclose(a["o_y"], b["r_y"], rtol=0, atol=1e-12)
+    # sanity: output is angular (radians), not metres
+    assert np.abs(a["o_y"].to_numpy()).max() < np.pi

@@ -154,3 +154,38 @@ def test_spark_submit_geo_pipeline(tmp_path):
     got4 = merged_tiles(spark)
     assert len(got4) == len(full_expect)
     assert (got4["n"].to_numpy() == full_expect["n"].to_numpy()).all()
+
+
+def test_reconcile_raises_on_corrupt_snapshot_instead_of_deleting(tmp_path, spark):
+    """A snapshot that EXISTS but fails to read (corrupt footer, FS
+    hiccup) must raise, not be treated as 'no snapshot': deleting every
+    tile partition while the snapshot still marks those docs processed
+    would silently undercount forever (ADVICE r4, medium)."""
+    import os
+
+    import pytest
+
+    from jobs.geo_pipeline_job import _reconcile_orphan_tiles
+    from proj_4_spark.sources.checkpoint import snapshot_dir
+
+    out = tmp_path / "out"
+    tiles = out / "tiles"
+    (tiles / "run_id=r1").mkdir(parents=True)
+    (tiles / "run_id=r1" / "part-0.parquet").write_bytes(b"PAR1fakePAR1")
+    snap = snapshot_dir(str(out / "_snapshots"), "tiles")
+    os.makedirs(snap)
+    # a non-hidden file that is NOT readable parquet
+    with open(os.path.join(snap, "part-0.parquet"), "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+    with pytest.raises(Exception):
+        _reconcile_orphan_tiles(spark, str(tiles), str(out / "_snapshots"))
+    # the committed tile partition must survive
+    assert (tiles / "run_id=r1" / "part-0.parquet").exists()
+
+    # an absent snapshot dir still means all partitions are orphaned
+    out2 = tmp_path / "out2"
+    t2 = out2 / "tiles"
+    (t2 / "run_id=r9").mkdir(parents=True)
+    dropped = _reconcile_orphan_tiles(spark, str(t2),
+                                      str(out2 / "_snapshots"))
+    assert dropped == ["r9"] and not (t2 / "run_id=r9").exists()
