@@ -83,7 +83,10 @@ def _sincosd(x):
     r = x - q * 90.0
     r = r * _DEGREE
     s, c = np.sin(r), np.cos(r)
-    qm = np.asarray(q, dtype=np.int64) & 3
+    with np.errstate(invalid="ignore"):
+        # masked NaN lanes cast to an arbitrary quadrant; their sin/cos
+        # stay NaN either way (choose of NaN inputs)
+        qm = np.asarray(q, dtype=np.int64) & 3
     sinx = np.choose(qm, [s, c, -s, -c])
     cosx = np.choose(qm, [c, -s, -c, s])
     sinx = sinx + 0.0
@@ -109,7 +112,10 @@ def _atan2d(y, x):
 
 def _norm2(s, c):
     r = np.hypot(s, c)
-    return s / r, c / r
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # masked lanes carry NaN/0 — the quotient stays NaN and is
+        # overwritten by the caller's lane mask
+        return s / r, c / r
 
 
 def _polyval(coefs, x):
