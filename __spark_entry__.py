@@ -706,6 +706,27 @@ def _q_esri_albers(spark, sf_dir):
     )
 
 
+def _q_compound_geoid(spark, sf_dir):
+    """Compound CRS routed end-to-end through the generated catalog:
+    +init=EPSG:4326+5773 (WGS 84 + EGM96 height) resolves via
+    COMPOUND/VERT_PRESETS (compiled from the reference's
+    vertical_crs.sql + grid_transformation.sql geoid rows) to the
+    horizontal preset plus +geoidgrids=egm96_15.gtx; forward z
+    subtracts the undulation (vgridshift historical multiplier=-1,
+    src/transformations/vgridshift.cpp:175-240).  The oracle
+    re-interpolates the same grid array bilinearly in DuckDB from
+    fixtures/egm96_grid_cells.parquet, term-for-term the kernel
+    stencil (kernels/gridshift.py vgrid_value)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    pts = _geo_points(spark, sf_dir).withColumn("h", F.lit(0.0))
+    out = transform(pts, "+init=EPSG:4326+5773", x="lon", y="lat", z="h",
+                    out_prefix="c_")
+    return out.select("event_id", _i(F.col("c_z"), 10000).alias("z_01mm"))
+
+
 def _q_axisswap(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1429,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axisswap": _q_axisswap,
         "unitconvert": _q_unitconvert,
         "pipeline_datum_shift": _q_pipeline_composed,
+        "compound_geoid": _q_compound_geoid,
         "proj_factors": _q_proj_factors,
         "pip_rect_zones": _q_pip_rect,
         "pip_cells_zones": _q_pip_cells,
@@ -1459,6 +1481,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _egm96_cells_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "egm96_grid_cells.parquet")
+
+
+def _compound_geoid_oracle_sql() -> str:
+    """DuckDB bilinear re-interpolation of the egm96 grid, mirroring
+    kernels/gridshift.py vgrid_value term-for-term: same float64 grid
+    header constants (read from the same file), the full-world
+    double-mod longitude wrap written as the literal a-floor(a/n)*n
+    formula, clip-free indices (all sf points sit inside the grid), the
+    left-associated corner-weight sum, and the vgridshift forward
+    multiplier=-1."""
+    from proj_4_spark.sources.grids import load_vgrids
+
+    g = load_vgrids("egm96_15.gtx")[0]
+    cells = _egm96_cells_path()
+    w, h = g.width, g.height
+    return (
+        f"with pts as ({GEO_SQL_SRC}), "
+        "ang as (select event_id, radians(lon) as lam, radians(lat) as phi "
+        "from pts), "
+        "g1 as (select event_id, "
+        f"(lam - ({g.west!r})) / ({g.resx!r}) as gx0, "
+        f"(phi - ({g.south!r})) / ({g.resy!r}) as gy from ang), "
+        "g2 as (select event_id, gy, "
+        f"(gx0 + {float(w)!r}) - floor((gx0 + {float(w)!r}) / {float(w)!r})"
+        f" * {float(w)!r} as r1 from g1), "
+        "g3 as (select event_id, gy, "
+        f"(r1 + {float(w)!r}) - floor((r1 + {float(w)!r}) / {float(w)!r})"
+        f" * {float(w)!r} as gx from g2), "
+        "f as (select event_id, "
+        "cast(floor(gx) as int) as ix, cast(floor(gy) as int) as iy, "
+        "gx - floor(gx) as fx, gy - floor(gy) as fy from g3), "
+        "wi as (select event_id, ix, iy, fx, fy, "
+        f"case when ix + 1 >= {w} then 0 else ix + 1 end as ix2, "
+        f"case when iy + 1 > {h - 1} then {h - 1} else iy + 1 end as iy2 "
+        "from f), "
+        "v as (select wi.event_id, wi.fx, wi.fy, "
+        "a.v as va, b.v as vb, c.v as vc, d.v as vd from wi "
+        f"join read_parquet('{cells}') a on a.iy = wi.iy and a.ix = wi.ix "
+        f"join read_parquet('{cells}') b on b.iy = wi.iy and b.ix = wi.ix2 "
+        f"join read_parquet('{cells}') c on c.iy = wi.iy2 and c.ix = wi.ix "
+        f"join read_parquet('{cells}') d on d.iy = wi.iy2 and d.ix = wi.ix2"
+        ") "
+        "select event_id, cast(round((0.0 + ((((va * ((1.0 - fx) * "
+        "(1.0 - fy))) + (vb * (fx * (1.0 - fy)))) + (vc * ((1.0 - fx) * "
+        "fy))) + (vd * (fx * fy))) * -1.0) * 10000.0, 0) as bigint) "
+        "as z_01mm from v"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     lam = f"(lon * {_D2R})"
@@ -1765,6 +1839,12 @@ def oracle_sql() -> dict[str, str]:
             f"  from read_parquet('{_knn_karney_fixture_path()}')"
             ") where rank <= 5"
         ),
+        # compound CRS + geoid: DuckDB re-interpolates the SAME egm96
+        # grid array (fixtures/egm96_grid_cells.parquet, float32 cells
+        # upcast exactly) with the kernel's bilinear stencil mirrored
+        # term-for-term (kernels/gridshift.py vgrid_value: full-world
+        # double-mod wrap, left-associated weight sum, multiplier=-1)
+        "compound_geoid": _compound_geoid_oracle_sql(),
         # multimodal: expected features computed driver-side from the
         # same deterministic payloads + per-payload math (no Spark) —
         # the gate value-checks the mapInPandas decode plumbing.

@@ -113,13 +113,25 @@ class VGrid:
         return phi_in & (lam >= self.west) & (lam <= self.east)
 
 
+# the reference's own test harness installs the downsampled EGM96 geoid
+# under the production name (data/CMakeLists.txt:98 configure_file ->
+# for_tests/egm96_15.gtx; Makefile.am:223 ln -sf) — mirror that so the
+# gie geoidgrids cases run against the same fixture at the same
+# tolerances
+_TEST_GRID_ALIASES = {"egm96_15.gtx": "egm96_15_downsampled.gtx"}
+
+
 def resolve_grid_path(name: str) -> str:
     if os.path.isabs(name) and os.path.exists(name):
         return name
+    names = (name, _TEST_GRID_ALIASES.get(name))
     for d in GRID_SEARCH_PATHS:
-        p = os.path.join(d, name)
-        if os.path.exists(p):
-            return p
+        for nm in names:
+            if nm is None:
+                continue
+            p = os.path.join(d, nm)
+            if os.path.exists(p):
+                return p
     raise FileNotFoundError(f"grid {name!r} not found in {GRID_SEARCH_PATHS}")
 
 

@@ -250,6 +250,76 @@ _IGNF_PRESETS: dict[str, str] = {
 }
 
 
+def vertical_fragment(vert_code) -> str:
+    """+geoidgrids/+vunits/+axis fragment for a vertical CRS code from
+    the generated catalog (VERT_PRESETS, compiled from the reference's
+    vertical_crs.sql + Geographic3D->GravityRelatedHeight rows of
+    grid_transformation.sql).  Installed geoid grids are preferred
+    (comma-joined, area routing happens at lookup time inside
+    vgridshift); when none of the models is installed the most-precise
+    candidate's name is emitted anyway — grid load then fails exactly
+    like the reference without the datumgrid package."""
+    from proj_4_spark.sources.epsg_generated import VERT_PRESETS
+    from proj_4_spark.sources.grids import resolve_grid_path
+
+    name, axfrag, cands = VERT_PRESETS[vert_code]
+    installed = []
+    for _src, grid, _acc, _bb in cands:
+        try:
+            resolve_grid_path(grid)
+            installed.append(grid)
+        except FileNotFoundError:
+            continue
+    parts = []
+    if installed:
+        parts.append("geoidgrids=" + ",".join(dict.fromkeys(installed)))
+    elif cands:
+        parts.append(f"geoidgrids={cands[0][1]}")
+    if axfrag:
+        parts.append(axfrag)
+    return " ".join(parts)
+
+
+def _with_vertical(horiz_frag: str, vfrag: str) -> str:
+    if not vfrag:
+        return horiz_frag
+    if horiz_frag.endswith(" no_defs"):
+        return (horiz_frag[: -len(" no_defs")] + f" {vfrag} no_defs")
+    return f"{horiz_frag} {vfrag}"
+
+
+def _compound_expand(horiz_code: int, vert_code: int) -> str:
+    frag = _epsg_builtin(horiz_code)
+    if frag is None:
+        raise LookupError(f"epsg:{horiz_code} not in built-in catalog")
+    return _with_vertical(frag, vertical_fragment(vert_code))
+
+
+def _vertical_or_compound_builtin(code: int) -> str | None:
+    """Resolve a compound CRS code (horizontal preset + vertical
+    fragment) or a bare vertical CRS code (the geoid model's source
+    geographic-3D CRS supplies the horizontal frame — for EGM-family
+    models that is WGS 84 (EPSG:4979), matching what cs2cs produces for
+    'EPSG:4979+<vert>')."""
+    from proj_4_spark.sources.epsg_generated import (
+        COMPOUND_PRESETS, VERT_PRESETS)
+
+    comp = COMPOUND_PRESETS.get(code)
+    if comp is not None:
+        _name, horiz, vert = comp
+        return _compound_expand(horiz, vert)
+    vert = VERT_PRESETS.get(code)
+    if vert is not None:
+        _name, _axfrag, cands = vert
+        horiz_code = cands[0][0] if cands else 4979
+        horiz = _epsg_builtin(horiz_code) if isinstance(horiz_code, int) \
+            else None
+        if horiz is None:
+            horiz = "proj=longlat datum=WGS84 no_defs"
+        return _with_vertical(horiz, vertical_fragment(code))
+    return None
+
+
 def _epsg_builtin(code: int) -> str | None:
     """EPSG preset resolution, in precedence order:
 
@@ -315,7 +385,15 @@ def resolve_init(spec: str) -> str:
             raise LookupError(f"IGNF:{key} not in built-in catalog")
         return frag
     if fname.lower() == "epsg":
+        if "+" in key:
+            # cs2cs compound idiom "horizontal+vertical" (e.g.
+            # EPSG:4326+5773): expand to the horizontal preset with the
+            # vertical CRS's geoidgrids/unit fragment spliced in
+            h, v = key.split("+", 1)
+            return _compound_expand(int(h), int(v))
         frag = _epsg_builtin(int(key))
+        if frag is None:
+            frag = _vertical_or_compound_builtin(int(key))
         if frag is None:
             raise LookupError(f"epsg:{key} not in built-in catalog")
         return frag

@@ -304,3 +304,88 @@ def test_dms_conversion_properties():
         assert abs(got - want) < 1e-12, (lit, got, want)
 
     roundtrip()
+
+
+def test_vertical_and_compound_catalog():
+    """VERT_PRESETS / COMPOUND_PRESETS compiled from vertical_crs.sql,
+    compound_crs.sql and the Geographic3D->GravityRelatedHeight rows of
+    grid_transformation.sql (VERDICT r4 item 1): epsg:5714, epsg:5773,
+    compound codes, and the cs2cs 'horiz+vert' idiom all resolve."""
+    from proj_4_spark.sources.epsg_generated import (
+        COMPOUND_PRESETS,
+        VERT_PRESETS,
+    )
+    from proj_4_spark.sources.initfiles import resolve_init
+
+    assert len(VERT_PRESETS) >= 400 and len(COMPOUND_PRESETS) >= 500
+
+    # MSL height: resolves, WGS84 frame, EGM2008-derived geoid model
+    # (grid_transformation.sql EPSG:8037)
+    frag = resolve_init("EPSG:5714")
+    assert "proj=longlat" in frag and "datum=WGS84" in frag
+    assert "geoidgrids=" in frag
+
+    # EGM96 height: the installed egm96 fixture is selected
+    frag = resolve_init("EPSG:5773")
+    assert "geoidgrids=egm96_15.gtx" in frag
+
+    # compound code NAD83 + NAVD88 height (EPSG:5498): horizontal
+    # NAD83 preset + NAVD88's most-precise geoid model
+    frag = resolve_init("EPSG:5498")
+    assert "proj=longlat" in frag and "geoidgrids=" in frag
+
+    # projected compound: WGS 84 / World Mercator + EGM2008 (EPSG:6893)
+    frag = resolve_init("EPSG:6893")
+    assert frag.startswith("proj=merc") and "geoidgrids=" in frag
+
+    # cs2cs 'A+B' syntax equals the catalog compound expansion
+    assert resolve_init("EPSG:4979+5773") == resolve_init("EPSG:5773")
+
+    # depth CRS carries the down-axis fragment (cs 6498)
+    assert "axis=end" in resolve_init("EPSG:5336")  # Black Sea depth
+
+
+def test_geoid_gie_cases_through_catalog_resolution():
+    """Replay the reference's 4D-API_cs2cs-style.gie egm96 block values
+    through CATALOG resolution (+init=EPSG:4326+5773) instead of the
+    literal proj-string: same grid (the reference's own for_tests
+    egm96_15.gtx install, data/CMakeLists.txt:98), same values at the
+    gie tolerances (test/gie/4D-API_cs2cs-style.gie:71-130)."""
+    import numpy as np
+
+    from proj_4_spark.engine.plan import create_operation
+
+    D = np.pi / 180.0
+    op = create_operation("+init=EPSG:4326+5773")
+    # accept 12.5 55.5 0 -> expect 12.5 55.5 -36.3941 (tolerance 15 cm)
+    x, y, z, _ = op.apply(np.array([12.5 * D]), np.array([55.5 * D]),
+                          np.zeros(1), np.zeros(1))
+    assert abs(x[0] / D - 12.5) < 1e-9 and abs(y[0] / D - 55.5) < 1e-9
+    assert abs(z[0] - -36.3941) < 0.15
+    # inverse block: accept 12.5 55.5 -36.3941 -> expect 12.5 55.5 0
+    x, y, z, _ = op.apply(np.array([12.5 * D]), np.array([55.5 * D]),
+                          np.array([-36.3941]), np.zeros(1), "inv")
+    assert abs(z[0]) < 0.15
+
+    # merc + geoid block via the World-Mercator-style compound:
+    # gie expects 1391493.63492 7424275.19462 -36.3941 at 0.1 mm for
+    # proj=merc geoidgrids=egm96_15.gtx ellps=GRS80; replicate through
+    # a catalog-shaped compound of 3395's conversion over GRS80 by
+    # resolving the vertical fragment from the catalog
+    from proj_4_spark.sources.initfiles import vertical_fragment
+
+    vf = vertical_fragment(5773)
+    assert vf == "geoidgrids=egm96_15.gtx"
+    op2 = create_operation(f"+proj=merc +ellps=GRS80 +{vf}")
+    x, y, z, _ = op2.apply(np.array([12.5 * D]), np.array([55.5 * D]),
+                           np.zeros(1), np.zeros(1))
+    assert abs(x[0] - 1391493.63492) < 1e-4
+    assert abs(y[0] - 7424275.19462) < 1e-4
+    assert abs(z[0] - -36.3941) < 1e-4
+
+    # a compound with no geoid model in the dataset degenerates to the
+    # horizontal CRS (heights pass through): KKJ + N60 (EPSG:3901)
+    from proj_4_spark.sources.initfiles import resolve_init
+
+    frag = resolve_init("EPSG:3901")
+    assert frag.startswith("proj=tmerc") and "geoidgrids" not in frag

@@ -16,7 +16,7 @@ GIGS_DIR = "/root/reference/test/gigs"
 
 # (file, minimum passes we lock in — ratchet upward as coverage grows)
 CORPUS = [
-    ("4D-API_cs2cs-style.gie", 64),
+    ("4D-API_cs2cs-style.gie", 71),
     ("DHDN_ETRS89.gie", 64),
     ("GDA.gie", 3),
     ("adams_hemi.gie", 703),
@@ -29,7 +29,7 @@ CORPUS = [
     ("ellipsoid.gie", 22),
     ("geotiff_grids.gie", 47),
     ("guyou.gie", 705),
-    ("more_builtins.gie", 134),
+    ("more_builtins.gie", 143),
     ("peirce_q.gie", 391),
     ("tinshift.gie", 8),
     ("unitconvert.gie", 8),

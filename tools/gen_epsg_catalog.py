@@ -97,6 +97,40 @@ def _parse_values(text: str, i: int, table: str):
         return table, vals, raw
 
 
+# EPSG method codes of the Geographic3D -> GravityRelatedHeight family
+# (geoid model grid, parameter 8666).  9635 is the Geog3D ->
+# Geog2D+GravityRelatedHeight variant targeting a compound CRS.
+_GEOID_METHODS = {9635, 9661, 9662, 9663, 9664, 9665, 1025, 1030, 1045,
+                  1047, 1048, 1050, 1059, 1060, 1072, 1073, 1081, 1082}
+
+
+# grid_alternatives uses a column-list INSERT (one per row in the
+# generated_noaa file, one giant multi-row VALUES in the curated file);
+# we only need (original_grid_name, proj_grid_name, old_proj_grid_name)
+_GA_ROW_RE = re.compile(
+    r"\(\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*(?:'([^']*)'|NULL)\s*,"
+    r"\s*'([^']*)'\s*,\s*'([^']*)'", re.S)
+
+
+def load_grid_alternatives(sql_dir: str) -> dict[str, str]:
+    """original_grid_name -> the name our loaders can read: the proj.4-era
+    old_proj_grid_name (.gtx/.gsb/ctable2) when one exists, else the
+    CDN GTiff proj_grid_name (data/sql/grid_alternatives*.sql)."""
+    alias: dict[str, str] = {}
+    for fn in ("grid_alternatives.sql",
+               "grid_alternatives_generated_noaa.sql"):
+        path = os.path.join(sql_dir, fn)
+        if not os.path.exists(path):
+            continue
+        text = open(path, encoding="utf-8").read()
+        text = "\n".join(ln for ln in text.splitlines()
+                         if not ln.lstrip().startswith("--"))
+        for m in _GA_ROW_RE.finditer(text):
+            orig, proj_name, old_name, _fmt, _method = m.groups()
+            alias[orig] = old_name or proj_name
+    return alias
+
+
 def load_tables(sql_dir: str):
     tables: dict[str, list] = {}
     for fn in sorted(os.listdir(sql_dir)):
@@ -106,6 +140,7 @@ def load_tables(sql_dir: str):
             continue
         for table, vals, raw in parse_sql_file(os.path.join(sql_dir, fn)):
             tables.setdefault(table, []).append((vals, raw))
+    tables["__grid_alias__"] = load_grid_alternatives(sql_dir)
     return tables
 
 
@@ -316,6 +351,34 @@ class Catalog:
             acc = v[11] if isinstance(v[11], (int, float)) else 999.0
             self.grid_tf.append((_k(v[0], v[1]), v[2], method,
                                  _k(v[7], v[8]), _k(v[9], v[10]), acc, grid))
+        # geoid-model grid transformations (the Geographic3D ->
+        # GravityRelatedHeight method family; parameter 8666 carries the
+        # geoid model file): source geographic-3D CRS -> target vertical
+        # CRS.  Method 9635 targets a compound CRS instead — its
+        # vertical component is resolved in build().
+        self.geoid_tf = []
+        for v, _ in tables.get("grid_transformation", []):
+            if v[-1]:
+                continue
+            method = int(v[5])
+            if method not in _GEOID_METHODS:
+                continue
+            grid = v[15]
+            if not isinstance(grid, str):
+                continue
+            acc = v[11] if isinstance(v[11], (int, float)) else 999.0
+            self.geoid_tf.append(
+                (_k(v[0], v[1]), v[2], _k(v[7], v[8]),
+                 _k(v[9], v[10]), acc, grid))
+        # vertical + compound CRS rows
+        # vertical_crs: (auth, code, name, desc, cs_auth, cs, datum_auth,
+        # datum, deprecated); compound_crs: (auth, code, name, desc,
+        # horiz_auth, horiz, vert_auth, vert, deprecated)
+        self.vert_crs = {_k(v[0], v[1]): v
+                         for v, _ in tables.get("vertical_crs", [])}
+        self.compound_crs = {_k(v[0], v[1]): v
+                             for v, _ in tables.get("compound_crs", [])}
+        self.grid_alias: dict[str, str] = tables.get("__grid_alias__", {})
 
     # ----------------------------------------------------------------
     def towgs84(self, geod_code) -> str | None:
@@ -872,7 +935,62 @@ class Catalog:
                            round(rz, 12), round(ds, 12))
             transforms.setdefault((src, tgt), []).append(
                 (code, name, "helmert", payload, acc, bb))
-        return presets, extents, transforms, counts
+
+        # vertical CRS presets: per vertical code, its axis fragment
+        # (orientation + unit) and accuracy-ranked geoid-model
+        # candidates (src geographic-3D CRS, grid file — remapped
+        # through grid_alternatives to the proj.4-era name, accuracy,
+        # area-of-use bbox)
+        geoid_by_vert: dict[object, list] = {}
+        for code, name, src, tgt, acc, grid in self.geoid_tf:
+            vert = tgt
+            if tgt in self.compound_crs:   # method 9635 targets compound
+                cc = self.compound_crs[tgt]
+                vert = _k(cc[6], cc[7])
+            if vert not in self.vert_crs:
+                continue
+            bb = self.bbox("grid_transformation", code)
+            geoid_by_vert.setdefault(vert, []).append(
+                (acc, src, self.grid_alias.get(grid, grid), bb))
+        vert_presets: dict[object, tuple] = {}
+        for code, v in self.vert_crs.items():
+            cs_code = _k(v[4], v[5])
+            ax = self.axis.get(cs_code)
+            if not ax:
+                counts["dropped"] += 1
+                continue
+            _order, orientation, uom = ax[0]
+            frag_parts = []
+            if orientation == "down":
+                frag_parts.append("axis=end")
+            if uom == 9002:
+                frag_parts.append("vunits=ft")
+            elif uom == 9003:
+                frag_parts.append("vunits=us-ft")
+            elif uom is not None and uom != 9001:
+                frag_parts.append(f"vto_meter={fmt(self.units.factor[uom])}")
+            cands = sorted(geoid_by_vert.get(code, ()),
+                           key=lambda t: (t[0], str(t[2])))
+            vert_presets[code] = (v[2], " ".join(frag_parts),
+                                  tuple((s, g, a, bb)
+                                        for a, s, g, bb in cands))
+            bb = self.bbox("vertical_crs", code)
+            if bb:
+                extents[code] = bb
+        compound_presets: dict[object, tuple] = {}
+        for code, v in self.compound_crs.items():
+            horiz, vert = _k(v[4], v[5]), _k(v[6], v[7])
+            if horiz not in presets or vert not in vert_presets:
+                counts["dropped"] += 1
+                continue
+            compound_presets[code] = (v[2], horiz, vert)
+            bb = self.bbox("compound_crs", code)
+            if bb:
+                extents[code] = bb
+        counts["vertical"] = len(vert_presets)
+        counts["compound"] = len(compound_presets)
+        return (presets, extents, transforms, counts, vert_presets,
+                compound_presets)
 
 
 def main(argv=None):
@@ -882,7 +1000,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     tables = load_tables(args.sql_dir)
     cat = Catalog(tables)
-    presets, extents, transforms, counts = cat.build()
+    (presets, extents, transforms, counts, vert_presets,
+     compound_presets) = cat.build()
     with open(args.out, "w", encoding="utf-8") as f:
         f.write('"""AUTO-GENERATED by tools/gen_epsg_catalog.py from the\n')
         f.write("reference's public EPSG SQL dataset (data/sql/*.sql) —\n")
@@ -920,6 +1039,23 @@ def main(argv=None):
         f.write("TRANSFORMS: dict[tuple, list] = {\n")
         for key in sorted(transforms, key=repr):
             f.write(f"    {key!r}: {transforms[key]!r},\n")
+        f.write("}\n\n")
+        f.write("# vertical CRS registry: code -> (name, axis/unit\n")
+        f.write("# fragment, geoid-model candidates sorted most-precise\n")
+        f.write("# first: (src_geog3d_crs, grid, accuracy_m, bbox)) —\n")
+        f.write("# compiled from vertical_crs.sql + the Geographic3D->\n")
+        f.write("# GravityRelatedHeight rows of grid_transformation.sql,\n")
+        f.write("# grid names remapped via grid_alternatives.sql\n")
+        f.write("VERT_PRESETS: dict = {\n")
+        for key in sorted(vert_presets, key=lambda c: (isinstance(c, str), c)):
+            f.write(f"    {key!r}: {vert_presets[key]!r},\n")
+        f.write("}\n\n")
+        f.write("# compound CRS registry: code -> (name, horizontal CRS\n")
+        f.write("# code, vertical CRS code), from compound_crs.sql\n")
+        f.write("COMPOUND_PRESETS: dict = {\n")
+        for key in sorted(compound_presets,
+                          key=lambda c: (isinstance(c, str), c)):
+            f.write(f"    {key!r}: {compound_presets[key]!r},\n")
         f.write("}\n")
     n_ignf = sum(1 for c in presets
                  if isinstance(c, str) and c.startswith("IGNF:"))
