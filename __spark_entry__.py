@@ -727,6 +727,45 @@ def _q_compound_geoid(spark, sf_dir):
     return out.select("event_id", _i(F.col("c_z"), 10000).alias("z_01mm"))
 
 
+def _q_nad27_catalog_routed(spark, sf_dir):
+    """NAD27 -> NAD83 routed end-to-end through the generated catalog:
+    crs_to_crs_candidates('EPSG:4267','EPSG:4269') builds the NADCON
+    conus/alaska hgridshift candidates (accuracy-ranked, antimeridian
+    bbox split) and alt_transform applies first-spatial-match per point
+    — the catalog -> altops -> gridshift chain inside the driver gate
+    (VERDICT r4 item 6).  Point construction puts even event_ids in the
+    conus-only bbox and odd ones in the alaska-only (east split) bbox,
+    so chosen_op pins the candidate ordering (0=conus, 2=alaska east).
+    The oracle re-interpolates the SAME CTable2 shift arrays in DuckDB
+    (fixtures/{conus,alaska}_grid_cells.parquet) with the kernel's
+    bilinear stencil mirrored term-for-term (kernels/gridshift.py
+    _interp_grid weight order; fwd adds the deltas)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.altops import (
+        alt_transform,
+        crs_to_crs_candidates,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    pts = ev.select(
+        "event_id",
+        F.when(e % 2 == 0, F.lit(-115.0) + (e * 7 % 2000) / 100.0)
+         .otherwise(F.lit(-160.0) + (e * 7 % 1800) / 100.0).alias("lon"),
+        F.when(e % 2 == 0, F.lit(30.0) + (e * 11 % 1500) / 100.0)
+         .otherwise(F.lit(58.0) + (e * 11 % 900) / 100.0).alias("lat"),
+    )
+    cands = crs_to_crs_candidates("EPSG:4267", "EPSG:4269")
+    out = alt_transform(pts, cands, out_prefix="n_")
+    return out.select(
+        "event_id",
+        _i(F.col("n_x"), 1e11).alias("lam83"),
+        _i(F.col("n_y"), 1e11).alias("phi83"),
+        F.col("n_chosen_op").alias("chosen"),
+    )
+
+
 def _q_axisswap(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1451,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unitconvert": _q_unitconvert,
         "pipeline_datum_shift": _q_pipeline_composed,
         "compound_geoid": _q_compound_geoid,
+        "nad27_catalog_routed": _q_nad27_catalog_routed,
         "proj_factors": _q_proj_factors,
         "pip_rect_zones": _q_pip_rect,
         "pip_cells_zones": _q_pip_cells,
@@ -1485,6 +1525,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _egm96_cells_path() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "fixtures", "egm96_grid_cells.parquet")
+
+
+def _hgrid_cells_path(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", f"{name}_grid_cells.parquet")
+
+
+def _nad27_oracle_sql() -> str:
+    """DuckDB re-interpolation of the NADCON conus/alaska CTable2 shift
+    arrays, mirroring kernels/gridshift.py _interp_grid term-for-term
+    (grid header constants read from the same files; the m00..m11
+    weight products and the left-associated delta sum exactly as
+    grids.cpp:2932-2940; fwd adds the deltas).  Candidate routing is
+    pinned by construction: even event_ids sit in the conus-only bbox
+    (chosen 0), odd ones in the alaska east-split bbox (chosen 2)."""
+    from proj_4_spark.sources.grids import load_hgrids
+
+    def branch(tag, g, cells, chosen):
+        d = (
+            f"{tag}g as (select event_id, lam, phi, "
+            f"(lam - ({g.west!r})) / ({g.resx!r}) as gl, "
+            f"(phi - ({g.south!r})) / ({g.resy!r}) as gp "
+            f"from ang where chosen = {chosen}), "
+            f"{tag}f as (select event_id, lam, phi, "
+            "cast(floor(gl) as int) as ix, cast(floor(gp) as int) as iy, "
+            "gl - floor(gl) as fl, gp - floor(gp) as fp "
+            f"from {tag}g), "
+        )
+        def mix(col):
+            return (
+                f"(((((1.0 - t.fl) * (1.0 - t.fp)) * a.{col} + "
+                f"(t.fl * (1.0 - t.fp)) * b.{col}) + "
+                f"((1.0 - t.fl) * t.fp) * c.{col}) + "
+                f"(t.fl * t.fp) * d.{col})"
+            )
+        d += (
+            f"{tag}res as (select t.event_id, {chosen} as chosen, "
+            f"t.lam + {mix('dlon')} as ox, "
+            f"t.phi + {mix('dlat')} as oy "
+            f"from {tag}f t "
+            f"join read_parquet('{cells}') a on a.iy = t.iy and a.ix = t.ix "
+            f"join read_parquet('{cells}') b on b.iy = t.iy "
+            "and b.ix = t.ix + 1 "
+            f"join read_parquet('{cells}') c on c.iy = t.iy + 1 "
+            "and c.ix = t.ix "
+            f"join read_parquet('{cells}') d on d.iy = t.iy + 1 "
+            "and d.ix = t.ix + 1), "
+        )
+        return d
+
+    cg = load_hgrids("conus")[0]
+    ag = load_hgrids("alaska")[0]
+    return (
+        "with pts as (select event_id, "
+        "case when event_id % 2 = 0 then -115.0 + (event_id * 7 % 2000) "
+        "/ 100.0 else -160.0 + (event_id * 7 % 1800) / 100.0 end as lon, "
+        "case when event_id % 2 = 0 then 30.0 + (event_id * 11 % 1500) "
+        "/ 100.0 else 58.0 + (event_id * 11 % 900) / 100.0 end as lat, "
+        "case when event_id % 2 = 0 then 0 else 2 end as chosen "
+        "from events), "
+        "ang as (select event_id, chosen, radians(lon) as lam, "
+        "radians(lat) as phi from pts), "
+        + branch("c", cg, _hgrid_cells_path("conus"), 0)
+        + branch("a", ag, _hgrid_cells_path("alaska"), 2)
+        + "sel as (select * from cres union all select * from ares) "
+        "select event_id, "
+        "cast(round(ox * 100000000000.0, 0) as bigint) as lam83, "
+        "cast(round(oy * 100000000000.0, 0) as bigint) as phi83, "
+        "cast(chosen as int) as chosen from sel"
+    )
 
 
 def _compound_geoid_oracle_sql() -> str:
@@ -1845,6 +1955,9 @@ def oracle_sql() -> dict[str, str]:
         # term-for-term (kernels/gridshift.py vgrid_value: full-world
         # double-mod wrap, left-associated weight sum, multiplier=-1)
         "compound_geoid": _compound_geoid_oracle_sql(),
+        # catalog-routed NAD27->NAD83: DuckDB re-interpolates the same
+        # NADCON CTable2 arrays; routing pinned via the chosen column
+        "nad27_catalog_routed": _nad27_oracle_sql(),
         # multimodal: expected features computed driver-side from the
         # same deterministic payloads + per-payload math (no Spark) —
         # the gate value-checks the mapInPandas decode plumbing.

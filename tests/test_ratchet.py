@@ -12,7 +12,7 @@ def test_driver_query_count_monotone():
 
     qs = E.queries()
     os_ = E.oracle_sql()
-    assert len(qs) >= 37, len(qs)
+    assert len(qs) >= 39, len(qs)
     # EVERY query is value-verified: r4 closed the last no_oracle rows
     assert set(os_) == set(qs), set(qs) ^ set(os_)
 
@@ -34,6 +34,15 @@ def test_epsg_catalog_size_monotone():
     assert len(ESRI_PRESETS) >= 2400
     assert len(EXTENTS) >= 6100
     assert sum(len(v) for v in TRANSFORMS.values()) >= 2400
+    # r5: vertical + compound registries (geoid models, compound codes)
+    from proj_4_spark.sources.epsg_generated import (
+        COMPOUND_PRESETS,
+        VERT_PRESETS,
+    )
+
+    assert len(VERT_PRESETS) >= 470
+    assert len(COMPOUND_PRESETS) >= 520
+    assert sum(1 for v in VERT_PRESETS.values() if v[2]) >= 100
 
 
 def test_registry_parity_holds():
