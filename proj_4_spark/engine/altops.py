@@ -323,6 +323,120 @@ def _helmert_spec(payload, src_ellps_frag: str, tgt_ellps_frag: str) -> str:
             f"+step +inv +proj=cart {tgt_ellps_frag}")
 
 
+def _entry_steps(kind, payload, entry_src, entry_tgt,
+                 inverted: bool) -> list[str] | None:
+    """Pipeline step fragments for one catalog entry, step-reversed with
+    flipped +inv when inverted (the +inv-pipeline expansion written
+    out explicitly so entries can be CONCATENATED into one pipeline).
+    None when a helmert entry's CRS preset (hence cart-leg ellipsoid)
+    is not cataloged."""
+    if kind == "grid":
+        s = f"+proj=hgridshift +grids={payload}"
+        return [f"+inv {s}"] if inverted else [s]
+    src_preset = _authority_preset(entry_src)
+    tgt_preset = _authority_preset(entry_tgt)
+    src_frag = _ellps_frag(src_preset) if src_preset else ""
+    tgt_frag = _ellps_frag(tgt_preset) if tgt_preset else ""
+    if not src_frag or not tgt_frag:
+        return None
+    p7 = tuple(payload) + (0.0,) * (7 - len(payload))
+    keys = ("x", "y", "z", "rx", "ry", "rz", "s")
+    parts = " ".join(f"+{k}={v!r}" for k, v in zip(keys, p7))
+    if any(p7[3:6]):
+        parts += " +convention=position_vector"
+    if not inverted:
+        return [f"+proj=cart {src_frag}",
+                f"+proj=helmert {parts}",
+                f"+inv +proj=cart {tgt_frag}"]
+    return [f"+proj=cart {tgt_frag}",
+            f"+inv +proj=helmert {parts}",
+            f"+inv +proj=cart {src_frag}"]
+
+
+def _split_box(bb):
+    """Split an antimeridian-wrapping (w,s,e,n) into plain boxes."""
+    if bb is None:
+        return [(-180.0, -90.0, 180.0, 90.0)]
+    w, s, e, n = bb
+    if w <= e:
+        return [bb]
+    return [(w, s, 180.0, n), (-180.0, s, e, n)]
+
+
+def _intersect_box(a, b):
+    w = max(a[0], b[0])
+    s = max(a[1], b[1])
+    e = min(a[2], b[2])
+    n = min(a[3], b[3])
+    return (w, s, e, n) if (w < e and s < n) else None
+
+
+_HUB_CODES = (4326, "IGNF:WGS84G")
+_HUB_SIDE_CAP = 8  # best-accuracy entries kept per side in composition
+
+
+def _hub_side_entries(code, transforms):
+    """Catalog entries connecting `code` to the WGS84 hub, as
+    (entry, inverted_for_code_to_hub) pairs sorted most-precise
+    first and capped."""
+    out = []
+    for hub in _HUB_CODES:
+        out += [(e, False) for e in transforms.get((code, hub), ())]
+        out += [(e, True) for e in transforms.get((hub, code), ())]
+    out.sort(key=lambda t: (t[0][4] < 0, t[0][4]))
+    return out[:_HUB_SIDE_CAP]
+
+
+def _hub_composed_candidates(s_code, d_code, skip_missing_grids: bool
+                             ) -> list[Candidate]:
+    """src -> WGS84 -> dst composition for pairs with no direct catalog
+    entry — CoordinateOperationFactory::createOperations' pivot-through-
+    hub behavior (src/iso19111/coordinateoperation.cpp:11099+, the
+    proj.4 towgs84 hub datum shift).  Each composed candidate chains
+    one src-side entry (src->hub) with one inverted dst-side entry
+    (hub->dst) into a single pipeline (the engine's peephole cancels
+    the adjacent cart/cart⁻¹ hub pair when the fragments match);
+    accuracy is the component sum, area of use the bbox intersection."""
+    from proj_4_spark.sources.epsg_generated import TRANSFORMS
+
+    src_side = _hub_side_entries(s_code, TRANSFORMS)
+    dst_side = _hub_side_entries(d_code, TRANSFORMS)
+    out = []
+    for ea, inv_a in src_side:
+        code_a, name_a, kind_a, payload_a, acc_a, bb_a = ea
+        sa, ta = ((4326, s_code) if inv_a else (s_code, 4326))
+        steps_a = _entry_steps(kind_a, payload_a, sa, ta, inv_a)
+        if steps_a is None:
+            continue
+        for eb, inv_b in dst_side:
+            code_b, name_b, kind_b, payload_b, acc_b, bb_b = eb
+            # dst-side entry connects dst<->hub; we need hub -> dst,
+            # i.e. the OPPOSITE of its code->hub orientation
+            sb, tb = ((4326, d_code) if inv_b else (d_code, 4326))
+            steps_b = _entry_steps(kind_b, payload_b, sb, tb, not inv_b)
+            if steps_b is None:
+                continue
+            spec = "+proj=pipeline " + " ".join(
+                f"+step {s}" for s in steps_a + steps_b)
+            acc = (acc_a + acc_b) if (acc_a >= 0 and acc_b >= 0) else -1.0
+            name = f"{name_a} + {name_b} (via WGS84 hub)"
+            for box_a in _split_box(bb_a):
+                for box_b in _split_box(bb_b):
+                    box = _intersect_box(box_a, box_b)
+                    if box is None:
+                        continue
+                    try:
+                        out.append(Candidate.from_projstring(
+                            spec, box, accuracy=float(acc), name=name))
+                    except Exception as ex:
+                        if skip_missing_grids and (
+                                "failed_to_load_grid" in str(ex)
+                                or isinstance(ex, FileNotFoundError)):
+                            continue
+                        raise
+    return out
+
+
 def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
                           ) -> list[Candidate]:
     """Candidate list for a (source, target) geographic CRS pair from
@@ -350,9 +464,14 @@ def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
     entries = [(e, False) for e in TRANSFORMS.get((s_code, d_code), ())]
     entries += [(e, True) for e in TRANSFORMS.get((d_code, s_code), ())]
     if not entries:
-        raise LookupError(
-            f"no cataloged coordinate operation EPSG:{s_code} -> "
-            f"EPSG:{d_code}")
+        # pivot through the WGS84 hub (createOperations fallback)
+        out = _hub_composed_candidates(s_code, d_code, skip_missing_grids)
+        if not out:
+            raise LookupError(
+                f"no cataloged coordinate operation {s_code} -> {d_code}, "
+                "directly or through the WGS84 hub")
+        out.sort(key=lambda c: (c.accuracy < 0, c.accuracy))
+        return out
     out = []
     for (code, name, kind, payload, acc, bb), inverted in entries:
         # the entry is stored in ITS OWN (src -> tgt) direction; an

@@ -325,3 +325,56 @@ def test_crs_to_crs_candidates_non_wgs84_cart_ellipsoids():
     rc = next(c for c in inv if c.name == lis[ch[0]].name)
     rx, ry, _, _ = rc.op.apply(fx, fy, fz, z.copy())
     assert abs(rx[0] - lon[0]) / D < 1e-9 and abs(ry[0] - lat[0]) / D < 1e-9
+
+
+def test_hub_composed_candidates_for_unlisted_pair():
+    """A CRS pair with NO direct TRANSFORMS entry composes src->WGS84->
+    dst from each side's cataloged hub entries, mirroring
+    CoordinateOperationFactory::createOperations' pivot behavior
+    (src/iso19111/coordinateoperation.cpp:11099+) — VERDICT r4 item 2.
+    DHDN (EPSG:4314) <-> ED50 (EPSG:4230): overlapping areas, both
+    hub-connected, no direct entry."""
+    import warnings
+
+    import numpy as np
+
+    from proj_4_spark.engine.altops import AltOperation, crs_to_crs_candidates
+    from proj_4_spark.sources.epsg_generated import TRANSFORMS
+
+    warnings.filterwarnings("ignore")
+    assert (4314, 4230) not in TRANSFORMS and (4230, 4314) not in TRANSFORMS
+
+    cands = crs_to_crs_candidates("EPSG:4314", "EPSG:4230")
+    assert cands, "hub composition must produce candidates"
+    # cost-ranked: known accuracies ascending, then unknowns
+    accs = [c.accuracy for c in cands if c.accuracy >= 0]
+    assert accs == sorted(accs)
+    # composed accuracy = sum of the component accuracies (>= either)
+    assert all(a >= 1.0 for a in accs)
+    # the pipeline pivots through WGS84: bessel cart leg in, intl out
+    assert "+ellps=bessel" in cands[0].spec
+    assert "via WGS84 hub" in cands[0].name
+
+    D = np.pi / 180.0
+    lon, lat = np.array([9.0 * D]), np.array([51.0 * D])  # central Germany
+    z = np.zeros(1)
+    x, y, zz, _, ch = AltOperation(cands).apply(lon, lat, z, z.copy(), "fwd")
+    assert ch[0] >= 0
+    # DHDN -> ED50 over Germany is a tens-of-metres shift
+    dn = abs(y[0] - lat[0]) / D * 111000
+    assert 20 < dn < 120, dn
+
+    # the reverse-direction lookup composes the inverse route and
+    # returns to the input within the composed accuracy bound
+    inv = crs_to_crs_candidates("EPSG:4230", "EPSG:4314")
+    rx, ry, _, _, ch2 = AltOperation(inv).apply(x, y, zz, z.copy(), "fwd")
+    assert ch2[0] >= 0
+    err_m = max(abs(rx[0] - lon[0]), abs(ry[0] - lat[0])) / D * 111000
+    assert err_m < cands[ch[0]].accuracy + inv[ch2[0]].accuracy + 1.0
+
+    # disjoint-area pair (ED50 vs NAD27): no spatial intersection ->
+    # explicit LookupError, not a bogus world-wide candidate
+    import pytest
+
+    with pytest.raises(LookupError):
+        crs_to_crs_candidates("EPSG:4230", "EPSG:4267")
