@@ -529,12 +529,14 @@ def test_train_centroids_improves_ivf(spark):
 
 
 def test_png_decode_large_image_fast():
-    """Timed decode gates (VERDICT r3 #4): the vectorized unfilter paths
-    (None/Sub/Up — Sub is an exact per-lane uint8 cumsum) must decode a
-    2048x2048 RGBA photo-sized PNG in under a second each.  Average and
-    Paeth keep a true sequential left-neighbour dependence (no whole-row
-    closed form exists), so they run as tight scalar loops with their
-    own bound at 512x512."""
+    """Timed decode gates (VERDICT r3 #4 + r4 item 3): the vectorized
+    unfilter paths (None/Sub/Up — Sub is an exact per-lane uint8
+    cumsum) must decode a 2048x2048 RGBA photo-sized PNG in under a
+    second each; Average and Paeth now run as an exact anti-diagonal
+    WAVEFRONT (codecs._unfilter_wavefront: every filter cell reads only
+    diagonals d-1/d-2, so each diagonal vectorizes across rows) and
+    must decode the same 2048x2048 photo-sized image in under 3 s,
+    byte-identical."""
     import time
 
     from proj_4_spark.functions.codecs import decode_png, encode_png
@@ -553,11 +555,58 @@ def test_png_decode_large_image_fast():
         assert np.array_equal(got, big), ft
         assert dt < 1.0, (ft, dt)
 
-    small = big[:512, :512]
     for ft in (3, 4):
-        data = encode_png(small, filter_type=ft)
+        data = encode_png(big, filter_type=ft)
         t0 = time.perf_counter()
         got = decode_png(data)
         dt = time.perf_counter() - t0
-        assert np.array_equal(got, small), ft
+        assert np.array_equal(got, big), ft
         assert dt < 3.0, (ft, dt)
+
+
+def test_png_wavefront_matches_scalar_unfilter():
+    """The wavefront unfilter is byte-identical to the scalar RFC 2083
+    recurrence on adversarial mixed-filter images (every filter type,
+    every channel count, ragged sizes)."""
+    from proj_4_spark.functions.codecs import _unfilter_wavefront
+
+    def scalar_ref(cur_rows, filters):
+        h, w, c = cur_rows.shape
+        stride = w * c
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            f = int(filters[y])
+            cu = cur_rows[y].reshape(-1).tolist()
+            pr = out[y - 1].tolist() if y else [0] * stride
+            tl = [0] * stride
+            for x in range(stride):
+                left = tl[x - c] if x >= c else 0
+                ul = pr[x - c] if x >= c else 0
+                up = pr[x]
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pa = abs(up - ul)
+                    pb = abs(left - ul)
+                    pc_ = abs(left + up - 2 * ul)
+                    pred = (left if (pa <= pb and pa <= pc_)
+                            else (up if pb <= pc_ else ul))
+                tl[x] = (cu[x] + pred) & 0xFF
+            out[y] = np.asarray(tl, dtype=np.uint8)
+        return out.reshape(h, w, c)
+
+    rng = np.random.Generator(np.random.PCG64(47))
+    for _ in range(12):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        c = int(rng.integers(1, 5))
+        cur = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        filters = rng.integers(0, 5, h)
+        got = _unfilter_wavefront(cur, filters)
+        assert np.array_equal(got, scalar_ref(cur, filters)), (h, w, c)
