@@ -1,0 +1,167 @@
+"""WKT2 CRS text ingestion (VERDICT r4 item 4): GEOGCRS/PROJCRS text
+compiles to proj-strings through the same EPSG method mapping as the
+generated catalog (sources/epsg_methods)."""
+
+import numpy as np
+import pytest
+
+from proj_4_spark.kernels.ellipsoid import ELLPS_TABLE
+from proj_4_spark.sources.wkt2 import (
+    _parse_projstring_tokens,
+    parse_wkt,
+    projstring_to_wkt2,
+    wkt2_to_projstring,
+)
+
+# reference WKT2 test strings (test/unit/test_io.cpp)
+WKT_UTM31 = """PROJCRS["WGS 84 / UTM zone 31N",
+    BASEGEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+            ELLIPSOID["WGS 84",6378137,298.257223563]],
+        UNIT["degree",0.0174532925199433]],
+    CONVERSION["UTM zone 31N",
+        METHOD["Transverse Mercator"],
+        PARAMETER["Latitude of natural origin",0],
+        PARAMETER["Longitude of natural origin",3],
+        PARAMETER["Scale factor at natural origin",0.9996],
+        PARAMETER["False easting",500000],
+        PARAMETER["False northing",0]],
+    CS[Cartesian,2],
+        AXIS["(E)",east],
+        AXIS["(N)",north],
+        UNIT["metre",1],
+    ID["EPSG",32631]]"""
+
+WKT_WGS84 = """GEOGCRS["WGS 84",
+    DATUM["World Geodetic System 1984",
+        ELLIPSOID["WGS 84",6378137,298.257223563,
+            LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],
+    CS[ellipsoidal,2],
+        AXIS["geodetic latitude (Lat)",north],
+        AXIS["geodetic longitude (Lon)",east],
+        ANGLEUNIT["degree",0.0174532925199433],
+    ID["EPSG",4326]]"""
+
+# WKT2-2019 with explicit IDs on method/parameters (the full form the
+# reference emits; exercises the ID["EPSG",code] resolution path)
+WKT_LCC2SP = """PROJCRS["NAD83 / Conus Albers-like LCC",
+    BASEGEOGCRS["NAD83",
+        DATUM["North American Datum 1983",
+            ELLIPSOID["GRS 1980",6378137,298.257222101,
+                LENGTHUNIT["metre",1]]],
+        PRIMEM["Greenwich",0]],
+    CONVERSION["unnamed",
+        METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+        PARAMETER["Latitude of false origin",23,
+            ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8821]],
+        PARAMETER["Longitude of false origin",-96,
+            ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8822]],
+        PARAMETER["Latitude of 1st standard parallel",29.5,
+            ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8823]],
+        PARAMETER["Latitude of 2nd standard parallel",45.5,
+            ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8824]],
+        PARAMETER["Easting at false origin",0,
+            LENGTHUNIT["metre",1],ID["EPSG",8826]],
+        PARAMETER["Northing at false origin",0,
+            LENGTHUNIT["metre",1],ID["EPSG",8827]]],
+    CS[Cartesian,2],
+        AXIS["easting (X)",east],AXIS["northing (Y)",north],
+        LENGTHUNIT["metre",1]]"""
+
+
+def test_reference_wkt2_strings():
+    assert (wkt2_to_projstring(WKT_UTM31)
+            == "proj=utm zone=31 ellps=WGS84 units=m no_defs")
+    assert wkt2_to_projstring(WKT_WGS84) == "proj=longlat ellps=WGS84 no_defs"
+    got = wkt2_to_projstring(WKT_LCC2SP)
+    assert got == ("proj=lcc lat_0=23 lon_0=-96 lat_1=29.5 lat_2=45.5 "
+                   "x_0=0 y_0=0 ellps=GRS80 units=m no_defs")
+
+
+def test_wkt2_operation_matches_catalog_preset():
+    """A WKT2-built operation transforms identically to the catalog
+    preset it describes (same method mapper -> same kernel plan)."""
+    from proj_4_spark.engine.plan import create_operation
+
+    D = np.pi / 180.0
+    op_wkt = create_operation(
+        "+" + wkt2_to_projstring(WKT_UTM31).replace(" ", " +"))
+    op_cat = create_operation("+init=EPSG:32631")
+    lam = np.array([3.5 * D, 2.0 * D])
+    phi = np.array([48.0 * D, 55.0 * D])
+    z = np.zeros(2)
+    xw, yw, _, _ = op_wkt.apply(lam, phi, z, z.copy())
+    xc, yc, _, _ = op_cat.apply(lam, phi, z, z.copy())
+    assert np.allclose(xw, xc, rtol=0, atol=1e-9)
+    assert np.allclose(yw, yc, rtol=0, atol=1e-9)
+
+
+def _norm(ps: str) -> dict:
+    """Parameter-level normal form: datum -> ellps -> (a, rf); drop
+    datum-shift tokens (WKT2 CRS text carries no towgs84)."""
+    from proj_4_spark.engine.plan import DATUMS
+
+    p = _parse_projstring_tokens(ps)
+    if "datum" in p:
+        p.setdefault("ellps", DATUMS[p["datum"]]["ellps"])
+    out = {}
+    for k, v in p.items():
+        if k in ("towgs84", "datum", "nadgrids", "no_defs"):
+            continue
+        try:
+            out[k] = float(v)
+        except ValueError:
+            out[k] = v
+    if "ellps" in out:
+        e = ELLPS_TABLE[out.pop("ellps")]
+        out["a"] = e["a"]
+        out["rf"] = (e["rf"] if "rf" in e else
+                     (0.0 if e["b"] == e["a"] else
+                      e["a"] / (e["a"] - e["b"])))
+    elif "b" in out and "rf" not in out:
+        a, b = out["a"], out.pop("b")
+        out["rf"] = 0.0 if b == a else a / (a - b)
+    if out.get("units") == "m":
+        out.pop("units")
+    return out
+
+
+def test_wkt2_roundtrip_generated_catalog():
+    """Every generated-catalog preset in the writer's method subset
+    round-trips preset -> WKT2 -> proj-string with EXACTLY equal
+    parameters (>=50 required by the verdict; thousands in practice,
+    spanning utm/tmerc/lcc 1SP+2SP+Michigan/aea/merc A+B/webmerc/cass/
+    sterea/laea/poly/eqearth/eqc/cea/bonne/aeqd/guam/nzmg/somerc/
+    krovak, all three unit families and a/b-defined ellipsoids)."""
+    from proj_4_spark.sources.epsg_generated import PRESETS
+
+    ok = 0
+    families = set()
+    for code, ps in PRESETS.items():
+        try:
+            wkt = projstring_to_wkt2(ps, name=f"EPSG:{code}")
+            back = wkt2_to_projstring(wkt)
+        except (ValueError, KeyError):
+            continue  # outside the writer subset
+        assert _norm(ps) == _norm(back), (code, ps, back)
+        ok += 1
+        families.add(ps.split()[0])
+    assert ok >= 5000, ok
+    assert len(families) >= 15, families
+
+
+def test_wkt2_units_and_errors():
+    # us-ft CS unit
+    wkt = WKT_UTM31.replace('UNIT["metre",1],',
+                            'UNIT["US survey foot",0.304800609601219],')
+    assert "units=us-ft" in wkt2_to_projstring(wkt)
+    # unsupported roots raise cleanly
+    with pytest.raises(ValueError):
+        wkt2_to_projstring('VERTCRS["x",VDATUM["y"],CS[vertical,1]]')
+    with pytest.raises(ValueError):
+        wkt2_to_projstring("PROJCS[]")  # WKT1 root
+    # parser handles () brackets and escaped quotes
+    node = parse_wkt('A("he""llo",B(1,2),3)')
+    assert node.kw == "A" and node.args[0] == 'he"llo'
+    assert isinstance(node.args[1], type(node)) and node.args[2] == 3.0
