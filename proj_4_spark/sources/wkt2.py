@@ -345,16 +345,61 @@ def _units_fragment_from(crs: Node) -> str:
     return f"to_meter={fmt(factor)}"
 
 
+def _vertical_fragment_from(vert: Node) -> str:
+    """VERTCRS -> the catalog's +geoidgrids/+vunits fragment.  WKT2
+    vertical CRS text carries no geoid model, so resolution goes
+    through the vertical registry by the node's ID["EPSG",code] —
+    the same way the reference resolves a VerticalCRS against proj.db
+    before building a vertical transformation."""
+    code = _id_code(vert)
+    if code is None:
+        names = [a for a in vert.args if isinstance(a, str)]
+        raise ValueError(
+            f"VERTCRS {names[:1]} has no ID[\"EPSG\",...] — the vertical "
+            "registry is keyed by EPSG code")
+    from proj_4_spark.sources.epsg_generated import VERT_PRESETS
+
+    if code not in VERT_PRESETS:
+        raise ValueError(f"vertical CRS EPSG:{code} not in the generated "
+                         "registry")
+    from proj_4_spark.sources.initfiles import vertical_fragment
+
+    return vertical_fragment(code)
+
+
 def wkt2_to_projstring(text: str) -> str:
-    """Compile a WKT2 GEOGCRS/PROJCRS string to a proj-string."""
+    """Compile a WKT2 GEOGCRS/PROJCRS/COMPOUNDCRS string to a
+    proj-string."""
     root = parse_wkt(text)
+    return _node_to_projstring(root)
+
+
+def _node_to_projstring(root: Node) -> str:
     kw = root.kw.upper()
     if kw in ("GEOGCRS", "GEODCRS", "GEOGRAPHICCRS", "GEODETICCRS"):
         return " ".join(["proj=longlat"] + _base_fragments(root)
                         + ["no_defs"])
+    if kw == "COMPOUNDCRS":
+        parts = [a for a in root.args if isinstance(a, Node)
+                 and a.kw.upper() in ("GEOGCRS", "GEODCRS", "PROJCRS",
+                                      "VERTCRS", "VERTICALCRS")]
+        horiz = [p for p in parts if p.kw.upper() not in
+                 ("VERTCRS", "VERTICALCRS")]
+        vert = [p for p in parts if p.kw.upper() in
+                ("VERTCRS", "VERTICALCRS")]
+        if len(horiz) != 1 or len(vert) != 1:
+            raise ValueError("COMPOUNDCRS needs one horizontal and one "
+                             "vertical component")
+        hfrag = _node_to_projstring(horiz[0])
+        vfrag = _vertical_fragment_from(vert[0])
+        if not vfrag:
+            return hfrag
+        if hfrag.endswith(" no_defs"):
+            return hfrag[: -len(" no_defs")] + f" {vfrag} no_defs"
+        return f"{hfrag} {vfrag}"
     if kw != "PROJCRS" and kw != "PROJECTEDCRS":
         raise ValueError(f"unsupported WKT2 root {root.kw!r} "
-                         "(subset: GEOGCRS/PROJCRS)")
+                         "(subset: GEOGCRS/PROJCRS/COMPOUNDCRS)")
     base = root.first("BASEGEOGCRS", "BASEGEODCRS")
     if base is None:
         raise ValueError("PROJCRS without BASEGEOGCRS")

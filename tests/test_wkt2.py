@@ -165,3 +165,39 @@ def test_wkt2_units_and_errors():
     node = parse_wkt('A("he""llo",B(1,2),3)')
     assert node.kw == "A" and node.args[0] == 'he"llo'
     assert isinstance(node.args[1], type(node)) and node.args[2] == 3.0
+
+
+def test_wkt2_compound_and_vertical():
+    """COMPOUNDCRS[GEOGCRS, VERTCRS] resolves the vertical component
+    through the generated vertical registry by its EPSG ID — the same
+    geoid model the catalog compound expansion selects."""
+    wkt = """COMPOUNDCRS["WGS 84 + EGM96 height",
+        GEOGCRS["WGS 84",
+            DATUM["World Geodetic System 1984",
+                ELLIPSOID["WGS 84",6378137,298.257223563]],
+            UNIT["degree",0.0174532925199433]],
+        VERTCRS["EGM96 height",
+            VDATUM["EGM96 geoid"],
+            CS[vertical,1],
+                AXIS["gravity-related height (H)",up,
+                    LENGTHUNIT["metre",1]],
+            ID["EPSG",5773]],
+        ID["EPSG",9707]]"""
+    got = wkt2_to_projstring(wkt)
+    assert got == ("proj=longlat ellps=WGS84 geoidgrids=egm96_15.gtx "
+                   "no_defs")
+    # the WKT2-built compound operation matches the catalog route
+    from proj_4_spark.engine.plan import create_operation
+
+    D = np.pi / 180.0
+    op = create_operation("+" + got.replace(" ", " +"))
+    x, y, z, _ = op.apply(np.array([12.5 * D]), np.array([55.5 * D]),
+                          np.zeros(1), np.zeros(1))
+    assert abs(z[0] - -36.3941) < 0.15
+
+    # VERTCRS without an EPSG ID cannot resolve a geoid model
+    with pytest.raises(ValueError):
+        wkt2_to_projstring(
+            'COMPOUNDCRS["x",GEOGCRS["WGS 84",DATUM["d",'
+            'ELLIPSOID["e",6378137,298.257223563]]],'
+            'VERTCRS["v",VDATUM["y"],CS[vertical,1]]]')
