@@ -819,6 +819,19 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
     (4D_api.cpp:802), NOT in pj_init_ctx, which is why the proj app
     never datum-shifts."""
     projstring = projstring.strip()
+    # createFromUserInput dispatch (src/iso19111/io.cpp:12106+): WKT2 /
+    # WKT1 CRS text is accepted anywhere a proj-string is — compiled
+    # through the registry-shared readers
+    upper = projstring[:16].upper()
+    if upper.startswith(("PROJCRS[", "GEOGCRS[", "GEODCRS[",
+                         "COMPOUNDCRS[", "PROJECTEDCRS[")):
+        from proj_4_spark.sources.wkt2 import wkt2_to_projstring
+
+        projstring = "+" + wkt2_to_projstring(projstring).replace(" ", " +")
+    elif upper.startswith(("PROJCS[", "GEOGCS[")):
+        from proj_4_spark.sources.esri_wkt1 import wkt1_to_projstring
+
+        projstring = "+" + wkt1_to_projstring(projstring).replace(" ", " +")
     if not emulation:
         projstring = projstring + " +break_cs2cs_recursion"
     head = PS.parse_projstring(projstring.split("+step")[0])

@@ -201,3 +201,27 @@ def test_wkt2_compound_and_vertical():
             'COMPOUNDCRS["x",GEOGCRS["WGS 84",DATUM["d",'
             'ELLIPSOID["e",6378137,298.257223563]]],'
             'VERTCRS["v",VDATUM["y"],CS[vertical,1]]]')
+
+
+def test_create_operation_accepts_wkt_text(spark):
+    """createFromUserInput dispatch: WKT2/WKT1 CRS text works anywhere
+    a proj-string does — create_operation AND the Spark transform
+    surface."""
+    import pandas as pd
+
+    from proj_4_spark.engine.plan import create_operation
+    from proj_4_spark.engine.spark import transform
+
+    D = np.pi / 180.0
+    op = create_operation(WKT_UTM31)
+    op_ps = create_operation("+proj=utm +zone=31 +ellps=WGS84")
+    lam, phi = np.array([3.5 * D]), np.array([48.0 * D])
+    z = np.zeros(1)
+    xw, yw, _, _ = op.apply(lam, phi, z, z.copy())
+    xp, yp, _, _ = op_ps.apply(lam, phi, z, z.copy())
+    assert xw[0] == xp[0] and yw[0] == yp[0]
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": [3.5], "lat": [48.0]}))
+    out = transform(df, WKT_UTM31, x="lon", y="lat",
+                    out_prefix="w_").toPandas()
+    assert abs(out["w_x"][0] - xp[0]) < 1e-6
