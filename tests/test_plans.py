@@ -238,3 +238,22 @@ def test_salted_count_two_phase_agg_shape(spark):
     assert len(two_key) == 1 and len(one_key) == 1, parts
     # both phases keep partial (map-side) aggregation
     assert txt.count("HashAggregate") >= 4, txt[:2000]
+
+
+def test_grid_backed_catalog_queries_are_single_stage(spark):
+    """The r5 grid-backed driver queries (compound geoid vgridshift,
+    catalog-routed NAD27 alt-transform) are embarrassingly parallel:
+    ONE ArrowEvalPython, no Exchange, scan pruned to event_id.  The
+    grid arrays load worker-side from the projstring spec (plan cache),
+    never through the task closure — so the plan must contain no
+    broadcast of grid data either."""
+    import __spark_entry__ as E
+
+    for name in ("compound_geoid", "nad27_catalog_routed"):
+        df = E.queries()[name](spark, SF)
+        txt = formatted(df)
+        assert "Exchange" not in txt, (name, txt[-1500:])
+        # one tree node ("ArrowEvalPython (n)"; the details section
+        # repeats it as "(n) ArrowEvalPython")
+        assert txt.count("ArrowEvalPython (") == 1, (name, txt[-1500:])
+        assert "ReadSchema: struct<event_id:bigint>" in txt, name
