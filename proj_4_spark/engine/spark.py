@@ -41,9 +41,9 @@ def _cached_operation(projstring: str):
 
 
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
-    """True when the operation is a bare spherical-web-mercator forward
-    that the JVM expression twin below reproduces exactly: single op,
-    no datum/grid/axis modifiers, no +over/+geoc/long-wrap."""
+    """True when the operation is a bare webmerc/merc forward that the
+    JVM expression twin below reproduces exactly: single op, no
+    datum/grid/axis modifiers, no +over/+geoc/long-wrap."""
     P = getattr(op, "P", None)
     if P is None or direction != "fwd":
         return False
@@ -52,7 +52,9 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # swap, src/4D_api.cpp) — the expression twin below is forward-only
     if getattr(op, "inverted", False):
         return False
-    if getattr(P, "name", None) != "webmerc":
+    # webmerc (spherical by construction) and merc (spherical or
+    # ellipsoidal — the tsfn isometric latitude is Catalyst-expressible)
+    if getattr(P, "name", None) not in ("webmerc", "merc"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -68,10 +70,11 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
 
 
 def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
-    """JVM-expression twin of the webmerc forward (kernels/merc.py
-    merc_s_forward + the engine's fwd prepare/finalize): the flagship
-    doc-geo pipeline becomes pure whole-stage codegen — zero Python in
-    the hot path.  Semantics replicated term for term:
+    """JVM-expression twin of the webmerc/merc forward (kernels/merc.py
+    merc_s_forward / merc_e_forward + the engine's fwd prepare/
+    finalize): the flagship doc-geo pipeline and plain Mercator
+    transforms become pure whole-stage codegen — zero Python in the
+    hot path.  Semantics replicated term for term:
 
     - error rows (NaN, matching the UDF path's HUGE_VAL analogue): null
       or NaN inputs, |lam|>10 rad pre-wrap (fwd.cpp:55), |phi| within
@@ -110,8 +113,18 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
-    ywm = F.when(F.abs(phic) <= eps, F.log1p(phic)).otherwise(
-        F.log(F.tan(pi / 4.0 + 0.5 * phic)))
+    if P.es != 0.0 and P.name == "merc":
+        # ellipsoidal forward (merc.cpp:22-31): y = -k0*log(tsfn);
+        # tsfn = tan((pi/2 - phi)/2) / ((1-e sin phi)/(1+e sin phi))^(e/2)
+        # (src/tsfn.cpp:6-17); k0 applies at the shared finalize below
+        e = P.e
+        esin = F.sin(phic) * e
+        ts = (F.tan(0.5 * (F.lit(pi / 2.0) - phic))
+              / F.pow((1.0 - esin) / (1.0 + esin), F.lit(0.5 * e)))
+        ywm = -F.log(ts)
+    else:
+        ywm = F.when(F.abs(phic) <= eps, F.log1p(phic)).otherwise(
+            F.log(F.tan(pi / 4.0 + 0.5 * phic)))
     k0 = P.k0
     xe = F.lit(P.fr_meter) * (k0 * lamw * P.a + F.lit(P.x0))
     ye = F.lit(P.fr_meter) * (k0 * ywm * P.a + F.lit(P.y0))
