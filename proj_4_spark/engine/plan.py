@@ -15,6 +15,8 @@ UDFs on executors.  A whole pipeline executes inside ONE UDF invocation
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from proj_4_spark.engine import projstring as PS
@@ -832,6 +834,10 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
         from proj_4_spark.sources.esri_wkt1 import wkt1_to_projstring
 
         projstring = "+" + wkt1_to_projstring(projstring).replace(" ", " +")
+    elif re.fullmatch(r"[A-Za-z_]+:[A-Za-z0-9_.+-]+", projstring):
+        # bare "AUTH:code" CRS spec (incl. the compound "EPSG:A+B"
+        # form) — cs2cs accepts these directly (createFromUserInput)
+        projstring = "+init=" + projstring
     if not emulation:
         projstring = projstring + " +break_cs2cs_recursion"
     head = PS.parse_projstring(projstring.split("+step")[0])

@@ -389,3 +389,36 @@ def test_geoid_gie_cases_through_catalog_resolution():
 
     frag = resolve_init("EPSG:3901")
     assert frag.startswith("proj=tmerc") and "geoidgrids" not in frag
+
+
+def test_bare_crs_spec_and_compound_cs2cs():
+    """create_operation/create_crs_to_crs accept bare 'AUTH:code' CRS
+    specs incl. the compound 'EPSG:A+B' form (createFromUserInput);
+    the compound WGS84+EGM96 route reproduces the reference's
+    testdatumfile cs2cs golden (WGS84 -> WGS84+EGM96: 2E 49N 0 ->
+    z=-45.06, test/cli/td_out.dist)."""
+    import numpy as np
+
+    from proj_4_spark.engine.plan import create_crs_to_crs, create_operation
+
+    D = np.pi / 180.0
+    # bare spec == +init spec
+    a = create_operation("EPSG:32631")
+    b = create_operation("+init=EPSG:32631")
+    lam, phi = np.array([3.5 * D]), np.array([48.0 * D])
+    z = np.zeros(1)
+    xa, ya, _, _ = a.apply(lam, phi, z, z.copy())
+    xb, yb, _, _ = b.apply(lam, phi, z, z.copy())
+    assert xa[0] == xb[0] and ya[0] == yb[0]
+
+    # compound via the generated registry, through create_crs_to_crs
+    op = create_crs_to_crs("EPSG:4326", "EPSG:4326+5773")
+    x, y, zz, _ = op.apply(np.array([2.0 * D]), np.array([49.0 * D]),
+                           np.zeros(1), np.zeros(1))
+    assert abs(x[0] / D - 2.0) < 1e-9 and abs(y[0] / D - 49.0) < 1e-9
+    assert abs(zz[0] - -45.06) < 0.01  # golden prints 2 decimals
+
+    # and the reverse returns the input height
+    inv = create_crs_to_crs("EPSG:4326+5773", "EPSG:4326")
+    _, _, z2, _ = inv.apply(x, y, zz, np.zeros(1))
+    assert abs(z2[0]) < 1e-6
