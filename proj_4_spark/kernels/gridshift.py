@@ -419,19 +419,32 @@ def setup_vgridshift(P: PJ) -> PJ:
         P.opaque["grids"] = grids
         return P
 
+    t_final = _parse_t(P, "t_final")
+    t_epoch = P.param_f("t_epoch")
+
+    def _time_mask(t):
+        # time-restricted shift: apply only when t < t_epoch and the
+        # bracket is forward-ordered (vgridshift.cpp forward_4d/
+        # reverse_4d — same gate hgridshift uses)
+        if t_final != 0 and t_epoch != 0:
+            return (t < t_epoch) & (t_final > t_epoch)
+        return np.ones(np.shape(t), dtype=bool)
+
     def fwd4d(lam, phi, z, t, P_):
+        m = _time_mask(t)
         dz = vgrid_value(grids, lam, phi, mult)
         # grid error poisons the whole coordinate (proj_coord_error,
         # all components HUGE_VAL in the reference)
-        bad = np.isnan(dz)
+        bad = np.isnan(dz) & m
         return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
-                z + dz, t)
+                np.where(m, z + dz, z), t)
 
     def inv4d(lam, phi, z, t, P_):
+        m = _time_mask(t)
         dz = vgrid_value(grids, lam, phi, mult)
-        bad = np.isnan(dz)
+        bad = np.isnan(dz) & m
         return (np.where(bad, np.nan, lam), np.where(bad, np.nan, phi),
-                z - dz, t)
+                np.where(m, z - dz, z), t)
 
     P.fwd4d = fwd4d
     P.inv4d = inv4d

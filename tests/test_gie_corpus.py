@@ -25,7 +25,7 @@ CORPUS = [
     ("axisswap.gie", 21),
     ("builtins.gie", 1886),
     ("defmodel.gie", 29),
-    ("deformation.gie", 18),
+    ("deformation.gie", 36),
     ("ellipsoid.gie", 22),
     ("geotiff_grids.gie", 47),
     ("guyou.gie", 705),
