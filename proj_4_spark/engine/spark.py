@@ -133,6 +133,159 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     return xout, yout
 
 
+def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
+    """True when the operation is a bare Poder-Engsager tmerc/etmerc/utm
+    forward (the DEFAULT tmerc algorithm) with no datum/grid/axis
+    modifiers — the staged-projection Catalyst twin below reproduces
+    it exactly."""
+    from proj_4_spark.kernels.tmerc import exact_e_fwd
+
+    P = getattr(op, "P", None)
+    if P is None or direction != "fwd":
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    if getattr(P, "fwd", None) is not exact_e_fwd:
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+_CE_LIMIT_JVM = 2.623395162778  # kernels/tmerc._CE_LIMIT (tmerc.cpp:409)
+
+
+def _etmerc_jvm_apply(df, P, x, y, zc, tc, degrees: bool,
+                      z_supplied: bool, out_prefix: str):
+    """Staged-projection Catalyst twin of the Poder-Engsager etmerc
+    forward (kernels/tmerc.exact_e_fwd, tmerc.cpp:334-415) + the
+    engine's fwd prepare/finalize: UTM / Transverse Mercator forwards
+    run with ZERO Python workers.
+
+    The gatg and complex-Clenshaw recurrences reference each
+    intermediate twice, so inlining them into one projection would
+    duplicate subtrees Fibonacci-style (Catalyst does not CSE across
+    an expression tree); instead every recurrence step lands in its
+    OWN select() — CollapseProject declines to merge projections whose
+    non-cheap aliases are referenced more than once, so the physical
+    plan keeps the staged, linear-size form inside a single
+    whole-stage-codegen region.
+
+    Parity with the Arrow-UDF path is pinned (exact NaN pattern,
+    <=1e-6 m) in tests/test_engine.py."""
+    from pyspark.sql import functions as F
+
+    Q = P.opaque["exact"]
+    cbg, gtu = Q["cbg"], Q["gtu"]
+    Qn, Zb = float(Q["Qn"]), float(Q["Zb"])
+    pi = math.pi
+    nan = F.lit(float("nan"))
+    T = "_jt_"  # temp-column prefix, dropped at the end
+    tmp: list[str] = []
+
+    def stage(d, **cols):
+        for name in cols:
+            tmp.append(T + name)
+        return d.select("*", *(c.alias(T + n) for n, c in cols.items()))
+
+    def col(name):
+        return F.col(T + name)
+
+    lam = F.col(x).cast("double")
+    phi = F.col(y).cast("double")
+    if degrees:
+        lam = F.radians(lam)
+        phi = F.radians(phi)
+
+    def adjlon(c):
+        return F.when(
+            F.abs(c) >= F.lit(pi + 1e-12),
+            (c + pi) - 2.0 * pi * F.floor((c + pi) / (2.0 * pi)) - pi,
+        ).otherwise(c)
+
+    # fwd prepare (fwd.cpp:41-102): error rows + lat clip + lam wrap
+    err = (
+        F.col(x).isNull() | F.isnan(F.col(x).cast("double"))
+        | F.col(y).isNull() | F.isnan(F.col(y).cast("double"))
+        | (lam > 10.0) | (lam < -10.0)
+        | (F.abs(phi) - pi / 2.0 > 1e-12)
+    )
+    if z_supplied:
+        err = err | zc.isNull() | F.isnan(zc)
+    out = stage(df, err=err,
+                lamw=adjlon(adjlon(lam) - F.lit(P.lam0)),
+                phic=F.least(F.greatest(phi, F.lit(-pi / 2.0)),
+                             F.lit(pi / 2.0)))
+
+    # gatg(cbg): real Clenshaw over cos/sin(2*phi) (tmerc.cpp:267-279)
+    out = stage(out, two=2.0 * F.cos(2.0 * col("phic")),
+                s2=F.sin(2.0 * col("phic")))
+    h1, h2 = F.lit(float(cbg[-1])), F.lit(0.0)
+    for k in range(len(cbg) - 2, -1, -1):
+        out = stage(out, **{f"g{k}": -h2 + col("two") * h1
+                            + F.lit(float(cbg[k]))})
+        h2, h1 = h1, col(f"g{k}")
+    out = stage(out, Cn0=col("phic") + col("g0") * col("s2"))
+
+    # spherical-to-complex-plane setup (tmerc.cpp:352-376)
+    out = stage(out, sCn=F.sin(col("Cn0")), cCn=F.cos(col("Cn0")),
+                sCe=F.sin(col("lamw")), cCe=F.cos(col("lamw")))
+    out = stage(out, cc=col("cCn") * col("cCe"))
+    out = stage(out, Cn1=F.atan2(col("sCn"), col("cc")),
+                invd=1.0 / F.hypot(col("sCn"), col("cc")))
+    out = stage(out, tCe=col("sCe") * col("cCn") * col("invd"),
+                twoinv=2.0 * col("invd"))
+    out = stage(out, Ce1=F.asinh(col("tCe")),
+                twoinvsq=col("twoinv") * col("invd"))
+    out = stage(out, tmpr=col("cc") * col("twoinvsq"))
+    out = stage(out, sar=col("sCn") * col("tmpr"),
+                car=col("cc") * col("tmpr") - 1.0,
+                shi=col("tCe") * col("twoinv"),
+                chi=col("twoinvsq") - 1.0)
+
+    # complex Clenshaw over gtu (tmerc.cpp:283-311)
+    out = stage(out, r=2.0 * col("car") * col("chi"),
+                i=-2.0 * col("sar") * col("shi"))
+    hr, hi = F.lit(float(gtu[-1])), F.lit(0.0)
+    hr1 = hi1 = F.lit(0.0)
+    for k in range(len(gtu) - 2, -1, -1):
+        out = stage(
+            out,
+            **{f"hr{k}": -hr1 + col("r") * hr - col("i") * hi
+               + F.lit(float(gtu[k])),
+               f"hi{k}": -hi1 + col("i") * hr + col("r") * hi})
+        hr1, hi1 = hr, hi
+        hr, hi = col(f"hr{k}"), col(f"hi{k}")
+    out = stage(out, rr=col("sar") * col("chi"),
+                ii=col("car") * col("shi"))
+    out = stage(out, Cn=col("Cn1") + col("rr") * hr - col("ii") * hi,
+                Ce=col("Ce1") + col("rr") * hi + col("ii") * hr)
+
+    # Ce bound (tmerc.cpp:409) + finalize (*a, +x0/y0, *fr_meter)
+    ok = F.abs(col("Ce")) <= F.lit(_CE_LIMIT_JVM)
+    xk = F.when(ok, F.lit(Qn) * col("Ce")).otherwise(nan)
+    yk = F.when(ok, F.lit(Qn) * col("Cn") + F.lit(Zb)).otherwise(nan)
+    xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+    ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+    out = (out.withColumn(f"{out_prefix}x",
+                          F.when(col("err"), nan)
+                           .otherwise(F.coalesce(xe, nan)))
+              .withColumn(f"{out_prefix}y",
+                          F.when(col("err"), nan)
+                           .otherwise(F.coalesce(ye, nan)))
+              .withColumn(f"{out_prefix}z", zc)
+              .withColumn(f"{out_prefix}t", tc))
+    return out.drop(*tmp)
+
+
 def transform(
     df,
     projstring: str,
@@ -173,19 +326,25 @@ def transform(
     z_supplied = z is not None
     t_supplied = t is not None
 
-    if jvm_fast_path and _webmerc_jvm_fast_path_ok(op_probe, direction):
+    if jvm_fast_path and (_webmerc_jvm_fast_path_ok(op_probe, direction)
+                          or _etmerc_jvm_fast_path_ok(op_probe,
+                                                      direction)):
         # whole-stage-codegen twin: no Python worker in the hot path
         # (null z/t from user columns surface as NaN like the UDF path)
         zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))
               if z else F.lit(0.0))
         tc = (F.coalesce(F.col(t).cast("double"), F.lit(float("nan")))
               if t else F.lit(0.0))
-        xo, yo = _webmerc_jvm_columns(
-            op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
-        out = (df.withColumn(f"{out_prefix}x", xo)
-                 .withColumn(f"{out_prefix}y", yo)
-                 .withColumn(f"{out_prefix}z", zc)
-                 .withColumn(f"{out_prefix}t", tc))
+        if _webmerc_jvm_fast_path_ok(op_probe, direction):
+            xo, yo = _webmerc_jvm_columns(
+                op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
+            out = (df.withColumn(f"{out_prefix}x", xo)
+                     .withColumn(f"{out_prefix}y", yo)
+                     .withColumn(f"{out_prefix}z", zc)
+                     .withColumn(f"{out_prefix}t", tc))
+        else:
+            out = _etmerc_jvm_apply(df, op_probe.P, x, y, zc, tc,
+                                    degrees, z_supplied, out_prefix)
         if not keep_errors:
             out = out.where(F.col(f"{out_prefix}x").isNotNull()
                             & ~F.isnan(F.col(f"{out_prefix}x")))

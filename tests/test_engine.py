@@ -595,3 +595,58 @@ def test_merc_jvm_fast_path_parity(spark):
                     direction="inv")
     assert "EvalPython" in \
         inv._jdf.queryExecution().executedPlan().toString()
+
+
+def test_etmerc_jvm_fast_path_parity(spark):
+    """The Poder-Engsager etmerc/utm/tmerc JVM twin (staged Catalyst
+    projections) agrees with the Arrow-UDF kernel path on values
+    (<=1e-6 m) and the exact NaN pattern; the plan contains no Python
+    eval.  Guards: +algo=auto / approx / datum-modified / inverse stay
+    on the UDF path."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -96.0, 0.0, 9.01, 12.0, 91.3, 179.99,
+            200.0, None, float("nan"), 45.0]
+    lats = [-90.1, -90.0, -89.9999, -45.0, 0.0, 2e-17, 45.0, 56.0,
+            89.9999, 90.0, None, 33.3]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+
+    for ps in ("+proj=utm +zone=32 +ellps=GRS80",
+               "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+               "+x_0=400000 +y_0=-100000 +ellps=airy",
+               "+proj=etmerc +lon_0=9 +k=0.9996 +x_0=500000 "
+               "+ellps=WGS84 +units=us-ft",
+               "+proj=utm +zone=56 +south +ellps=GRS80"):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
+
+    # guards
+    for ps in ("+proj=tmerc +algo=auto +lon_0=9 +ellps=WGS84",
+               "+proj=tmerc +approx +lon_0=9 +ellps=WGS84",
+               "+proj=utm +zone=32 +datum=NAD83"):
+        p = transform(df, ps, x="lon", y="lat")
+        assert "EvalPython" in \
+            p._jdf.queryExecution().executedPlan().toString(), ps
+    inv = transform(df, "+proj=utm +zone=32 +ellps=GRS80", x="lon",
+                    y="lat", direction="inv")
+    assert "EvalPython" in \
+        inv._jdf.queryExecution().executedPlan().toString()
