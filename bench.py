@@ -63,6 +63,10 @@ def run_workload(spark, sf_dir: str) -> dict[str, float]:
     # not one-time process start-up.  r1 measured merc_fwd at 6.0 s cold
     # vs 0.9 s for the same kernel warm.
     qs["merc_fwd"](spark, "/root/testdata/sf0.001").count()
+    # merc/webmerc/utm forwards are JVM expression twins since r4/r5 —
+    # warm the Arrow-UDF worker pool through a query that still runs
+    # Python (the pipeline datum shift)
+    qs["pipeline_datum_shift"](spark, "/root/testdata/sf0.001").count()
     # ...and the mapInPandas path (doc synthesis) which spins up its own
     # worker type
     qs["docs_geo_pipeline"](spark, "/root/testdata/sf0.001").count()

@@ -297,7 +297,7 @@ def transform(
     degrees: bool = True,
     out_prefix: str = "",
     keep_errors: bool = True,
-    jvm_fast_path: bool = True,
+    jvm_fast_path: bool | str = True,
 ):
     """Apply a proj-string operation to coordinate columns of ``df``.
 
@@ -326,9 +326,19 @@ def transform(
     z_supplied = z is not None
     t_supplied = t is not None
 
+    # jvm_fast_path: True (default) compiles the SMALL expression twins
+    # (webmerc/merc) to Catalyst columns; "all" additionally compiles
+    # the 22-stage Poder-Engsager etmerc/utm twin.  The etmerc twin is
+    # opt-in because its large generated method is JIT-fragile under
+    # mixed codegen load: isolated it beats the Arrow-UDF path
+    # (11.8 vs 10.8 M pts/s), but after a dozen other codegen classes
+    # have run in the same JVM it degrades ~2.5x (measured,
+    # PLANS.md "etmerc JVM expression twin") — the UDF path has no such
+    # cliff, so it stays the default.
+    use_etmerc_twin = (jvm_fast_path == "all"
+                       and _etmerc_jvm_fast_path_ok(op_probe, direction))
     if jvm_fast_path and (_webmerc_jvm_fast_path_ok(op_probe, direction)
-                          or _etmerc_jvm_fast_path_ok(op_probe,
-                                                      direction)):
+                          or use_etmerc_twin):
         # whole-stage-codegen twin: no Python worker in the hot path
         # (null z/t from user columns surface as NaN like the UDF path)
         zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))

@@ -622,7 +622,8 @@ def test_etmerc_jvm_fast_path_parity(spark):
                "+proj=etmerc +lon_0=9 +k=0.9996 +x_0=500000 "
                "+ellps=WGS84 +units=us-ft",
                "+proj=utm +zone=56 +south +ellps=GRS80"):
-        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_",
+                         jvm_fast_path="all")
         plan = fast._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, ps
         slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
@@ -639,14 +640,21 @@ def test_etmerc_jvm_fast_path_parity(spark):
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
 
+    # the etmerc twin is OPT-IN (jvm_fast_path="all"): the default
+    # keeps utm/tmerc on the UDF path (JIT-fragility, PLANS.md)
+    dflt = transform(df, "+proj=utm +zone=32 +ellps=GRS80", x="lon",
+                     y="lat")
+    assert "EvalPython" in \
+        dflt._jdf.queryExecution().executedPlan().toString()
+
     # guards
     for ps in ("+proj=tmerc +algo=auto +lon_0=9 +ellps=WGS84",
                "+proj=tmerc +approx +lon_0=9 +ellps=WGS84",
                "+proj=utm +zone=32 +datum=NAD83"):
-        p = transform(df, ps, x="lon", y="lat")
+        p = transform(df, ps, x="lon", y="lat", jvm_fast_path="all")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
     inv = transform(df, "+proj=utm +zone=32 +ellps=GRS80", x="lon",
-                    y="lat", direction="inv")
+                    y="lat", direction="inv", jvm_fast_path="all")
     assert "EvalPython" in \
         inv._jdf.queryExecution().executedPlan().toString()
