@@ -437,6 +437,57 @@ def _hub_composed_candidates(s_code, d_code, skip_missing_grids: bool
     return out
 
 
+def vertical_candidates(src, dst, skip_missing_grids: bool = True
+                        ) -> list[Candidate]:
+    """Candidate list for a (source, target) VERTICAL CRS pair from the
+    generated catalog (VERT_TRANSFORMS: grid_transformation.sql
+    Vertical-Offset-by-Grid rows — VERTCON NGVD29->NAVD88 etc. — plus
+    other_transformation.sql constant Vertical Offset rows).
+
+    'vgrid' entries become `+proj=vgridshift +multiplier=1.0` (vertical
+    offset grids store the dz to ADD going src->tgt, unlike geoid
+    models' historical multiplier=-1 — deal_with_vertcon_gtx_hack,
+    src/transformations/vgridshift.cpp:46-71); 'voffset' entries become
+    `+proj=geogoffset +dh=` constants.  A reversed lookup wraps the
+    operation in +inv.  Interpolation position is the point's
+    horizontal coordinate, exactly the reference's note ("may be made
+    using NAD27, NAD83 or NAD83(HARN)" — sub-metre-insensitive)."""
+    from proj_4_spark.sources.epsg_generated import VERT_TRANSFORMS
+
+    s_code, d_code = _epsg_code(src), _epsg_code(dst)
+    entries = [(e, False) for e in VERT_TRANSFORMS.get((s_code, d_code), ())]
+    entries += [(e, True) for e in VERT_TRANSFORMS.get((d_code, s_code), ())]
+    if not entries:
+        raise LookupError(
+            f"no cataloged vertical operation {s_code} -> {d_code}")
+    out = []
+    for (code, name, kind, payload, acc, bb), inverted in entries:
+        if kind == "vgrid":
+            spec = f"+proj=vgridshift +grids={payload} +multiplier=1.0"
+        else:
+            spec = f"+proj=geogoffset +dh={payload!r}"
+        if inverted:
+            spec += " +inv"
+        if bb is None:
+            bb = (-180.0, -90.0, 180.0, 90.0)
+        for box in _split_box(bb):
+            try:
+                out.append(Candidate.from_projstring(
+                    spec, box, accuracy=float(acc), name=name))
+            except Exception as ex:
+                if skip_missing_grids and (
+                        "failed_to_load_grid" in str(ex)
+                        or isinstance(ex, FileNotFoundError)):
+                    break
+                raise
+    if not out:
+        raise LookupError(
+            f"all cataloged vertical operations {s_code} -> {d_code} "
+            "need grids that are not installed")
+    out.sort(key=lambda c: (c.accuracy < 0, c.accuracy))
+    return out
+
+
 def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
                           ) -> list[Candidate]:
     """Candidate list for a (source, target) geographic CRS pair from

@@ -378,3 +378,39 @@ def test_hub_composed_candidates_for_unlisted_pair():
 
     with pytest.raises(LookupError):
         crs_to_crs_candidates("EPSG:4230", "EPSG:4267")
+
+
+def test_vertical_candidates_offset_and_vertcon():
+    """Vertical-to-vertical operations from the generated catalog
+    (VERT_TRANSFORMS): constant Vertical Offset entries apply as
+    geogoffset candidates (value-checked both directions); VERTCON
+    grid entries are cataloged and skip cleanly when the vertcon .gtx
+    grids are not installed."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from proj_4_spark.engine.altops import AltOperation, vertical_candidates
+
+    warnings.filterwarnings("ignore")
+    # NZVD2009 -> One Tree Point 1964: +0.06 m (EPSG:4441)
+    cands = vertical_candidates("EPSG:4440", "EPSG:5767")
+    assert cands and cands[0].spec.startswith("+proj=geogoffset +dh=0.06")
+    D = np.pi / 180.0
+    lon, lat = np.array([174.0 * D]), np.array([-35.5 * D])
+    z = np.zeros(1)
+    _, _, oz, _, ch = AltOperation(cands).apply(lon, lat, z, z.copy(), "fwd")
+    assert ch[0] >= 0 and abs(oz[0] - 0.06) < 1e-12
+    # reversed lookup inverts the offset
+    inv = vertical_candidates("EPSG:5767", "EPSG:4440")
+    _, _, rz, _, ch2 = AltOperation(inv).apply(lon, lat, oz, z.copy(), "fwd")
+    assert ch2[0] >= 0 and abs(rz[0]) < 1e-12
+
+    # NGVD29 -> NAVD88 is cataloged via the three VERTCON grids; none
+    # are installed, so the lookup reports that explicitly
+    from proj_4_spark.sources.epsg_generated import VERT_TRANSFORMS
+
+    assert len(VERT_TRANSFORMS[(5702, 5703)]) == 3
+    with pytest.raises(LookupError, match="grids that are not installed"):
+        vertical_candidates("EPSG:5702", "EPSG:5703")

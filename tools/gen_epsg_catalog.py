@@ -372,6 +372,44 @@ class Catalog:
             self.geoid_tf.append(
                 (_k(v[0], v[1]), v[2], _k(v[7], v[8]),
                  _k(v[9], v[10]), acc, grid))
+        # vertical-to-vertical datum changes: Vertical Offset by Grid
+        # Interpolation (9658 VERTCON, 1071 NZLVD, 1080 BEV AT, 1084
+        # gtx, 1085 asc; grid file parameter) and the constant Vertical
+        # Offset method (9616, other_transformation parameter 8603)
+        self.vert_tf = []
+        for v, _ in tables.get("grid_transformation", []):
+            if v[-1] and int(v[5]) != 9658:
+                # keep the deprecated VERTCON rows: the reference's
+                # vertcon route is proj.4's classic NGVD29 path
+                pass
+            method = int(v[5])
+            if method not in (9658, 1071, 1080, 1084, 1085):
+                continue
+            grid = v[15]
+            if not isinstance(grid, str):
+                continue
+            acc = v[11] if isinstance(v[11], (int, float)) else 999.0
+            self.vert_tf.append(
+                (_k(v[0], v[1]), v[2], "vgrid", _k(v[7], v[8]),
+                 _k(v[9], v[10]), acc, grid))
+        for v, _ in tables.get("other_transformation", []):
+            if v[-1]:
+                continue
+            try:
+                if int(v[5]) != 9616:  # constant Vertical Offset
+                    continue
+                if v[13] is None or int(v[13]) != 8603 or v[15] is None:
+                    continue
+            except (TypeError, ValueError):
+                continue  # PROJString-method rows have another layout
+            acc = v[11] if isinstance(v[11], (int, float)) else 999.0
+            try:
+                dz = self.units.length_m(float(v[15]), int(v[17]))
+            except (KeyError, TypeError, ValueError):
+                continue
+            self.vert_tf.append(
+                (_k(v[0], v[1]), v[2], "voffset", _k(v[7], v[8]),
+                 _k(v[9], v[10]), acc, dz))
         # vertical + compound CRS rows
         # vertical_crs: (auth, code, name, desc, cs_auth, cs, datum_auth,
         # datum, deprecated); compound_crs: (auth, code, name, desc,
@@ -728,10 +766,21 @@ class Catalog:
             bb = self.bbox("compound_crs", code)
             if bb:
                 extents[code] = bb
+        # vertical-to-vertical candidates per (src_vert, dst_vert)
+        vert_transforms: dict[tuple, list] = {}
+        for code, name, kind, src, tgt, acc, payload in self.vert_tf:
+            if kind == "vgrid":
+                payload = self.grid_alias.get(payload, payload)
+            bb = self.bbox("grid_transformation" if kind == "vgrid"
+                           else "other_transformation", code)
+            vert_transforms.setdefault((src, tgt), []).append(
+                (code, name, kind, payload, acc, bb))
         counts["vertical"] = len(vert_presets)
         counts["compound"] = len(compound_presets)
+        counts["vert_transforms"] = sum(
+            len(v) for v in vert_transforms.values())
         return (presets, extents, transforms, counts, vert_presets,
-                compound_presets)
+                compound_presets, vert_transforms)
 
 
 def main(argv=None):
@@ -742,7 +791,7 @@ def main(argv=None):
     tables = load_tables(args.sql_dir)
     cat = Catalog(tables)
     (presets, extents, transforms, counts, vert_presets,
-     compound_presets) = cat.build()
+     compound_presets, vert_transforms) = cat.build()
     with open(args.out, "w", encoding="utf-8") as f:
         f.write('"""AUTO-GENERATED by tools/gen_epsg_catalog.py from the\n')
         f.write("reference's public EPSG SQL dataset (data/sql/*.sql) —\n")
@@ -797,6 +846,14 @@ def main(argv=None):
         for key in sorted(compound_presets,
                           key=lambda c: (isinstance(c, str), c)):
             f.write(f"    {key!r}: {compound_presets[key]!r},\n")
+        f.write("}\n\n")
+        f.write("# vertical-to-vertical operation candidates per\n")
+        f.write("# (src_vert, dst_vert): (code, name, kind, payload,\n")
+        f.write("# accuracy, bbox); kind='vgrid' -> payload is a shift\n")
+        f.write("# grid (VERTCON etc.), 'voffset' -> constant dz metres\n")
+        f.write("VERT_TRANSFORMS: dict[tuple, list] = {\n")
+        for key in sorted(vert_transforms, key=repr):
+            f.write(f"    {key!r}: {vert_transforms[key]!r},\n")
         f.write("}\n")
     n_ignf = sum(1 for c in presets
                  if isinstance(c, str) and c.startswith("IGNF:"))
