@@ -43,6 +43,9 @@ def test_epsg_catalog_size_monotone():
     assert len(VERT_PRESETS) >= 470
     assert len(COMPOUND_PRESETS) >= 520
     assert sum(1 for v in VERT_PRESETS.values() if v[2]) >= 100
+    from proj_4_spark.sources.epsg_generated import VERT_TRANSFORMS
+
+    assert sum(len(v) for v in VERT_TRANSFORMS.values()) >= 89
 
 
 def test_registry_parity_holds():
