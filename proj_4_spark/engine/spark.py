@@ -52,9 +52,10 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # swap, src/4D_api.cpp) — the expression twin below is forward-only
     if getattr(op, "inverted", False):
         return False
-    # webmerc (spherical by construction) and merc (spherical or
+    # webmerc (spherical by construction), merc (spherical or
     # ellipsoidal — the tsfn isometric latitude is Catalyst-expressible)
-    if getattr(P, "name", None) not in ("webmerc", "merc"):
+    # and eqc (pure linear scaling, eqc.cpp:19-27)
+    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -106,13 +107,28 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
         xcol.isNull() | F.isnan(xcol.cast("double"))
         | ycol.isNull() | F.isnan(ycol.cast("double"))
         | (lam > 10.0) | (lam < -10.0)
-        | (F.abs(phi) >= pi / 2.0 - 1e-10)
     )
+    if P.name in ("webmerc", "merc"):
+        # merc kernels NaN within 1e-10 of the pole (merc.cpp); this
+        # also subsumes the generic PJ_EPS_LAT overrange check
+        err = err | (F.abs(phi) >= pi / 2.0 - 1e-10)
+    else:
+        err = err | (F.abs(phi) - pi / 2.0 > 1e-12)  # fwd.cpp:55 only
     if z_supplied:
         err = err | zcol.isNull() | F.isnan(zcol.cast("double"))
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "eqc":
+        # eqc.cpp:19-27: x = cos(lat_ts)*lam, y = phi - phi0; the rc
+        # constant folds at plan time; k0 is 1 in the shared finalize
+        rc = float(P.opaque["rc"])
+        xe = F.lit(P.fr_meter) * (F.lit(rc) * lamw * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * ((phic - F.lit(P.phi0)) * P.a
+                                  + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.es != 0.0 and P.name == "merc":
         # ellipsoidal forward (merc.cpp:22-31): y = -k0*log(tsfn);
         # tsfn = tan((pi/2 - phi)/2) / ((1-e sin phi)/(1+e sin phi))^(e/2)
