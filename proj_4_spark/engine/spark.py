@@ -55,7 +55,8 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # webmerc (spherical by construction), merc (spherical or
     # ellipsoidal — the tsfn isometric latitude is Catalyst-expressible)
     # and eqc (pure linear scaling, eqc.cpp:19-27)
-    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc"):
+    # and cea (closed-form authalic q, cea.cpp:20-34)
+    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -119,6 +120,25 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "cea":
+        # cea.cpp:20-34: x = k0*lam; y = sin(phi)/k0 (sphere) or
+        # 0.5*qsfn(sin(phi))/k0 (ellipsoid; qsfn src/qsfn.cpp:9-25)
+        k0 = P.k0
+        sphi = F.sin(phic)
+        if P.es != 0.0:
+            e = P.e
+            con = sphi * e
+            q = P.one_es * (sphi / (1.0 - con * con)
+                            - F.lit(0.5 / e)
+                            * F.log((1.0 - con) / (1.0 + con)))
+            yk = 0.5 * q / k0
+        else:
+            yk = sphi / k0
+        xe = F.lit(P.fr_meter) * (k0 * lamw * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "eqc":
         # eqc.cpp:19-27: x = cos(lat_ts)*lam, y = phi - phi0; the rc
         # constant folds at plan time; k0 is 1 in the shared finalize

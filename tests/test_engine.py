@@ -691,3 +691,36 @@ def test_eqc_jvm_fast_path_parity(spark):
             assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (ps, c)
+
+
+def test_cea_jvm_fast_path_parity(spark):
+    """The cea Catalyst twin (sphere + ellipsoidal authalic q) matches
+    the UDF path, including lat_ts-scaled and R_A-free variants."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, 0.0, 91.3, 200.0, None, float("nan")]
+    lats = [-90.1, -90.0, -45.0, 0.0, 45.0, 90.0, None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in ("+proj=cea +ellps=WGS84",
+               "+proj=cea +lat_ts=30 +lon_0=12 +ellps=GRS80",
+               "+proj=cea +lat_ts=30 +R=6371000"):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (ps, c)
