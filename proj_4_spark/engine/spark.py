@@ -55,8 +55,10 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # webmerc (spherical by construction), merc (spherical or
     # ellipsoidal — the tsfn isometric latitude is Catalyst-expressible)
     # and eqc (pure linear scaling, eqc.cpp:19-27)
-    # and cea (closed-form authalic q, cea.cpp:20-34)
-    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea"):
+    # cea (closed-form authalic q, cea.cpp:20-34), lcc (tsfn power,
+    # lcc.cpp:23-43) and aea/leac (authalic rho, aea.cpp:105-118)
+    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
+                                        "lcc", "aea", "leac"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -120,6 +122,59 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "lcc":
+        # lcc.cpp:23-43: rho = c*tsfn(phi)^n (ellipsoid) or
+        # c*tan(pi/4+phi/2)^-n (sphere); pole rows are exact (rho=0)
+        # unless on the wrong side of the cone (n*phi <= 0 -> NaN)
+        Qo = P.opaque
+        n, c, rho0, k0 = (float(Qo["n"]), float(Qo["c"]),
+                          float(Qo["rho0"]), P.k0)
+        at_pole = F.abs(F.abs(phic) - F.lit(pi / 2.0)) < 1e-10
+        bad = at_pole & ((phic * n) <= 0.0)
+        if P.es != 0.0:
+            e = P.e
+            esin = F.sin(phic) * e
+            ts = (F.tan(0.5 * (F.lit(pi / 2.0) - phic))
+                  / F.pow((1.0 - esin) / (1.0 + esin), F.lit(0.5 * e)))
+            rho = c * F.pow(ts, F.lit(n))
+        else:
+            rho = c * F.pow(F.tan(pi / 4.0 + 0.5 * phic), F.lit(-n))
+        rho = F.when(at_pole, F.lit(0.0)).otherwise(rho)
+        lamn = lamw * n
+        xk = k0 * (rho * F.sin(lamn))
+        yk = k0 * (F.lit(rho0) - rho * F.cos(lamn))
+        err = err | bad
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name in ("aea", "leac"):
+        # aea.cpp:105-118: rho^2 = c - n*q(sin phi); negative -> NaN
+        Qo = P.opaque
+        c, dd, rho0 = float(Qo["c"]), float(Qo["dd"]), float(Qo["rho0"])
+        n = float(Qo["n"])
+        sphi = F.sin(phic)
+        if Qo["ellips"]:
+            e = P.e
+            con = sphi * e
+            q = P.one_es * (sphi / (1.0 - con * con)
+                            - F.lit(0.5 / e)
+                            * F.log((1.0 - con) / (1.0 + con)))
+            rho2 = c - F.lit(n) * q
+        else:
+            rho2 = c - F.lit(float(Qo["n2"])) * sphi
+        bad = rho2 < 0.0
+        rho = dd * F.sqrt(F.when(bad, F.lit(0.0)).otherwise(rho2))
+        lamn = lamw * n
+        xk = rho * F.sin(lamn)
+        yk = F.lit(rho0) - rho * F.cos(lamn)
+        err = err | bad
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "cea":
         # cea.cpp:20-34: x = k0*lam; y = sin(phi)/k0 (sphere) or
         # 0.5*qsfn(sin(phi))/k0 (ellipsoid; qsfn src/qsfn.cpp:9-25)

@@ -724,3 +724,49 @@ def test_cea_jvm_fast_path_parity(spark):
             assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (ps, c)
+
+
+def test_lcc_aea_jvm_fast_path_parity(spark):
+    """The lcc and aea/leac Catalyst twins match the UDF path on
+    values and NaN pattern (wrong-side-of-cone poles NaN for lcc,
+    rho^2<0 NaN for aea), for 1SP/2SP lcc, Michigan k_0, sphere and
+    ellipsoid variants."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, 0.0, 91.3, 200.0, None, float("nan")]
+    lats = [-90.1, -90.0, -89.9999, -45.0, 0.0, 45.0, 89.9999, 90.0,
+            None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in (
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+        "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +k_0=0.9998 +ellps=clrk66",
+        "+proj=lcc +lat_1=-33 +lat_2=-45 +lat_0=-23 +lon_0=140 +R=6371000",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +R=6371000",
+        "+proj=leac +lat_1=45 +ellps=WGS84",
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["lon", "lat"]])
+            m = ~np.isnan(a)
+            # 1e-6 m absolute at working magnitudes; rtol covers the
+            # cross-libm pow() ulp on degenerate near-pole rho values
+            # (|y| ~ 1e10 m at lat 89.9999 on the far cone side)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
