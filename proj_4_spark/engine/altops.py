@@ -564,9 +564,15 @@ def crs_to_crs_candidates(src, dst, skip_missing_grids: bool = True
                     break
                 raise
     if not out:
-        raise LookupError(
-            f"all cataloged operations EPSG:{s_code} -> EPSG:{d_code} "
-            f"need grids that are not installed")
+        # every direct entry needs an uninstalled grid — pivot through
+        # the WGS84 hub before giving up (createOperations also falls
+        # back to lower-rank candidates when grids are absent)
+        out = _hub_composed_candidates(s_code, d_code, skip_missing_grids)
+        if not out:
+            raise LookupError(
+                f"all cataloged operations {s_code} -> {d_code} need "
+                "grids that are not installed, and no WGS84-hub "
+                "composition is available")
     # pj sorts alternative operations most-precise first so the
     # first-spatial-match rule prefers them (4D_api.cpp list order)
     out.sort(key=lambda c: (c.accuracy < 0, c.accuracy))

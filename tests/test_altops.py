@@ -414,3 +414,32 @@ def test_vertical_candidates_offset_and_vertcon():
     assert len(VERT_TRANSFORMS[(5702, 5703)]) == 3
     with pytest.raises(LookupError, match="grids that are not installed"):
         vertical_candidates("EPSG:5702", "EPSG:5703")
+
+
+def test_missing_grid_direct_entries_fall_back_to_hub():
+    """A pair whose DIRECT catalog entries all need uninstalled grids
+    (Old Hawaiian -> NAD83(HARN), EPSG:4135 -> EPSG:4152) falls back to
+    the WGS84-hub composition instead of erroring."""
+    import warnings
+
+    import numpy as np
+
+    from proj_4_spark.engine.altops import AltOperation, crs_to_crs_candidates
+    from proj_4_spark.sources.epsg_generated import TRANSFORMS
+
+    warnings.filterwarnings("ignore")
+    direct = (list(TRANSFORMS.get((4135, 4152), []))
+              + list(TRANSFORMS.get((4152, 4135), [])))
+    assert direct and all(e[2] == "grid" for e in direct)
+
+    cands = crs_to_crs_candidates("EPSG:4135", "EPSG:4152")
+    assert cands and all("via WGS84 hub" in c.name for c in cands)
+    D = np.pi / 180.0
+    lon, lat = np.array([-157.8 * D]), np.array([21.3 * D])  # Honolulu
+    z = np.zeros(1)
+    x, y, _, _, ch = AltOperation(cands).apply(lon, lat, z, z.copy(), "fwd")
+    assert ch[0] >= 0
+    # Old Hawaiian -> NAD83 is a ~250-500 m datum shift around Hawaii
+    dm = np.hypot((x[0] - lon[0]) * 111000 * np.cos(lat[0]),
+                  (y[0] - lat[0]) * 111000) / D
+    assert 100 < dm < 800, dm
