@@ -257,3 +257,16 @@ def test_grid_backed_catalog_queries_are_single_stage(spark):
         # repeats it as "(n) ArrowEvalPython")
         assert txt.count("ArrowEvalPython (") == 1, (name, txt[-1500:])
         assert "ReadSchema: struct<event_id:bigint>" in txt, name
+
+
+def test_expression_twin_queries_have_no_python_workers(spark):
+    """Driver queries whose kernels have default-on Catalyst twins
+    (merc/eqc/aea incl. the ESRI Albers catalog route) must plan with
+    ZERO Python eval nodes — the r4/r5 expression-twin guarantee."""
+    import __spark_entry__ as E
+
+    for name in ("merc_fwd", "eqc_fwd", "aea_fwd", "esri_usa_albers",
+                 "webmerc_tiles", "docs_geo_pipeline"):
+        df = E.queries()[name](spark, SF)
+        txt = formatted(df)
+        assert "EvalPython" not in txt, (name, txt[-1200:])
