@@ -57,8 +57,10 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # and eqc (pure linear scaling, eqc.cpp:19-27)
     # cea (closed-form authalic q, cea.cpp:20-34), lcc (tsfn power,
     # lcc.cpp:23-43) and aea/leac (authalic rho, aea.cpp:105-118)
+    # and stere/ups (all four aspect modes, stere.cpp:44-140)
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
-                                        "lcc", "aea", "leac"):
+                                        "lcc", "aea", "leac", "stere",
+                                        "ups"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -122,6 +124,81 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name in ("stere", "ups"):
+        # stere.cpp:44-140 (ellipsoidal 44-96, spherical 99-140); akm1
+        # folds k0/lat_ts at setup; all four aspect modes mirrored
+        Qo = P.opaque
+        mode = Qo["mode"]
+        akm1 = float(Qo["akm1"])
+        sinX1, cosX1 = float(Qo["sinX1"]), float(Qo["cosX1"])
+        sinlam = F.sin(lamw)
+        coslam = F.cos(lamw)
+        sinphi = F.sin(phic)
+        bad = F.lit(False)
+        if P.es != 0.0:
+            e = P.e
+            if mode in ("obliq", "equit"):
+                esin = sinphi * e
+                ssfn = (F.tan(0.5 * (F.lit(pi / 2.0) + phic))
+                        * F.pow((1.0 - esin) / (1.0 + esin),
+                                F.lit(0.5 * e)))
+                Xc = 2.0 * F.atan(ssfn) - F.lit(pi / 2.0)
+                sinX = F.sin(Xc)
+                cosX = F.cos(Xc)
+                if mode == "obliq":
+                    denom = cosX1 * (1.0 + F.lit(sinX1) * sinX
+                                     + F.lit(cosX1) * cosX * coslam)
+                    bad = denom == 0.0
+                    A = akm1 / F.when(bad, F.lit(1.0)).otherwise(denom)
+                    yk = A * (F.lit(cosX1) * sinX
+                              - F.lit(sinX1) * cosX * coslam)
+                    xk = A * cosX
+                else:
+                    denom = 1.0 + cosX * coslam
+                    bad = denom == 0.0
+                    A = akm1 / F.when(bad, F.lit(1.0)).otherwise(denom)
+                    yk = A * sinX
+                    xk = A * cosX
+            else:
+                pphi, pcoslam, psin = ((-phic, -coslam, -sinphi)
+                                       if mode == "s_pole"
+                                       else (phic, coslam, sinphi))
+                pesin = psin * e
+                ts = (F.tan(0.5 * (F.lit(pi / 2.0) - pphi))
+                      / F.pow((1.0 - pesin) / (1.0 + pesin),
+                              F.lit(0.5 * e)))
+                xk = akm1 * ts
+                yk = -xk * pcoslam
+            xk = xk * sinlam
+        else:
+            cosphi = F.cos(phic)
+            if mode in ("obliq", "equit"):
+                if mode == "equit":
+                    denom = 1.0 + cosphi * coslam
+                else:
+                    denom = (1.0 + F.lit(sinX1) * sinphi
+                             + F.lit(cosX1) * cosphi * coslam)
+                bad = denom <= 1.0e-10
+                A = akm1 / F.when(bad, F.lit(1.0)).otherwise(denom)
+                xk = A * cosphi * sinlam
+                if mode == "equit":
+                    yk = A * sinphi
+                else:
+                    yk = A * (F.lit(cosX1) * sinphi
+                              - F.lit(sinX1) * cosphi * coslam)
+            else:
+                pphi, pcoslam = ((-phic, -coslam) if mode == "n_pole"
+                                 else (phic, coslam))
+                bad = F.abs(pphi - F.lit(pi / 2.0)) < 1.0e-8
+                yb = akm1 * F.tan(pi / 4.0 + 0.5 * pphi)
+                xk = sinlam * yb
+                yk = yb * pcoslam
+        err = err | bad
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "lcc":
         # lcc.cpp:23-43: rho = c*tsfn(phi)^n (ellipsoid) or
         # c*tan(pi/4+phi/2)^-n (sphere); pole rows are exact (rho=0)

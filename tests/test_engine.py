@@ -770,3 +770,49 @@ def test_lcc_aea_jvm_fast_path_parity(spark):
             # (|y| ~ 1e10 m at lat 89.9999 on the far cone side)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_stere_jvm_fast_path_parity(spark):
+    """The stere/ups Catalyst twin matches the UDF path across all four
+    aspect modes, sphere and ellipsoid, incl. UPS and the antipodal
+    NaN rows."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -90.0, 0.0, 91.3, 179.99, 200.0, None,
+            float("nan")]
+    lats = [-90.1, -90.0, -89.9999, -45.0, 0.0, 45.0, 89.9999, 90.0,
+            None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in (
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",   # N polar
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +ellps=WGS84",            # S polar
+        "+proj=stere +lat_0=52 +lon_0=5 +k=0.9999 +ellps=bessel",     # oblique e
+        "+proj=stere +lat_0=0 +lon_0=20 +ellps=GRS80",                # equat e
+        "+proj=stere +lat_0=90 +R=6371000",                           # N polar s
+        "+proj=stere +lat_0=40 +lon_0=-100 +R=6371000",               # oblique s
+        "+proj=stere +lat_0=0 +R=6371000",                            # equat s
+        "+proj=ups +ellps=WGS84",
+        "+proj=ups +south +ellps=WGS84",
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["lon", "lat"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
