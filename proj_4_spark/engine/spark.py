@@ -58,9 +58,10 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # cea (closed-form authalic q, cea.cpp:20-34), lcc (tsfn power,
     # lcc.cpp:23-43) and aea/leac (authalic rho, aea.cpp:105-118)
     # and stere/ups (all four aspect modes, stere.cpp:44-140)
+    # and laea (authalic-beta closed form, laea.cpp:35-137)
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
                                         "lcc", "aea", "leac", "stere",
-                                        "ups"):
+                                        "ups", "laea"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -124,6 +125,86 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "laea":
+        # laea.cpp:35-137: authalic sin-beta = qsfn(sin phi)/qp; the
+        # xmf/ymf/qp/sinb1/cosb1 constants fold at plan time
+        Qo = P.opaque
+        mode = Qo["mode"]
+        sinlam = F.sin(lamw)
+        coslam = F.cos(lamw)
+        sinphi = F.sin(phic)
+        if P.es != 0.0:
+            e = P.e
+            con = sinphi * e
+            q = P.one_es * (sinphi / (1.0 - con * con)
+                            - F.lit(0.5 / e)
+                            * F.log((1.0 - con) / (1.0 + con)))
+            qp = float(Qo["qp"])
+            if mode in ("obliq", "equit"):
+                sinb1, cosb1 = float(Qo["sinb1"]), float(Qo["cosb1"])
+                xmf, ymf = float(Qo["xmf"]), float(Qo["ymf"])
+                sinb = q / qp
+                cosb2 = 1.0 - sinb * sinb
+                cosb = F.when(cosb2 > 0.0,
+                              F.sqrt(F.greatest(cosb2, F.lit(0.0)))
+                              ).otherwise(F.lit(0.0))
+                if mode == "obliq":
+                    b = (1.0 + F.lit(sinb1) * sinb
+                         + F.lit(cosb1) * cosb * coslam)
+                else:
+                    b = 1.0 + cosb * coslam
+                bad = F.abs(b) < 1e-10
+                bb = F.sqrt(2.0 / F.when(bad, F.lit(1.0)).otherwise(b))
+                if mode == "obliq":
+                    yk = ymf * bb * (F.lit(cosb1) * sinb
+                                     - F.lit(sinb1) * cosb * coslam)
+                else:
+                    yk = bb * sinb * ymf
+                xk = xmf * bb * cosb * sinlam
+            else:
+                if mode == "n_pole":
+                    b = F.lit(pi / 2.0) + phic
+                    qq = F.lit(qp) - q
+                else:
+                    b = phic - F.lit(pi / 2.0)
+                    qq = F.lit(qp) + q
+                bad = F.abs(b) < 1e-10
+                small = qq < 1e-15
+                bb = F.sqrt(F.greatest(qq, F.lit(0.0)))
+                xk = F.when(small, F.lit(0.0)).otherwise(bb * sinlam)
+                yk = F.when(small, F.lit(0.0)).otherwise(
+                    coslam * (bb if mode == "s_pole" else -bb))
+        else:
+            cosphi = F.cos(phic)
+            if mode in ("equit", "obliq"):
+                sinb1, cosb1 = float(Qo["sinb1"]), float(Qo["cosb1"])
+                if mode == "equit":
+                    b = 1.0 + cosphi * coslam
+                else:
+                    b = (1.0 + F.lit(sinb1) * sinphi
+                         + F.lit(cosb1) * cosphi * coslam)
+                bad = b <= 1e-10
+                bb = F.sqrt(2.0 / F.when(bad, F.lit(1.0)).otherwise(b))
+                xk = bb * cosphi * sinlam
+                if mode == "equit":
+                    yk = bb * sinphi
+                else:
+                    yk = bb * (F.lit(cosb1) * sinphi
+                               - F.lit(sinb1) * cosphi * coslam)
+            else:
+                pcoslam = -coslam if mode == "n_pole" else coslam
+                bad = F.abs(phic + F.lit(P.phi0)) < 1e-10
+                half = F.lit(pi / 4.0) - phic * 0.5
+                yy = 2.0 * (F.cos(half) if mode == "s_pole"
+                            else F.sin(half))
+                xk = yy * sinlam
+                yk = yy * pcoslam
+        err = err | bad
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name in ("stere", "ups"):
         # stere.cpp:44-140 (ellipsoidal 44-96, spherical 99-140); akm1
         # folds k0/lat_ts at setup; all four aspect modes mirrored

@@ -816,3 +816,48 @@ def test_stere_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_laea_jvm_fast_path_parity(spark):
+    """The laea Catalyst twin matches the UDF path across all aspect
+    modes, sphere and ellipsoid, incl. EPSG:3035 (ETRS89-LAEA Europe)
+    and the antipodal NaN rows."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -90.0, 0.0, 10.0, 91.3, 170.0, 200.0,
+            None, float("nan")]
+    lats = [-90.1, -90.0, -89.9999, -52.0, -45.0, 0.0, 45.0, 52.0,
+            89.9999, 90.0]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in (
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80",                                   # EPSG:3035 oblique
+        "+proj=laea +lat_0=90 +lon_0=0 +ellps=WGS84",     # N polar e
+        "+proj=laea +lat_0=-90 +ellps=WGS84",             # S polar e
+        "+proj=laea +lat_0=0 +lon_0=20 +ellps=GRS80",     # equatorial e
+        "+proj=laea +lat_0=40 +lon_0=-100 +R=6371000",    # oblique s
+        "+proj=laea +lat_0=90 +R=6371000",                # polar s
+        "+proj=laea +lat_0=0 +R=6371000",                 # equatorial s
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["lon", "lat"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
