@@ -59,9 +59,10 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # lcc.cpp:23-43) and aea/leac (authalic rho, aea.cpp:105-118)
     # and stere/ups (all four aspect modes, stere.cpp:44-140)
     # and laea (authalic-beta closed form, laea.cpp:35-137)
+    # and sterea (Gauss-Schreiber double projection, sterea.cpp:46-67)
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
                                         "lcc", "aea", "leac", "stere",
-                                        "ups", "laea"):
+                                        "ups", "laea", "sterea"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -125,6 +126,36 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "sterea":
+        # sterea.cpp:46-67 over gauss.cpp:84-94: conformal-sphere
+        # latitude via one atan/pow, then the oblique stereographic;
+        # C/K/ratexp/sinc0/cosc0/R2 fold at plan time
+        Qo = P.opaque
+        Cc, Kc = float(Qo["C"]), float(Qo["K"])
+        ratexp = float(Qo["ratexp"])
+        sinc0, cosc0 = float(Qo["sinc0"]), float(Qo["cosc0"])
+        R2 = float(Qo["R2"])
+        e = P.e
+        esin = F.sin(phic) * e
+        srat = F.pow((1.0 - esin) / (1.0 + esin), F.lit(ratexp))
+        sphi = (2.0 * F.atan(
+            Kc * F.pow(F.tan(0.5 * phic + F.lit(pi / 4.0)), F.lit(Cc))
+            * srat) - F.lit(pi / 2.0))
+        slam = Cc * lamw
+        sinc = F.sin(sphi)
+        cosc = F.cos(sphi)
+        cosl = F.cos(slam)
+        denom = 1.0 + F.lit(sinc0) * sinc + F.lit(cosc0) * cosc * cosl
+        bad = denom == 0.0
+        kk = P.k0 * R2 / F.when(bad, F.lit(1.0)).otherwise(denom)
+        xk = kk * cosc * F.sin(slam)
+        yk = kk * (F.lit(cosc0) * sinc - F.lit(sinc0) * cosc * cosl)
+        err = err | bad
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "laea":
         # laea.cpp:35-137: authalic sin-beta = qsfn(sin phi)/qp; the
         # xmf/ymf/qp/sinb1/cosb1 constants fold at plan time

@@ -861,3 +861,39 @@ def test_laea_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_sterea_jvm_fast_path_parity(spark):
+    """The sterea (Gauss double projection) Catalyst twin matches the
+    UDF path — incl. the RD New (EPSG:28992) parameters."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, 0.0, 5.38, 91.3, 200.0, None, float("nan")]
+    lats = [-90.1, -90.0, -45.0, 0.0, 45.0, 52.16, 90.0, None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in (
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel",  # RD New
+        "+proj=sterea +lat_0=-30 +lon_0=20 +ellps=GRS80",
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
