@@ -413,6 +413,75 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     return xout, yout
 
 
+def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
+    """True for bare INVERSE webmerc / spherical-merc / eqc — the
+    closed-form inverses (atan∘sinh, linear) with no datum/grid/axis
+    modifiers; tile->lon/lat style workloads run with zero Python
+    workers."""
+    P = getattr(op, "P", None)
+    if P is None or direction != "inv":
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    name = getattr(P, "name", None)
+    if name == "merc" and P.es != 0.0:
+        return False  # ellipsoidal inverse needs the phi2 iteration
+    if name not in ("webmerc", "merc", "eqc"):
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
+                     z_supplied: bool):
+    """Catalyst twin of the inverse prepare/kernel/finalize chain for
+    webmerc / spherical merc (lam = x/k0, phi = atan(sinh(y/k0)),
+    merc.cpp:57-62) and eqc (linear, eqc.cpp:30-38): inv_prepare scales
+    (to_meter*v - offset) * 1/a (inv.cpp), inv_finalize adds lam0 and
+    wraps.  Parity pinned like the forward twins."""
+    from pyspark.sql import functions as F
+
+    nan = F.lit(float("nan"))
+    pi = math.pi
+    err = (
+        xcol.isNull() | F.isnan(xcol.cast("double"))
+        | ycol.isNull() | F.isnan(ycol.cast("double"))
+    )
+    if z_supplied:
+        err = err | zcol.isNull() | F.isnan(zcol.cast("double"))
+    xm = (F.lit(P.to_meter) * xcol.cast("double") - F.lit(P.x0)) * P.ra
+    ym = (F.lit(P.to_meter) * ycol.cast("double") - F.lit(P.y0)) * P.ra
+    if P.name == "eqc":
+        rc = float(P.opaque["rc"])
+        lam = xm / rc
+        phi = ym + F.lit(P.phi0)
+    else:
+        k0 = P.k0
+        lam = xm / k0
+        phi = F.atan(F.sinh(ym / k0))
+    lam = lam + F.lit(P.lam0)
+    lam = F.when(
+        F.abs(lam) >= F.lit(pi + 1e-12),
+        (lam + pi) - 2.0 * pi * F.floor((lam + pi) / (2.0 * pi)) - pi,
+    ).otherwise(lam)
+    if degrees:
+        r2d = C.RAD_TO_DEG
+        lam = lam * r2d
+        phi = phi * r2d
+    xout = F.when(err, nan).otherwise(F.coalesce(lam, nan))
+    yout = F.when(err, nan).otherwise(F.coalesce(phi, nan))
+    return xout, yout
+
+
 def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     """True when the operation is a bare Poder-Engsager tmerc/etmerc/utm
     forward (the DEFAULT tmerc algorithm) with no datum/grid/axis
@@ -615,6 +684,22 @@ def transform(
     # have run in the same JVM it degrades ~2.5x (measured,
     # PLANS.md "etmerc JVM expression twin") — the UDF path has no such
     # cliff, so it stays the default.
+    if jvm_fast_path and _inv_jvm_fast_path_ok(op_probe, direction):
+        zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))
+              if z else F.lit(0.0))
+        tc = (F.coalesce(F.col(t).cast("double"), F.lit(float("nan")))
+              if t else F.lit(0.0))
+        xo, yo = _inv_jvm_columns(
+            op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
+        out = (df.withColumn(f"{out_prefix}x", xo)
+                 .withColumn(f"{out_prefix}y", yo)
+                 .withColumn(f"{out_prefix}z", zc)
+                 .withColumn(f"{out_prefix}t", tc))
+        if not keep_errors:
+            out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                            & ~F.isnan(F.col(f"{out_prefix}x")))
+        return out
+
     use_etmerc_twin = (jvm_fast_path == "all"
                        and _etmerc_jvm_fast_path_ok(op_probe, direction))
     if jvm_fast_path and (_webmerc_jvm_fast_path_ok(op_probe, direction)

@@ -483,9 +483,12 @@ def test_webmerc_jvm_fast_path_parity(spark):
     hub = transform(df, "+proj=webmerc +datum=NAD83", x="lon", y="lat")
     hplan = hub._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" in hplan
+    # inverse webmerc now has its OWN closed-form twin (r5): no
+    # Python eval, values covered by test_inverse_jvm_fast_path_parity
     inv = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
                     direction="inv")
-    assert "EvalPython" in inv._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in \
+        inv._jdf.queryExecution().executedPlan().toString()
 
 
 def test_webmerc_plus_inv_projstring_stays_on_udf_path(spark):
@@ -591,6 +594,7 @@ def test_merc_jvm_fast_path_parity(spark):
     hub = transform(df, "+proj=merc +datum=NAD83", x="lon", y="lat")
     assert "EvalPython" in \
         hub._jdf.queryExecution().executedPlan().toString()
+    # ellipsoidal merc inverse needs the phi2 iteration: UDF path
     inv = transform(df, "+proj=merc +ellps=GRS80", x="lon", y="lat",
                     direction="inv")
     assert "EvalPython" in \
@@ -897,3 +901,44 @@ def test_sterea_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_inverse_jvm_fast_path_parity(spark):
+    """The INVERSE Catalyst twins (webmerc / spherical merc / eqc:
+    tile->lon/lat style workloads) match the UDF path; ellipsoidal
+    merc inverse (phi2 iteration) stays on the UDF path."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    xs = [-30e6, -20037508.34, -1e7, 0.0, 5e6, 2.1e7, None, float("nan")]
+    ys = [-3e7, -2e7, -5e6, 0.0, 5e6, 2e7, 3e7, None]
+    pdf = pd.DataFrame({"px": xs * len(ys), "py": np.repeat(ys, len(xs))})
+    df = spark.createDataFrame(pdf)
+    for ps in ("+proj=webmerc +ellps=WGS84",
+               "+proj=merc +R=6371000 +lat_ts=30 +x_0=10000",
+               "+proj=eqc +lat_ts=30 +lat_0=10 +lon_0=12 +ellps=WGS84",
+               "+proj=webmerc +ellps=WGS84 +units=km"):
+        fast = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="s_", jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=0, atol=1e-9), (
+                ps, c, np.abs(a[m] - b[m]).max())
+    # ellipsoidal merc inverse keeps the UDF path (phi2 iteration)
+    p = transform(df, "+proj=merc +ellps=GRS80", x="px", y="py",
+                  direction="inv")
+    assert "EvalPython" in \
+        p._jdf.queryExecution().executedPlan().toString()
