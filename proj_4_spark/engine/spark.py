@@ -60,9 +60,12 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # and stere/ups (all four aspect modes, stere.cpp:44-140)
     # and laea (authalic-beta closed form, laea.cpp:35-137)
     # and sterea (Gauss-Schreiber double projection, sterea.cpp:46-67)
+    # somerc (Swiss oblique Mercator, somerc.cpp:10-25) and krovak
+    # (S-JTSK, krovak.cpp:86-240) — closed-form forwards
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
                                         "lcc", "aea", "leac", "stere",
-                                        "ups", "laea", "sterea"):
+                                        "ups", "laea", "sterea",
+                                        "somerc", "krovak"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -126,6 +129,94 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name == "somerc":
+        # somerc.cpp:10-25; the setup constants (c, K, kR, phip0) are
+        # recomputed here with the same scalar formulas as the kernel
+        # closure (somerc.cpp:57-80) — deterministic plan-time math
+        e = P.e
+        hlf_e = 0.5 * e
+        cp0 = math.cos(P.phi0) ** 2
+        cons = math.sqrt(1.0 + P.es * cp0 * cp0 * P.rone_es)
+        sp0 = math.sin(P.phi0)
+        sinp0 = sp0 / cons
+        phip0 = math.asin(max(-1.0, min(1.0, sinp0)))
+        cosp0 = math.cos(phip0)
+        spe = sp0 * e
+        Kc = (math.log(math.tan(pi / 4.0 + 0.5 * phip0))
+              - cons * (math.log(math.tan(pi / 4.0 + 0.5 * P.phi0))
+                        - hlf_e * math.log((1.0 + spe) / (1.0 - spe))))
+        kR = P.k0 * math.sqrt(P.one_es) / (1.0 - spe * spe)
+
+        def _aasin(v):
+            return F.asin(F.greatest(F.least(v, F.lit(1.0)),
+                                     F.lit(-1.0)))
+
+        spc = F.sin(phic) * e
+        phip = (2.0 * F.atan(F.exp(
+            cons * (F.log(F.tan(pi / 4.0 + 0.5 * phic))
+                    - hlf_e * F.log((1.0 + spc) / (1.0 - spc)))
+            + F.lit(Kc))) - F.lit(pi / 2.0))
+        lamp = cons * lamw
+        cpp = F.cos(phip)
+        phipp = _aasin(F.lit(cosp0) * F.sin(phip)
+                       - F.lit(sinp0) * cpp * F.cos(lamp))
+        lampp = _aasin(cpp * F.sin(lamp) / F.cos(phipp))
+        xk = kR * lampp
+        yk = kR * F.log(F.tan(pi / 4.0 + 0.5 * phipp))
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name == "krovak":
+        # krovak.cpp:86-240; setup constants recomputed with the same
+        # scalar formulas (P.a/P.es already stomped to Bessel at setup)
+        e = P.e
+        UQ = 1.04216856380474
+        S0 = 1.37008346281555
+        czech = 1.0 if P.param_b("czech") else -1.0
+        alpha = math.sqrt(1.0 + (P.es * math.cos(P.phi0) ** 4)
+                          / (1.0 - P.es))
+        u0 = math.asin(math.sin(P.phi0) / alpha)
+        g = math.pow((1.0 + e * math.sin(P.phi0))
+                     / (1.0 - e * math.sin(P.phi0)), alpha * e / 2.0)
+        kk = (math.tan(u0 / 2.0 + pi / 4.0)
+              / math.pow(math.tan(P.phi0 / 2.0 + pi / 4.0), alpha) * g)
+        n0 = math.sqrt(1.0 - P.es) / (1.0 - P.es
+                                      * math.sin(P.phi0) ** 2)
+        n = math.sin(S0)
+        rho0 = P.k0 * n0 / math.tan(S0)
+        ad = pi / 2.0 - UQ
+
+        def _clip1(v):
+            return F.greatest(F.least(v, F.lit(1.0)), F.lit(-1.0))
+
+        esin = F.sin(phic) * e
+        gfi = F.pow((1.0 + esin) / (1.0 - esin), F.lit(alpha * e / 2.0))
+        u = 2.0 * (F.atan(kk * F.pow(F.tan(phic / 2.0 + F.lit(pi / 4.0)),
+                                     F.lit(alpha)) / gfi)
+                   - F.lit(pi / 4.0))
+        deltav = -lamw * alpha
+        s = F.asin(_clip1(F.lit(math.cos(ad)) * F.sin(u)
+                          + F.lit(math.sin(ad)) * F.cos(u)
+                          * F.cos(deltav)))
+        cos_s = F.cos(s)
+        degenerate = cos_s < 1e-12
+        d = F.asin(_clip1(F.cos(u) * F.sin(deltav)
+                          / F.when(degenerate, F.lit(1.0))
+                          .otherwise(cos_s)))
+        epsc = n * d
+        rho = (rho0 * math.pow(math.tan(S0 / 2.0 + pi / 4.0), n)
+               / F.pow(F.tan(s / 2.0 + F.lit(pi / 4.0)), F.lit(n)))
+        yk = F.when(degenerate, F.lit(0.0)).otherwise(
+            rho * F.cos(epsc) * czech)
+        xk = F.when(degenerate, F.lit(0.0)).otherwise(
+            rho * F.sin(epsc) * czech)
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "sterea":
         # sterea.cpp:46-67 over gauss.cpp:84-94: conformal-sphere
         # latitude via one atan/pow, then the oblique stereographic;

@@ -942,3 +942,42 @@ def test_inverse_jvm_fast_path_parity(spark):
                   direction="inv")
     assert "EvalPython" in \
         p._jdf.queryExecution().executedPlan().toString()
+
+
+def test_somerc_krovak_jvm_fast_path_parity(spark):
+    """The somerc (Swiss CH1903/LV95) and krovak (S-JTSK) Catalyst
+    twins match the UDF path."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, 0.0, 7.44, 16.85, 91.3, 200.0, None,
+            float("nan")]
+    lats = [-90.1, -89.0, -45.0, 0.0, 46.95, 49.2, 89.0, 90.0, None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in (
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel",   # LV95
+        "+proj=krovak +ellps=bessel",                        # S-JTSK bare
+        "+proj=krovak +czech +ellps=bessel",
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["lon", "lat"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
