@@ -741,11 +741,25 @@ def transform(
 ):
     """Apply a proj-string operation to coordinate columns of ``df``.
 
+    ``projstring`` also accepts WKT2 (GEOGCRS/PROJCRS/COMPOUNDCRS),
+    ESRI WKT1 (PROJCS/GEOGCS) and bare ``AUTH:code`` CRS text
+    (createFromUserInput dispatch in engine.plan.create_operation).
+
     Angular input/output is degrees at the DataFrame edge when
     ``degrees=True`` (matching the reference CLIs, src/apps/proj.cpp:144-152);
     radians internally.  Errored rows yield NULLs in the output columns
     (reference: HUGE_VAL sentinel, src/fwd.cpp:42-43); pass
     ``keep_errors=False`` to filter them out.
+
+    ``jvm_fast_path``: True (default) compiles bare single-op forwards
+    of webmerc/merc/eqc/cea/lcc/aea/leac/stere/ups/laea/sterea/somerc/
+    krovak — and inverses of webmerc/spherical-merc/eqc — to Catalyst
+    expression twins (zero Python workers; parity pinned per twin in
+    tests/test_engine.py).  ``"all"`` additionally enables the staged
+    etmerc/utm forward twin (opt-in: see PLANS.md for the measured JIT
+    cliff rationale).  ``False`` always uses the Arrow-UDF kernels.
+    Datum-modified (+towgs84/+nadgrids/+geoidgrids hub legs), +axis,
+    +over, +geoc and pipeline operations always use the UDF path.
 
     Returns ``df`` with four new columns ``{out_prefix}{x,y,z,t}``.
     """
