@@ -62,10 +62,12 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # and sterea (Gauss-Schreiber double projection, sterea.cpp:46-67)
     # somerc (Swiss oblique Mercator, somerc.cpp:10-25) and krovak
     # (S-JTSK, krovak.cpp:86-240) — closed-form forwards
+    # sinu and eqdc (flat mlfn meridional-arc series)
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
                                         "lcc", "aea", "leac", "stere",
                                         "ups", "laea", "sterea",
-                                        "somerc", "krovak"):
+                                        "somerc", "krovak", "sinu",
+                                        "eqdc"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -129,6 +131,47 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
+    if P.name in ("sinu", "eqdc"):
+        # flat meridional-arc series M(phi) (mlfn.hpp inline_pj_mlfn)
+        def _mlfn_col(ph, en):
+            s = F.sin(ph)
+            cph = F.cos(ph) * s
+            s2 = s * s
+            return (F.lit(float(en[0])) * ph
+                    - cph * (F.lit(float(en[1]))
+                             + s2 * (F.lit(float(en[2]))
+                                     + s2 * (F.lit(float(en[3]))
+                                             + s2 * F.lit(float(en[4]))))))
+
+        Qo = P.opaque
+        if P.name == "sinu":
+            if P.es != 0.0:
+                # gn_sinu.cpp:27-35
+                s = F.sin(phic)
+                xk = (lamw * F.cos(phic)
+                      / F.sqrt(1.0 - F.lit(P.es) * s * s))
+                yk = _mlfn_col(phic, Qo["en"])
+            else:
+                # sphere: n=1, m=0 (gn_sinu.cpp:57-85 closed branch)
+                Cx, Cy = float(Qo["C_x"]), float(Qo["C_y"])
+                xk = Cx * lamw * F.cos(phic)
+                yk = Cy * phic
+        else:
+            # eqdc.cpp forward over the stashed setup constants
+            n, c, rho0 = (float(Qo["n"]), float(Qo["c"]),
+                          float(Qo["rho0"]))
+            if Qo["ellips"]:
+                rho = F.lit(c) - _mlfn_col(phic, Qo["en"])
+            else:
+                rho = F.lit(c) - phic
+            lamn = lamw * n
+            xk = rho * F.sin(lamn)
+            yk = F.lit(rho0) - rho * F.cos(lamn)
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
     if P.name == "somerc":
         # somerc.cpp:10-25; the setup constants (c, K, kR, phip0) are
         # recomputed here with the same scalar formulas as the kernel

@@ -61,6 +61,9 @@ def setup_eqdc(P: PJ) -> PJ:
             raise ProjError("conic_lat_equal")
         c = phi1 + math.cos(phi1) / n
         rho0 = c - P.phi0
+    # expose the setup constants for the Catalyst expression twin
+    # (engine/spark.py reads them; the kernel keeps its closure)
+    P.opaque.update(n=n, c=c, rho0=rho0, en=en, ellips=ellips)
 
     def fwd(lam, phi, z, t, _P):
         if ellips:

@@ -981,3 +981,40 @@ def test_somerc_krovak_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_sinu_eqdc_jvm_fast_path_parity(spark):
+    """The sinu and eqdc Catalyst twins (flat mlfn meridional-arc
+    series) match the UDF path, sphere and ellipsoid."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, 0.0, 91.3, 200.0, None, float("nan")]
+    lats = [-90.1, -90.0, -45.0, 0.0, 45.0, 90.0, None]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    for ps in ("+proj=sinu +ellps=WGS84",
+               "+proj=sinu +lon_0=20 +R=6371000",
+               "+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96 "
+               "+ellps=GRS80",
+               "+proj=eqdc +lat_1=-20 +lat_2=-60 +R=6371000"):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["lon", "lat"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
