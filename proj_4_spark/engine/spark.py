@@ -769,6 +769,265 @@ def _etmerc_jvm_apply(df, P, x, y, zc, tc, degrees: bool,
     return out.drop(*tmp)
 
 
+def _datum_jvm_legs(op, direction: str):
+    """Leg list for the Catalyst datum-pipeline twin, or None.
+
+    Recognizes a PipelineOperation whose steps are all bare
+    cart / helmert / molobadekas — the towgs84 expansion shape
+    (cart -> helmert -> cart⁻¹, src/datums.cpp pj_datum_set) that
+    every hub-composed catalog candidate and ``pipeline_datum_shift``
+    itself uses.  All three legs are closed forms (cart fwd
+    src/conversions/cart.cpp:132-147, 7-param helmert matmul
+    src/transformations/helmert.cpp:363-399, cart inv closed-form
+    cart.cpp:150-205) — no iteration, so no etmerc-style codegen
+    cliff risk.
+
+    Returns [(kind, step_dir, P), ...] in effective execution order
+    (kind in {"cart", "helmert"}), with the first leg a cart fwd
+    (consumes radians) and the last a cart inv (produces radians).
+    """
+    from proj_4_spark.engine.plan import PipelineOperation
+    from proj_4_spark.kernels.base import UNITS_CARTESIAN
+
+    if not isinstance(op, PipelineOperation):
+        return None
+    if direction not in ("fwd", "inv"):
+        return None
+    eff = "inv" if ((direction == "inv") != bool(op.inverted)) else "fwd"
+    seq = op.steps if eff == "fwd" else list(reversed(op.steps))
+    legs = []
+    for op_, flags in seq:
+        if op_ is None or flags.get("kind") is not None:
+            return None
+        if flags.get("omit_fwd") or flags.get("omit_inv"):
+            return None
+        P = op_.P
+        step_dir = eff
+        if flags.get("inv"):
+            step_dir = "inv" if step_dir == "fwd" else "fwd"
+        if P.name == "cart":
+            # the twin replicates the step's angular prepare/finalize;
+            # any modifier that changes them disqualifies
+            if (P.lam0 != 0.0 or P.from_greenwich != 0.0
+                    or P.over or P.geoc
+                    or P.x0 != 0.0 or P.y0 != 0.0
+                    or P.fr_meter != 1.0 or P.to_meter != 1.0
+                    or P.is_long_wrap_set
+                    or P.skip_fwd_prepare or P.skip_fwd_finalize
+                    or P.skip_inv_prepare or P.skip_inv_finalize):
+                return None
+            kind = "cart"
+        elif P.name in ("helmert", "molobadekas"):
+            if P.left != UNITS_CARTESIAN:
+                return None  # 4-param planar mode
+            Q = P.opaque
+            if (Q.get("fourparam")
+                    or Q["dxyz"] != (0.0, 0.0, 0.0)
+                    or Q["dopk"] != (0.0, 0.0, 0.0)
+                    or Q["dscale"] != 0.0 or Q["dtheta"] != 0.0):
+                return None  # time-dependent: params vary per row
+            if P.fr_meter != 1.0 or P.to_meter != 1.0:
+                return None
+            kind = "helmert"
+        else:
+            return None
+        for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                     "cart_wgs84", "axisswap"):
+            if getattr(P, attr, None) is not None:
+                return None
+        legs.append((kind, step_dir, P))
+    if not legs:
+        return None
+    if legs[0][:2] != ("cart", "fwd") or legs[-1][:2] != ("cart", "inv"):
+        return None  # twin needs angular I/O on both ends
+    return legs
+
+
+def _datum_jvm_apply(df, legs, x, y, zc, tc, degrees: bool,
+                     z_supplied: bool, out_prefix: str):
+    """Staged-projection Catalyst twin of a cart/helmert datum pipeline
+    (engine/plan.py PipelineOperation over the legs from
+    _datum_jvm_legs): towgs84-style datum shifts run with ZERO Python
+    workers.  Stage layout follows _etmerc_jvm_apply — every non-cheap
+    intermediate lands in its own select() so CollapseProject keeps the
+    plan linear-size inside one whole-stage-codegen region.
+
+    Semantics replicated term for term against the Arrow-UDF path
+    (parity pinned in tests/test_engine.py):
+    - global error rows (null/NaN x,y[,z], |lam|>10 rad pre-wrap,
+      |phi| overrange by >1e-12) -> NaN x/y/z out (fwd.cpp:41-102);
+    - per-cart-leg angular prepare (adjlon wrap + lat clip) and
+      finalize (adjlon), cart fwd/inv closed forms (cart.cpp:132-205)
+      incl. the near-origin and polar branches;
+    - static helmert / Molodensky-Badekas matmul with plan-time
+      parameter resolution at t_epoch (helmert.cpp:363-436).
+    """
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.kernels.helmert import _params_at
+
+    pi = math.pi
+    nan = F.lit(float("nan"))
+    T = "_jd_"
+    tmp: list[str] = []
+
+    def stage(d, **cols):
+        for name in cols:
+            tmp.append(T + name)
+        return d.select("*", *(c.alias(T + n) for n, c in cols.items()))
+
+    def col(name):
+        return F.col(T + name)
+
+    def adjlon(c):
+        return F.when(
+            F.abs(c) >= F.lit(pi + 1e-12),
+            (c + pi) - 2.0 * pi * F.floor((c + pi) / (2.0 * pi)) - pi,
+        ).otherwise(c)
+
+    lam = F.col(x).cast("double")
+    phi = F.col(y).cast("double")
+    if degrees:
+        lam = F.radians(lam)
+        phi = F.radians(phi)
+    err = (
+        F.col(x).isNull() | F.isnan(F.col(x).cast("double"))
+        | F.col(y).isNull() | F.isnan(F.col(y).cast("double"))
+        | (lam > 10.0) | (lam < -10.0)
+        | (F.abs(phi) - pi / 2.0 > 1e-12)
+    )
+    if z_supplied:
+        err = err | zc.isNull() | F.isnan(zc)
+    out = stage(df, err=err, lam=lam, phi=phi, zz=zc)
+    # running state: ("ang", lam, phi, z) or ("cart", X, Y, Z)
+    cx, cy, cz = col("lam"), col("phi"), col("zz")
+
+    for i, (kind, step_dir, P) in enumerate(legs):
+        p = f"l{i}_"
+        if kind == "cart" and step_dir == "fwd":
+            # fwd prepare (adjlon + clip) then cart.cpp:132-147
+            out = stage(out,
+                        **{p + "lamw": adjlon(cx),
+                           p + "phic": F.least(F.greatest(cy,
+                                                          F.lit(-pi / 2.0)),
+                                               F.lit(pi / 2.0))})
+            lamw, phic = col(p + "lamw"), col(p + "phic")
+            out = stage(out, **{p + "sp": F.sin(phic), p + "cp": F.cos(phic),
+                                p + "sl": F.sin(lamw), p + "cl": F.cos(lamw)})
+            sp, cp = col(p + "sp"), col(p + "cp")
+            if P.es != 0.0:
+                out = stage(out, **{p + "N": P.a / F.sqrt(
+                    1.0 - F.lit(P.es) * sp * sp)})
+                N = col(p + "N")
+            else:
+                N = F.lit(float(P.a))
+            out = stage(out, **{p + "hc": (N + cz) * cp})
+            out = stage(out, **{p + "X": col(p + "hc") * col(p + "cl"),
+                                p + "Y": col(p + "hc") * col(p + "sl"),
+                                p + "Z": (N * P.one_es + cz) * sp})
+            cx, cy, cz = col(p + "X"), col(p + "Y"), col(p + "Z")
+        elif kind == "cart":
+            # inv: cart.cpp:150-205 closed form, then finalize adjlon
+            a, b = float(P.a), float(P.b)
+            out = stage(out, **{p + "p": F.hypot(cx, cy)})
+            pp = col(p + "p")
+            out = stage(out, **{p + "yt": cz * a, p + "xt": pp * b})
+            yt, xt = col(p + "yt"), col(p + "xt")
+            out = stage(out, **{p + "nrm": F.hypot(yt, xt)})
+            nrm = col(p + "nrm")
+            out = stage(out, **{
+                p + "cth": F.when(nrm == 0.0, F.lit(1.0))
+                            .otherwise(xt / nrm),
+                p + "sth": F.when(nrm == 0.0, F.lit(0.0))
+                            .otherwise(yt / nrm)})
+            cth, sth = col(p + "cth"), col(p + "sth")
+            out = stage(out, **{
+                p + "yph": cz + F.lit(P.e2s * b) * sth * sth * sth,
+                p + "xph": pp - F.lit(P.es * a) * cth * cth * cth})
+            yph, xph = col(p + "yph"), col(p + "xph")
+            out = stage(out, **{p + "nph": F.hypot(yph, xph)})
+            nph = col(p + "nph")
+            near = xph <= 0.0
+            zpos = cz >= 0.0
+            out = stage(out, **{
+                p + "cpi": F.when(near, F.lit(0.0)).otherwise(
+                    F.when(nph == 0.0, F.lit(1.0)).otherwise(xph / nph)),
+                p + "spi": F.when(near,
+                                  F.when(zpos, F.lit(1.0))
+                                   .otherwise(F.lit(-1.0))).otherwise(
+                    F.when(nph == 0.0, F.lit(0.0)).otherwise(yph / nph)),
+                p + "phi": F.when(near,
+                                  F.when(zpos, F.lit(pi / 2.0))
+                                   .otherwise(F.lit(-pi / 2.0)))
+                            .otherwise(F.atan(yph / xph)),
+                p + "lam": F.atan2(cy, cx)})
+            cpi, spi = col(p + "cpi"), col(p + "spi")
+            out = stage(out, **{
+                p + "rn": F.hypot(F.lit(a * a) * cpi, F.lit(b * b) * spi),
+                p + "rd": F.hypot(a * cpi, b * spi),
+                p + "N2": a / F.sqrt(1.0 - F.lit(P.es) * spi * spi)})
+            out = stage(out, **{
+                p + "zz": F.when(cpi < 1e-6,
+                                 F.abs(cz) - col(p + "rn") / col(p + "rd"))
+                           .otherwise(pp / cpi - col(p + "N2")),
+                p + "lamo": adjlon(col(p + "lam"))})
+            cx, cy, cz = col(p + "lamo"), col(p + "phi"), col(p + "zz")
+        else:
+            # static helmert / molobadekas at t_epoch
+            Q = P.opaque
+            xyz, scale_ppm, _, R = _params_at(Q, Q["t_epoch"])
+            tx, ty, tz = (float(v) for v in xyz)
+            if Q["no_rotation"] and scale_ppm == 0.0:
+                if step_dir == "fwd":
+                    out = stage(out, **{p + "X": cx + tx, p + "Y": cy + ty,
+                                        p + "Z": cz + tz})
+                else:
+                    out = stage(out, **{p + "X": cx - tx, p + "Y": cy - ty,
+                                        p + "Z": cz - tz})
+            else:
+                sc = 1.0 + scale_ppm * 1e-6
+                px, py_, pz = (float(v) for v in Q["refp"])
+                r = [[F.lit(float(R[i_][j_])) for j_ in range(3)]
+                     for i_ in range(3)]
+                if step_dir == "fwd":
+                    out = stage(out, **{p + "Xr": cx - px, p + "Yr": cy - py_,
+                                        p + "Zr": cz - pz})
+                    Xr, Yr, Zr = col(p + "Xr"), col(p + "Yr"), col(p + "Zr")
+                    out = stage(out, **{
+                        p + "X": sc * (r[0][0] * Xr + r[0][1] * Yr
+                                       + r[0][2] * Zr) + tx,
+                        p + "Y": sc * (r[1][0] * Xr + r[1][1] * Yr
+                                       + r[1][2] * Zr) + ty,
+                        p + "Z": sc * (r[2][0] * Xr + r[2][1] * Yr
+                                       + r[2][2] * Zr) + tz})
+                else:
+                    out = stage(out, **{p + "Xs": (cx - tx) / sc,
+                                        p + "Ys": (cy - ty) / sc,
+                                        p + "Zs": (cz - tz) / sc})
+                    Xs, Ys, Zs = col(p + "Xs"), col(p + "Ys"), col(p + "Zs")
+                    out = stage(out, **{
+                        p + "X": (r[0][0] * Xs + r[1][0] * Ys
+                                  + r[2][0] * Zs) + px,
+                        p + "Y": (r[0][1] * Xs + r[1][1] * Ys
+                                  + r[2][1] * Zs) + py_,
+                        p + "Z": (r[0][2] * Xs + r[1][2] * Ys
+                                  + r[2][2] * Zs) + pz})
+            cx, cy, cz = col(p + "X"), col(p + "Y"), col(p + "Z")
+
+    if degrees:
+        cx = cx * C.RAD_TO_DEG
+        cy = cy * C.RAD_TO_DEG
+    errc = col("err")
+    out = (out.withColumn(f"{out_prefix}x",
+                          F.when(errc, nan).otherwise(F.coalesce(cx, nan)))
+              .withColumn(f"{out_prefix}y",
+                          F.when(errc, nan).otherwise(F.coalesce(cy, nan)))
+              .withColumn(f"{out_prefix}z",
+                          F.when(errc, nan).otherwise(F.coalesce(cz, nan)))
+              .withColumn(f"{out_prefix}t", tc))
+    return out.drop(*tmp)
+
+
 def transform(
     df,
     projstring: str,
@@ -796,9 +1055,11 @@ def transform(
 
     ``jvm_fast_path``: True (default) compiles bare single-op forwards
     of webmerc/merc/eqc/cea/lcc/aea/leac/stere/ups/laea/sterea/somerc/
-    krovak — and inverses of webmerc/spherical-merc/eqc — to Catalyst
-    expression twins (zero Python workers; parity pinned per twin in
-    tests/test_engine.py).  ``"all"`` additionally enables the staged
+    krovak — inverses of webmerc/spherical-merc/eqc — and cart/helmert
+    datum pipelines (the towgs84 expansion shape, incl. hub-composed
+    catalog candidates) to Catalyst expression twins (zero Python
+    workers; parity pinned per twin in tests/test_engine.py).  ``"all"``
+    additionally enables the staged
     etmerc/utm forward twin (opt-in: see PLANS.md for the measured JIT
     cliff rationale).  ``False`` always uses the Arrow-UDF kernels.
     Datum-modified (+towgs84/+nadgrids/+geoidgrids hub legs), +axis,
@@ -832,6 +1093,25 @@ def transform(
     # have run in the same JVM it degrades ~2.5x (measured,
     # PLANS.md "etmerc JVM expression twin") — the UDF path has no such
     # cliff, so it stays the default.
+    if jvm_fast_path:
+        datum_legs = _datum_jvm_legs(op_probe, direction)
+        if datum_legs is not None:
+            # cart/helmert datum-pipeline twin: towgs84-style shifts and
+            # hub-composed catalog candidates run as pure whole-stage
+            # codegen — zero Python workers
+            zc = (F.coalesce(F.col(z).cast("double"),
+                             F.lit(float("nan")))
+                  if z else F.lit(0.0))
+            tc = (F.coalesce(F.col(t).cast("double"),
+                             F.lit(float("nan")))
+                  if t else F.lit(0.0))
+            out = _datum_jvm_apply(df, datum_legs, x, y, zc, tc,
+                                   degrees, z_supplied, out_prefix)
+            if not keep_errors:
+                out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                                & ~F.isnan(F.col(f"{out_prefix}x")))
+            return out
+
     if jvm_fast_path and _inv_jvm_fast_path_ok(op_probe, direction):
         zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))
               if z else F.lit(0.0))

@@ -590,9 +590,11 @@ class Geodesic:
                 nc_salp1 = np.sqrt(np.maximum(0.0, 1 - nc_calp1**2))
 
             k = _astroid(x, y)
-            omg12a = lamscale * np.where(
-                g.f >= 0, -x * k / (1 + k), -y * (1 + k) / k
-            )
+            # both lanes evaluate; k may be 0 in the unselected branch
+            with np.errstate(invalid="ignore", divide="ignore"):
+                omg12a = lamscale * np.where(
+                    g.f >= 0, -x * k / (1 + k), -y * (1 + k) / k
+                )
             as_somg12 = np.sin(omg12a)
             as_comg12 = -np.cos(omg12a)
             as_salp1 = cbet2 * as_somg12

@@ -21,8 +21,11 @@ engine can execute):
   generator's uom handling — roundtripping degrees through the radian
   factor would corrupt them).
 
-Out of scope (raise ValueError): BOUNDCRS, VERTCRS, COMPOUNDCRS,
-DERIVEDPROJCRS, datum TOWGS84 (WKT2 carries none), WKT1.
+Also supported: VERTCRS (ID-keyed) and COMPOUNDCRS (horizontal +
+vertical members) — see parse below.
+
+Out of scope (raise ValueError): DERIVEDPROJCRS, WKT1 (see
+sources/esri_wkt1.py for the ESRI WKT1 reader).
 
 References: WKTParser grammar src/iso19111/io.cpp:1103+; test strings
 test/unit/test_io.cpp (wkt2_2019 / wkt2_2019_simplified cases).

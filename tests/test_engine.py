@@ -1018,3 +1018,86 @@ def test_sinu_eqdc_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
+
+
+def test_datum_pipeline_jvm_fast_path_parity(spark):
+    """The cart/helmert datum-pipeline Catalyst twin (r6): towgs84-style
+    cart -> helmert -> cart⁻¹ chains — incl. 7-param, +exact,
+    Molodensky-Badekas, hub-composed 4-step concatenations, the
+    +inv-pipeline flag and direction='inv' — plan with ZERO Python eval
+    nodes and match the Arrow-UDF path on values (cross-libm ulp only)
+    and on the exact NaN pattern; time-dependent helmert refuses the
+    twin."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -200.0, -180.0, -1e-17, 0.0, 91.3, 180.0, 200.0,
+            574.0, None, float("nan"), 45.0]
+    lats = [-90.1, -90.0, -89.99999999999, 0.0, 45.0, 89.99999999999,
+            90.0, 90.1, None, float("nan"), 33.3, -12.0]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    pdf["h"] = np.linspace(-5000.0, 9000.0, len(pdf))
+    pdf.loc[3, "h"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    P3 = ("+proj=pipeline +ellps=GRS80 +step +proj=cart "
+          "+step +proj=helmert +x=10 +y=-20 +z=30 "
+          "+step +proj=cart +inv")
+    P7 = ("+proj=pipeline +ellps=WGS84 +step +proj=cart +ellps=bessel "
+          "+step +proj=helmert +x=577.326 +y=90.129 +z=463.919 "
+          "+rx=5.137 +ry=1.474 +rz=5.297 +s=2.4232 "
+          "+convention=position_vector "
+          "+step +inv +proj=cart +ellps=GRS80")
+    PX = P7.replace("+convention", "+exact +convention")
+    PMB = ("+proj=pipeline +ellps=GRS80 +step +proj=cart "
+           "+step +proj=molobadekas +x=593.032 +y=26.0 +z=478.741 "
+           "+rx=0.409394 +ry=-0.359705 +rz=1.86849 +s=4.0772 "
+           "+px=3903453.148 +py=368135.313 +pz=5012970.306 "
+           "+convention=coordinate_frame "
+           "+step +inv +proj=cart +ellps=bessel")
+    P4 = ("+proj=pipeline +ellps=WGS84 +step +proj=cart +ellps=bessel "
+          "+step +proj=helmert +x=577 +y=90 +z=464 "
+          "+step +inv +proj=helmert +x=-87 +y=-98 +z=-121 "
+          "+step +inv +proj=cart +ellps=intl")
+    PI = "+proj=pipeline +inv " + P3.split("+proj=pipeline ")[1]
+
+    cases = [(P3, "fwd", True), (P3, "inv", True), (P7, "fwd", True),
+             (P7, "inv", True), (PX, "fwd", True), (PMB, "fwd", True),
+             (P4, "fwd", True), (PI, "fwd", True), (P3, "fwd", False)]
+    for ps, direc, with_z in cases:
+        kw = dict(x="lon", y="lat", direction=direc, out_prefix="f_")
+        if with_z:
+            kw["z"] = "h"
+        fast = transform(df, ps, **kw)
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, (ps, direc)
+        kw["out_prefix"] = "s_"
+        slow = transform(df, ps, jvm_fast_path=False, **kw)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y", "z"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, direc, c)
+            m = ~np.isnan(a)
+            # x,y degrees (1e-9 deg ~ 0.1 mm), z metres
+            atol = 1e-9 if c in ("x", "y") else 1e-5
+            assert np.allclose(a[m], b[m], rtol=0, atol=atol), (
+                ps, direc, c, np.abs(a[m] - b[m]).max())
+
+    # guards: time-dependent helmert and grid steps stay on the UDF path
+    for ps in ("+proj=pipeline +ellps=GRS80 +step +proj=cart "
+               "+step +proj=helmert +x=1 +dx=0.1 +t_epoch=2000.0 "
+               "+step +proj=cart +inv",
+               "+proj=pipeline +ellps=GRS80 +step +proj=cart "
+               "+step +omit_inv +proj=helmert +x=1 "
+               "+step +proj=cart +inv"):
+        guarded = transform(df, ps, x="lon", y="lat", z="h",
+                            out_prefix="g_")
+        assert "EvalPython" in \
+            guarded._jdf.queryExecution().executedPlan().toString(), ps

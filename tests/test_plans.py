@@ -266,7 +266,8 @@ def test_expression_twin_queries_have_no_python_workers(spark):
     import __spark_entry__ as E
 
     for name in ("merc_fwd", "eqc_fwd", "aea_fwd", "esri_usa_albers",
-                 "webmerc_tiles", "docs_geo_pipeline"):
+                 "webmerc_tiles", "docs_geo_pipeline", "lcc_fwd",
+                 "pipeline_datum_shift"):
         df = E.queries()[name](spark, SF)
         txt = formatted(df)
         assert "EvalPython" not in txt, (name, txt[-1200:])
