@@ -548,10 +548,13 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
 
 
 def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
-    """True for bare INVERSE webmerc / spherical-merc / eqc — the
-    closed-form inverses (atan∘sinh, linear) with no datum/grid/axis
-    modifiers; tile->lon/lat style workloads run with zero Python
-    workers."""
+    """True for bare INVERSE webmerc / spherical-merc / eqc / cea /
+    laea / spherical stere/ups / spherical sinu / spherical eqdc — the
+    closed-form inverses (atan∘sinh, linear, authalic-latitude series
+    auth.cpp:33-38) with no datum/grid/axis modifiers; tile->lon/lat
+    and reverse-geocode style workloads run with zero Python workers.
+    Ellipsoidal stere/sinu/eqdc inverses need Newton/fixed-point
+    iteration and stay on the Arrow-UDF path."""
     P = getattr(op, "P", None)
     if P is None or direction != "inv":
         return False
@@ -560,7 +563,12 @@ def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
     name = getattr(P, "name", None)
     if name == "merc" and P.es != 0.0:
         return False  # ellipsoidal inverse needs the phi2 iteration
-    if name not in ("webmerc", "merc", "eqc"):
+    if name in ("stere", "ups", "sinu") and P.es != 0.0:
+        return False  # conformal-lat / inv_mlfn iteration
+    if name == "eqdc" and P.opaque.get("ellips"):
+        return False  # inv_mlfn Newton iteration
+    if name not in ("webmerc", "merc", "eqc", "cea", "laea",
+                    "stere", "ups", "sinu", "eqdc"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -594,10 +602,172 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
         err = err | zcol.isNull() | F.isnan(zcol.cast("double"))
     xm = (F.lit(P.to_meter) * xcol.cast("double") - F.lit(P.x0)) * P.ra
     ym = (F.lit(P.to_meter) * ycol.cast("double") - F.lit(P.y0)) * P.ra
+
+    def clip1(v):
+        return F.greatest(F.least(v, F.lit(1.0)), F.lit(-1.0))
+
+    def atan2_ieee(yc, xc):
+        # Spark's Atan2 evaluates Math.atan2(y + 0.0, x + 0.0), which
+        # collapses -0.0 to +0.0 — but the kernels rely on IEEE signed
+        # zeros (np.arctan2(0.0, -0.0) = pi, e.g. the polar-aspect
+        # origin row).  Restore IEEE semantics on the y == 0 boundary;
+        # the sign of a zero is detected via its string form
+        # (Double.toString(-0.0) = "-0.0"); only rows with y == 0 ever
+        # evaluate these branches (CaseWhen codegen is lazy), so the
+        # cast is off the hot path.
+        xneg = xc.cast("string").startswith("-")
+        yneg = yc.cast("string").startswith("-")
+        return (F.when(F.isnan(xc) | F.isnan(yc), nan)
+                 .when(yc == 0.0,
+                       F.when(xneg & yneg, F.lit(-pi))
+                        .when(xneg, F.lit(pi))
+                        .when(yneg, F.lit(-0.0))
+                        .otherwise(F.lit(0.0)))
+                 .otherwise(F.atan2(yc, xc)))
+
+    def authlat(beta, apa):
+        # src/auth.cpp:33-38 (3-term closed series)
+        t2 = beta + beta
+        return (beta + F.lit(float(apa[0])) * F.sin(t2)
+                + F.lit(float(apa[1])) * F.sin(t2 + t2)
+                + F.lit(float(apa[2])) * F.sin(t2 + t2 + t2))
+
+    Qo = P.opaque
     if P.name == "eqc":
-        rc = float(P.opaque["rc"])
+        rc = float(Qo["rc"])
         lam = xm / rc
         phi = ym + F.lit(P.phi0)
+    elif P.name == "cea":
+        # cea.cpp:37-61
+        if P.es != 0.0:
+            beta = F.asin(clip1(2.0 * ym * P.k0 / float(Qo["qp"])))
+            phi = authlat(beta, Qo["apa"])
+            lam = xm / P.k0
+        else:
+            yk = ym * P.k0
+            ta = F.abs(yk)
+            ok = (ta - 1e-10) <= 1.0
+            phi = F.when(ok,
+                         F.when(ta >= 1.0,
+                                F.when(yk < 0.0, F.lit(-pi / 2.0))
+                                 .otherwise(F.lit(pi / 2.0)))
+                          .otherwise(F.asin(clip1(yk)))).otherwise(nan)
+            lam = F.when(ok, xm / P.k0).otherwise(nan)
+    elif P.name == "laea":
+        # laea.cpp:140-228
+        mode = Qo["mode"]
+        if P.es != 0.0:
+            apa, qp = Qo["apa"], float(Qo["qp"])
+            if mode in ("equit", "obliq"):
+                dd, rq = float(Qo["dd"]), float(Qo["rq"])
+                x2 = xm / dd
+                y2 = ym * dd
+                rho = F.hypot(x2, y2)
+                center = rho < 1e-10
+                sCe0 = 2.0 * F.asin(clip1(0.5 * rho / rq))
+                cCe = F.cos(sCe0)
+                sCe = F.sin(sCe0)
+                rho_safe = F.when(center, F.lit(1.0)).otherwise(rho)
+                xs = x2 * sCe
+                if mode == "obliq":
+                    sb1, cb1 = float(Qo["sinb1"]), float(Qo["cosb1"])
+                    ab = cCe * sb1 + y2 * sCe * cb1 / rho_safe
+                    ys = rho * cb1 * cCe - y2 * sb1 * sCe
+                else:
+                    ab = y2 * sCe / rho_safe
+                    ys = rho * cCe
+                lam = F.when(center, F.lit(0.0)).otherwise(atan2_ieee(xs, ys))
+                phi = F.when(center, F.lit(P.phi0)).otherwise(
+                    authlat(F.asin(clip1(ab)), apa))
+            else:
+                yy = -ym if mode == "n_pole" else ym
+                q = xm * xm + yy * yy
+                center = q == 0.0
+                ab = 1.0 - q / qp
+                if mode == "s_pole":
+                    ab = -ab
+                lam = F.when(center, F.lit(0.0)).otherwise(atan2_ieee(xm, yy))
+                phi = F.when(center, F.lit(P.phi0)).otherwise(
+                    authlat(F.asin(clip1(ab)), apa))
+        else:
+            rh = F.hypot(xm, ym)
+            bad = rh * 0.5 > 1.0
+            phz = 2.0 * F.asin(clip1(rh * 0.5))
+            if mode in ("obliq", "equit"):
+                sinz = F.sin(phz)
+                cosz = F.cos(phz)
+                rh_safe = F.when(rh == 0.0, F.lit(1.0)).otherwise(rh)
+                if mode == "equit":
+                    phi = F.when(F.abs(rh) <= 1e-10, F.lit(0.0)).otherwise(
+                        F.asin(clip1(ym * sinz / rh_safe)))
+                    xs = xm * sinz
+                    ys = cosz * rh
+                else:
+                    sb1, cb1 = float(Qo["sinb1"]), float(Qo["cosb1"])
+                    phi = F.when(F.abs(rh) <= 1e-10,
+                                 F.lit(P.phi0)).otherwise(
+                        F.asin(clip1(cosz * sb1 + ym * sinz * cb1
+                                     / rh_safe)))
+                    xs = xm * sinz * cb1
+                    ys = (cosz - F.sin(phi) * sb1) * rh
+                lam = F.when(ys == 0.0, F.lit(0.0)).otherwise(
+                    atan2_ieee(xs, ys))
+            elif mode == "n_pole":
+                phi = F.lit(pi / 2.0) - phz
+                lam = atan2_ieee(xm, -ym)
+            else:
+                phi = phz - F.lit(pi / 2.0)
+                lam = atan2_ieee(xm, ym)
+            phi = F.when(bad, nan).otherwise(phi)
+            lam = F.when(bad, nan).otherwise(lam)
+    elif P.name in ("stere", "ups"):
+        # stere.cpp:193-234 (spherical only; e_inverse iterates)
+        mode = Qo["mode"]
+        akm1 = float(Qo["akm1"])
+        rh = F.hypot(xm, ym)
+        c2 = 2.0 * F.atan(rh / akm1)
+        sinc = F.sin(c2)
+        cosc = F.cos(c2)
+        rh_safe = F.when(rh == 0.0, F.lit(1.0)).otherwise(rh)
+        if mode == "equit":
+            phi = F.when(F.abs(rh) <= 1e-10, F.lit(0.0)).otherwise(
+                F.asin(clip1(ym * sinc / rh_safe)))
+            lam = F.when((cosc != 0.0) | (xm != 0.0),
+                         atan2_ieee(xm * sinc, cosc * rh)).otherwise(F.lit(0.0))
+        elif mode == "obliq":
+            sX1, cX1 = float(Qo["sinX1"]), float(Qo["cosX1"])
+            phi = F.when(F.abs(rh) <= 1e-10, F.lit(P.phi0)).otherwise(
+                F.asin(clip1(cosc * sX1 + ym * sinc * cX1 / rh_safe)))
+            cc = cosc - sX1 * F.sin(phi)
+            lam = F.when((cc != 0.0) | (xm != 0.0),
+                         atan2_ieee(xm * sinc * cX1, cc * rh)
+                         ).otherwise(F.lit(0.0))
+        else:
+            yy = -ym if mode == "n_pole" else ym
+            pole = -cosc if mode == "s_pole" else cosc
+            phi = F.when(F.abs(rh) <= 1e-10, F.lit(P.phi0)).otherwise(
+                F.asin(clip1(pole)))
+            lam = F.when((xm == 0.0) & (yy == 0.0), F.lit(0.0)).otherwise(
+                atan2_ieee(xm, yy))
+    elif P.name == "sinu":
+        # gn_sinu.cpp:88-97 spherical branch (setup pins n=1, m=0)
+        yy = ym / float(Qo["C_y"])
+        phi = yy
+        lam = xm / (float(Qo["C_x"]) * F.cos(yy))
+    elif P.name == "eqdc":
+        # eqdc.cpp inverse, spherical branch (phi = c - rho)
+        n, c, rho0 = float(Qo["n"]), float(Qo["c"]), float(Qo["rho0"])
+        yy = F.lit(rho0) - ym
+        rho = F.hypot(xm, yy)
+        if n < 0.0:
+            rho = -rho
+            xs, ys = -xm, -yy
+        else:
+            xs, ys = xm, yy
+        nonzero = rho != 0.0
+        lam = F.when(nonzero, atan2_ieee(xs, ys) / n).otherwise(F.lit(0.0))
+        phi = F.when(nonzero, c - rho).otherwise(
+            F.lit(pi / 2.0 if n > 0.0 else -pi / 2.0))
     else:
         k0 = P.k0
         lam = xm / k0
@@ -843,14 +1013,32 @@ def _datum_jvm_legs(op, direction: str):
     return legs
 
 
-def _datum_jvm_apply(df, legs, x, y, zc, tc, degrees: bool,
+def _sql_dlit(v: float) -> str:
+    """Spark-SQL double literal (the D suffix keeps it out of DECIMAL)."""
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return ("CAST('Infinity' AS DOUBLE)" if v > 0
+                else "CAST('-Infinity' AS DOUBLE)")
+    return repr(v) + "D"
+
+
+def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
                      z_supplied: bool, out_prefix: str):
     """Staged-projection Catalyst twin of a cart/helmert datum pipeline
     (engine/plan.py PipelineOperation over the legs from
     _datum_jvm_legs): towgs84-style datum shifts run with ZERO Python
-    workers.  Stage layout follows _etmerc_jvm_apply — every non-cheap
-    intermediate lands in its own select() so CollapseProject keeps the
-    plan linear-size inside one whole-stage-codegen region.
+    workers.  Every non-cheap intermediate lands in its own select so
+    CollapseProject keeps the plan linear-size inside one
+    whole-stage-codegen region (the etmerc-twin staging rule).
+
+    The stages are emitted as SQL strings — ONE selectExpr (py4j
+    round-trip) per stage instead of hundreds of Column-object calls;
+    building this plan costs ~20 ms instead of ~400 ms, which dominated
+    small-batch wall time.  Fragments referenced more than once are
+    always column refs from an earlier stage, never textual expression
+    duplication (the DuckDB lateral-alias lesson).
 
     Semantics replicated term for term against the Arrow-UDF path
     (parity pinned in tests/test_engine.py):
@@ -862,169 +1050,165 @@ def _datum_jvm_apply(df, legs, x, y, zc, tc, degrees: bool,
     - static helmert / Molodensky-Badekas matmul with plan-time
       parameter resolution at t_epoch (helmert.cpp:363-436).
     """
-    from pyspark.sql import functions as F
-
     from proj_4_spark.kernels.helmert import _params_at
 
-    pi = math.pi
-    nan = F.lit(float("nan"))
+    L = _sql_dlit
+    PI = L(math.pi)
+    TWO_PI = L(2.0 * math.pi)
+    HALF_PI = L(math.pi / 2.0)
+    NAN = "CAST('NaN' AS DOUBLE)"
     T = "_jd_"
     tmp: list[str] = []
+    stages: list[list[str]] = []
 
-    def stage(d, **cols):
-        for name in cols:
+    def stage(**cols):
+        exprs = []
+        for name, sql in cols.items():
             tmp.append(T + name)
-        return d.select("*", *(c.alias(T + n) for n, c in cols.items()))
+            exprs.append(f"({sql}) AS {T}{name}")
+        stages.append(exprs)
 
     def col(name):
-        return F.col(T + name)
+        return T + name
 
     def adjlon(c):
-        return F.when(
-            F.abs(c) >= F.lit(pi + 1e-12),
-            (c + pi) - 2.0 * pi * F.floor((c + pi) / (2.0 * pi)) - pi,
-        ).otherwise(c)
+        # c MUST be a column ref (appears 4x textually)
+        return (f"CASE WHEN abs({c}) >= {L(math.pi + 1e-12)} THEN "
+                f"(({c}) + {PI}) - {TWO_PI} * floor((({c}) + {PI})"
+                f" / {TWO_PI}) - {PI} ELSE ({c}) END")
 
-    lam = F.col(x).cast("double")
-    phi = F.col(y).cast("double")
+    xq, yq = f"CAST(`{x}` AS DOUBLE)", f"CAST(`{y}` AS DOUBLE)"
     if degrees:
-        lam = F.radians(lam)
-        phi = F.radians(phi)
-    err = (
-        F.col(x).isNull() | F.isnan(F.col(x).cast("double"))
-        | F.col(y).isNull() | F.isnan(F.col(y).cast("double"))
-        | (lam > 10.0) | (lam < -10.0)
-        | (F.abs(phi) - pi / 2.0 > 1e-12)
-    )
+        lam_sql, phi_sql = f"radians({xq})", f"radians({yq})"
+    else:
+        lam_sql, phi_sql = xq, yq
+    if z is not None:
+        zz_sql = f"coalesce(CAST(`{z}` AS DOUBLE), {NAN})"
+    else:
+        zz_sql = "0.0D"
+    if t is not None:
+        tt_sql = f"coalesce(CAST(`{t}` AS DOUBLE), {NAN})"
+    else:
+        tt_sql = "0.0D"
+    stage(lam=lam_sql, phi=phi_sql, zz=zz_sql, tt=tt_sql)
+    err = (f"`{x}` IS NULL OR isnan({xq}) OR `{y}` IS NULL OR "
+           f"isnan({yq}) OR {col('lam')} > 10.0D OR "
+           f"{col('lam')} < -10.0D OR "
+           f"abs({col('phi')}) - {HALF_PI} > 1e-12D")
     if z_supplied:
-        err = err | zc.isNull() | F.isnan(zc)
-    out = stage(df, err=err, lam=lam, phi=phi, zz=zc)
-    # running state: ("ang", lam, phi, z) or ("cart", X, Y, Z)
+        err += f" OR `{z}` IS NULL OR isnan({col('zz')})"
+    stage(err=err)
     cx, cy, cz = col("lam"), col("phi"), col("zz")
 
     for i, (kind, step_dir, P) in enumerate(legs):
-        p = f"l{i}_"
+        def s(name):
+            return col(f"l{i}_{name}")
+
+        def put(**cols):
+            stage(**{f"l{i}_{n}": v for n, v in cols.items()})
+
         if kind == "cart" and step_dir == "fwd":
             # fwd prepare (adjlon + clip) then cart.cpp:132-147
-            out = stage(out,
-                        **{p + "lamw": adjlon(cx),
-                           p + "phic": F.least(F.greatest(cy,
-                                                          F.lit(-pi / 2.0)),
-                                               F.lit(pi / 2.0))})
-            lamw, phic = col(p + "lamw"), col(p + "phic")
-            out = stage(out, **{p + "sp": F.sin(phic), p + "cp": F.cos(phic),
-                                p + "sl": F.sin(lamw), p + "cl": F.cos(lamw)})
-            sp, cp = col(p + "sp"), col(p + "cp")
+            put(lamw=adjlon(cx),
+                phic=f"least(greatest({cy}, -{HALF_PI}), {HALF_PI})")
+            put(sp=f"sin({s('phic')})", cp=f"cos({s('phic')})",
+                sl=f"sin({s('lamw')})", cl=f"cos({s('lamw')})")
             if P.es != 0.0:
-                out = stage(out, **{p + "N": P.a / F.sqrt(
-                    1.0 - F.lit(P.es) * sp * sp)})
-                N = col(p + "N")
+                put(N=f"{L(P.a)} / sqrt(1.0D - {L(P.es)}"
+                      f" * {s('sp')} * {s('sp')})")
+                N = s("N")
             else:
-                N = F.lit(float(P.a))
-            out = stage(out, **{p + "hc": (N + cz) * cp})
-            out = stage(out, **{p + "X": col(p + "hc") * col(p + "cl"),
-                                p + "Y": col(p + "hc") * col(p + "sl"),
-                                p + "Z": (N * P.one_es + cz) * sp})
-            cx, cy, cz = col(p + "X"), col(p + "Y"), col(p + "Z")
+                N = L(P.a)
+            put(hc=f"({N} + {cz}) * {s('cp')}")
+            put(X=f"{s('hc')} * {s('cl')}",
+                Y=f"{s('hc')} * {s('sl')}",
+                Z=f"({N} * {L(P.one_es)} + {cz}) * {s('sp')}")
+            cx, cy, cz = s("X"), s("Y"), s("Z")
         elif kind == "cart":
             # inv: cart.cpp:150-205 closed form, then finalize adjlon
             a, b = float(P.a), float(P.b)
-            out = stage(out, **{p + "p": F.hypot(cx, cy)})
-            pp = col(p + "p")
-            out = stage(out, **{p + "yt": cz * a, p + "xt": pp * b})
-            yt, xt = col(p + "yt"), col(p + "xt")
-            out = stage(out, **{p + "nrm": F.hypot(yt, xt)})
-            nrm = col(p + "nrm")
-            out = stage(out, **{
-                p + "cth": F.when(nrm == 0.0, F.lit(1.0))
-                            .otherwise(xt / nrm),
-                p + "sth": F.when(nrm == 0.0, F.lit(0.0))
-                            .otherwise(yt / nrm)})
-            cth, sth = col(p + "cth"), col(p + "sth")
-            out = stage(out, **{
-                p + "yph": cz + F.lit(P.e2s * b) * sth * sth * sth,
-                p + "xph": pp - F.lit(P.es * a) * cth * cth * cth})
-            yph, xph = col(p + "yph"), col(p + "xph")
-            out = stage(out, **{p + "nph": F.hypot(yph, xph)})
-            nph = col(p + "nph")
-            near = xph <= 0.0
-            zpos = cz >= 0.0
-            out = stage(out, **{
-                p + "cpi": F.when(near, F.lit(0.0)).otherwise(
-                    F.when(nph == 0.0, F.lit(1.0)).otherwise(xph / nph)),
-                p + "spi": F.when(near,
-                                  F.when(zpos, F.lit(1.0))
-                                   .otherwise(F.lit(-1.0))).otherwise(
-                    F.when(nph == 0.0, F.lit(0.0)).otherwise(yph / nph)),
-                p + "phi": F.when(near,
-                                  F.when(zpos, F.lit(pi / 2.0))
-                                   .otherwise(F.lit(-pi / 2.0)))
-                            .otherwise(F.atan(yph / xph)),
-                p + "lam": F.atan2(cy, cx)})
-            cpi, spi = col(p + "cpi"), col(p + "spi")
-            out = stage(out, **{
-                p + "rn": F.hypot(F.lit(a * a) * cpi, F.lit(b * b) * spi),
-                p + "rd": F.hypot(a * cpi, b * spi),
-                p + "N2": a / F.sqrt(1.0 - F.lit(P.es) * spi * spi)})
-            out = stage(out, **{
-                p + "zz": F.when(cpi < 1e-6,
-                                 F.abs(cz) - col(p + "rn") / col(p + "rd"))
-                           .otherwise(pp / cpi - col(p + "N2")),
-                p + "lamo": adjlon(col(p + "lam"))})
-            cx, cy, cz = col(p + "lamo"), col(p + "phi"), col(p + "zz")
+            put(p=f"hypot({cx}, {cy})")
+            put(nrm=f"hypot({cz} * {L(a)}, {s('p')} * {L(b)})")
+            put(cth=f"CASE WHEN {s('nrm')} = 0.0D THEN 1.0D ELSE "
+                    f"({s('p')} * {L(b)}) / {s('nrm')} END",
+                sth=f"CASE WHEN {s('nrm')} = 0.0D THEN 0.0D ELSE "
+                    f"({cz} * {L(a)}) / {s('nrm')} END")
+            put(yph=f"{cz} + {L(P.e2s * b)} * {s('sth')}"
+                    f" * {s('sth')} * {s('sth')}",
+                xph=f"{s('p')} - {L(P.es * a)} * {s('cth')}"
+                    f" * {s('cth')} * {s('cth')}")
+            put(nph=f"hypot({s('yph')}, {s('xph')})")
+            near = f"{s('xph')} <= 0.0D"
+            zpos = f"{cz} >= 0.0D"
+            put(cpi=f"CASE WHEN {near} THEN 0.0D WHEN {s('nph')} = 0.0D "
+                    f"THEN 1.0D ELSE {s('xph')} / {s('nph')} END",
+                spi=f"CASE WHEN {near} THEN (CASE WHEN {zpos} THEN 1.0D "
+                    f"ELSE -1.0D END) WHEN {s('nph')} = 0.0D THEN 0.0D "
+                    f"ELSE {s('yph')} / {s('nph')} END",
+                phi=f"CASE WHEN {near} THEN (CASE WHEN {zpos} THEN "
+                    f"{HALF_PI} ELSE -{HALF_PI} END) ELSE "
+                    f"atan({s('yph')} / {s('xph')}) END",
+                lam=f"atan2({cy}, {cx})")
+            put(zz=f"CASE WHEN {s('cpi')} < 1e-6D THEN abs({cz}) - "
+                   f"hypot({L(a * a)} * {s('cpi')}, {L(b * b)} * {s('spi')})"
+                   f" / hypot({L(a)} * {s('cpi')}, {L(b)} * {s('spi')}) "
+                   f"ELSE {s('p')} / {s('cpi')} - {L(a)} / "
+                   f"sqrt(1.0D - {L(P.es)} * {s('spi')} * {s('spi')}) END",
+                lamo=adjlon(s("lam")))
+            cx, cy, cz = s("lamo"), s("phi"), s("zz")
         else:
             # static helmert / molobadekas at t_epoch
             Q = P.opaque
             xyz, scale_ppm, _, R = _params_at(Q, Q["t_epoch"])
             tx, ty, tz = (float(v) for v in xyz)
             if Q["no_rotation"] and scale_ppm == 0.0:
-                if step_dir == "fwd":
-                    out = stage(out, **{p + "X": cx + tx, p + "Y": cy + ty,
-                                        p + "Z": cz + tz})
-                else:
-                    out = stage(out, **{p + "X": cx - tx, p + "Y": cy - ty,
-                                        p + "Z": cz - tz})
+                sign = "+" if step_dir == "fwd" else "-"
+                put(X=f"{cx} {sign} {L(tx)}", Y=f"{cy} {sign} {L(ty)}",
+                    Z=f"{cz} {sign} {L(tz)}")
             else:
                 sc = 1.0 + scale_ppm * 1e-6
-                px, py_, pz = (float(v) for v in Q["refp"])
-                r = [[F.lit(float(R[i_][j_])) for j_ in range(3)]
-                     for i_ in range(3)]
+                px, py, pz = (float(v) for v in Q["refp"])
+                r = [[L(R[i_][j_]) for j_ in range(3)] for i_ in range(3)]
                 if step_dir == "fwd":
-                    out = stage(out, **{p + "Xr": cx - px, p + "Yr": cy - py_,
-                                        p + "Zr": cz - pz})
-                    Xr, Yr, Zr = col(p + "Xr"), col(p + "Yr"), col(p + "Zr")
-                    out = stage(out, **{
-                        p + "X": sc * (r[0][0] * Xr + r[0][1] * Yr
-                                       + r[0][2] * Zr) + tx,
-                        p + "Y": sc * (r[1][0] * Xr + r[1][1] * Yr
-                                       + r[1][2] * Zr) + ty,
-                        p + "Z": sc * (r[2][0] * Xr + r[2][1] * Yr
-                                       + r[2][2] * Zr) + tz})
+                    put(Xr=f"{cx} - {L(px)}", Yr=f"{cy} - {L(py)}",
+                        Zr=f"{cz} - {L(pz)}")
+                    Xr, Yr, Zr = s("Xr"), s("Yr"), s("Zr")
+                    put(X=f"{L(sc)} * ({r[0][0]} * {Xr} + {r[0][1]} * {Yr}"
+                          f" + {r[0][2]} * {Zr}) + {L(tx)}",
+                        Y=f"{L(sc)} * ({r[1][0]} * {Xr} + {r[1][1]} * {Yr}"
+                          f" + {r[1][2]} * {Zr}) + {L(ty)}",
+                        Z=f"{L(sc)} * ({r[2][0]} * {Xr} + {r[2][1]} * {Yr}"
+                          f" + {r[2][2]} * {Zr}) + {L(tz)}")
                 else:
-                    out = stage(out, **{p + "Xs": (cx - tx) / sc,
-                                        p + "Ys": (cy - ty) / sc,
-                                        p + "Zs": (cz - tz) / sc})
-                    Xs, Ys, Zs = col(p + "Xs"), col(p + "Ys"), col(p + "Zs")
-                    out = stage(out, **{
-                        p + "X": (r[0][0] * Xs + r[1][0] * Ys
-                                  + r[2][0] * Zs) + px,
-                        p + "Y": (r[0][1] * Xs + r[1][1] * Ys
-                                  + r[2][1] * Zs) + py_,
-                        p + "Z": (r[0][2] * Xs + r[1][2] * Ys
-                                  + r[2][2] * Zs) + pz})
-            cx, cy, cz = col(p + "X"), col(p + "Y"), col(p + "Z")
+                    put(Xs=f"({cx} - {L(tx)}) / {L(sc)}",
+                        Ys=f"({cy} - {L(ty)}) / {L(sc)}",
+                        Zs=f"({cz} - {L(tz)}) / {L(sc)}")
+                    Xs, Ys, Zs = s("Xs"), s("Ys"), s("Zs")
+                    put(X=f"{r[0][0]} * {Xs} + {r[1][0]} * {Ys}"
+                          f" + {r[2][0]} * {Zs} + {L(px)}",
+                        Y=f"{r[0][1]} * {Xs} + {r[1][1]} * {Ys}"
+                          f" + {r[2][1]} * {Zs} + {L(py)}",
+                        Z=f"{r[0][2]} * {Xs} + {r[1][2]} * {Ys}"
+                          f" + {r[2][2]} * {Zs} + {L(pz)}")
+            cx, cy, cz = s("X"), s("Y"), s("Z")
 
     if degrees:
-        cx = cx * C.RAD_TO_DEG
-        cy = cy * C.RAD_TO_DEG
+        cx = f"{cx} * {L(C.RAD_TO_DEG)}"
+        cy = f"{cy} * {L(C.RAD_TO_DEG)}"
     errc = col("err")
-    out = (out.withColumn(f"{out_prefix}x",
-                          F.when(errc, nan).otherwise(F.coalesce(cx, nan)))
-              .withColumn(f"{out_prefix}y",
-                          F.when(errc, nan).otherwise(F.coalesce(cy, nan)))
-              .withColumn(f"{out_prefix}z",
-                          F.when(errc, nan).otherwise(F.coalesce(cz, nan)))
-              .withColumn(f"{out_prefix}t", tc))
+    outs = [
+        f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({cx}, {NAN}) END"
+        f" AS `{out_prefix}x`",
+        f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({cy}, {NAN}) END"
+        f" AS `{out_prefix}y`",
+        f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({cz}, {NAN}) END"
+        f" AS `{out_prefix}z`",
+        f"{col('tt')} AS `{out_prefix}t`",
+    ]
+    out = df
+    for exprs in stages:
+        out = out.selectExpr("*", *exprs)
+    out = out.selectExpr("*", *outs)
     return out.drop(*tmp)
 
 
@@ -1099,13 +1283,7 @@ def transform(
             # cart/helmert datum-pipeline twin: towgs84-style shifts and
             # hub-composed catalog candidates run as pure whole-stage
             # codegen — zero Python workers
-            zc = (F.coalesce(F.col(z).cast("double"),
-                             F.lit(float("nan")))
-                  if z else F.lit(0.0))
-            tc = (F.coalesce(F.col(t).cast("double"),
-                             F.lit(float("nan")))
-                  if t else F.lit(0.0))
-            out = _datum_jvm_apply(df, datum_legs, x, y, zc, tc,
+            out = _datum_jvm_apply(df, datum_legs, x, y, z, t,
                                    degrees, z_supplied, out_prefix)
             if not keep_errors:
                 out = out.where(F.col(f"{out_prefix}x").isNotNull()

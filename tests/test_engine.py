@@ -1101,3 +1101,64 @@ def test_datum_pipeline_jvm_fast_path_parity(spark):
                             out_prefix="g_")
         assert "EvalPython" in \
             guarded._jdf.queryExecution().executedPlan().toString(), ps
+
+
+def test_inverse_jvm_fast_path_parity_r6(spark):
+    """r6 inverse twins: cea (sphere+ellipsoid authlat), laea (all
+    modes, sphere+ellipsoid), spherical stere (all modes), spherical
+    sinu and spherical eqdc match the UDF path exactly; the iterative
+    ellipsoidal inverses (stere/sinu/eqdc) stay on the UDF path."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    xs = [-30e6, -1.2e7, -6.4e6, -1e4, 0.0, 1e4, 5e6, 1.27e7, 3e7,
+          None, float("nan")]
+    ys = [-3e7, -1.27e7, -5e6, -1e4, 0.0, 1e4, 6.4e6, 1.2e7, 2e7, None]
+    pdf = pd.DataFrame({"px": xs * len(ys), "py": np.repeat(ys, len(xs))})
+    df = spark.createDataFrame(pdf)
+    twins = (
+        "+proj=cea +ellps=WGS84 +lat_ts=30",
+        "+proj=cea +R=6371000 +lat_ts=15 +x_0=20000",
+        "+proj=laea +ellps=GRS80 +lat_0=52 +lon_0=10",   # obliq ellips
+        "+proj=laea +ellps=GRS80 +lat_0=0 +lon_0=10",    # equit ellips
+        "+proj=laea +ellps=GRS80 +lat_0=90",             # n_pole ellips
+        "+proj=laea +ellps=GRS80 +lat_0=-90",            # s_pole ellips
+        "+proj=laea +R=6371000 +lat_0=45",               # obliq sphere
+        "+proj=laea +R=6371000 +lat_0=0",                # equit sphere
+        "+proj=laea +R=6371000 +lat_0=90",               # n_pole sphere
+        "+proj=stere +R=6371000 +lat_0=90 +lat_ts=70",   # n_pole
+        "+proj=stere +R=6371000 +lat_0=-90",             # s_pole
+        "+proj=stere +R=6371000 +lat_0=40",              # obliq
+        "+proj=stere +R=6371000 +lat_0=0",               # equit
+        "+proj=sinu +R=6371000 +lon_0=20",
+        "+proj=eqdc +R=6371000 +lat_1=20 +lat_2=60 +lat_0=40",
+        "+proj=eqdc +R=6371000 +lat_1=-20 +lat_2=-60",   # n < 0
+    )
+    for ps in twins:
+        fast = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="s_", jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["px", "py"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
+                ps, c, np.abs(a[m] - b[m]).max())
+    # iterative ellipsoidal inverses keep the UDF path
+    for ps in ("+proj=stere +ellps=WGS84 +lat_0=90",
+               "+proj=sinu +ellps=WGS84",
+               "+proj=eqdc +ellps=GRS80 +lat_1=20 +lat_2=60"):
+        p = transform(df, ps, x="px", y="py", direction="inv")
+        assert "EvalPython" in \
+            p._jdf.queryExecution().executedPlan().toString(), ps

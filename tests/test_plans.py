@@ -72,8 +72,21 @@ def test_transform_plan_has_no_shuffle(spark):
     )
     plan = plan_of(out)
     assert "Exchange" not in plan
-    # exactly one Python/Arrow eval for the whole 3-step pipeline (fusion)
-    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    # r6: the cart/helmert datum pipeline compiles to the Catalyst twin
+    # — zero Python workers, one whole-stage-codegen region
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 0
+    # the Arrow-UDF fallback still fuses the whole 3-step pipeline into
+    # exactly ONE eval node (kernel fusion, SURVEY.md §4.3)
+    udf = transform(
+        pts,
+        "+proj=pipeline +ellps=GRS80 +step +proj=cart "
+        "+step +proj=helmert +x=10 +y=-20 +z=30 +step +proj=cart +inv",
+        x="lon", y="lat", jvm_fast_path=False,
+    )
+    uplan = plan_of(udf)
+    assert "Exchange" not in uplan
+    assert (uplan.count("ArrowEvalPython")
+            + uplan.count("BatchEvalPython")) == 1
 
 
 def test_small_dim_broadcasts(spark):
