@@ -826,7 +826,7 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
     # through the registry-shared readers
     upper = projstring[:16].upper()
     if upper.startswith(("PROJCRS[", "GEOGCRS[", "GEODCRS[",
-                         "COMPOUNDCRS[", "PROJECTEDCRS[")):
+                         "COMPOUNDCRS[", "PROJECTEDCRS[", "BOUNDCRS[")):
         from proj_4_spark.sources.wkt2 import wkt2_to_projstring
 
         projstring = "+" + wkt2_to_projstring(projstring).replace(" ", " +")

@@ -21,8 +21,11 @@ engine can execute):
   generator's uom handling — roundtripping degrees through the radian
   factor would corrupt them).
 
-Also supported: VERTCRS (ID-keyed) and COMPOUNDCRS (horizontal +
-vertical members) — see parse below.
+Also supported: VERTCRS (ID-keyed, with a normalized-name fallback
+against the generated VERT_PRESETS), COMPOUNDCRS (horizontal +
+vertical members), and BOUNDCRS (SOURCECRS + ABRIDGEDTRANSFORMATION
+-> +towgs84 on the source CRS, io.cpp:4406 buildBoundCRS — the shape
+gdalsrsinfo exports for any towgs84-bearing CRS).
 
 Out of scope (raise ValueError): DERIVEDPROJCRS, WKT1 (see
 sources/esri_wkt1.py for the ESRI WKT1 reader).
@@ -354,14 +357,35 @@ def _vertical_fragment_from(vert: Node) -> str:
     through the vertical registry by the node's ID["EPSG",code] —
     the same way the reference resolves a VerticalCRS against proj.db
     before building a vertical transformation."""
-    code = _id_code(vert)
-    if code is None:
-        names = [a for a in vert.args if isinstance(a, str)]
-        raise ValueError(
-            f"VERTCRS {names[:1]} has no ID[\"EPSG\",...] — the vertical "
-            "registry is keyed by EPSG code")
     from proj_4_spark.sources.epsg_generated import VERT_PRESETS
 
+    code = _id_code(vert)
+    if code is None:
+        # name-keyed fallback: real-world WKT2 sometimes omits the ID;
+        # the reference resolves vertical datums by name too (WKTParser
+        # datum name lookup).  Normalized CRS name first, then the
+        # VDATUM name with/without a " height" suffix.
+        def norm(s: str) -> str:
+            return "".join(ch for ch in s.lower() if ch.isalnum())
+
+        by_name = {norm(v[0]): c for c, v in VERT_PRESETS.items() if v[0]}
+        names = [a for a in vert.args if isinstance(a, str)][:1]
+        vd = vert.first("VDATUM", "VERTICALDATUM", "VRF")
+        if vd is not None:
+            dn = [a for a in vd.args if isinstance(a, str)][:1]
+            for d in dn:
+                names.append(d)
+                names.append(d + " height")
+                if d.lower().endswith(" geoid"):
+                    names.append(d[: -len(" geoid")] + " height")
+        for cand in names:
+            code = by_name.get(norm(cand))
+            if code is not None:
+                break
+        if code is None:
+            raise ValueError(
+                f"VERTCRS {names[:1]} has no ID[\"EPSG\",...] and its "
+                "name matches no generated vertical preset")
     if code not in VERT_PRESETS:
         raise ValueError(f"vertical CRS EPSG:{code} not in the generated "
                          "registry")
@@ -371,10 +395,82 @@ def _vertical_fragment_from(vert: Node) -> str:
 
 
 def wkt2_to_projstring(text: str) -> str:
-    """Compile a WKT2 GEOGCRS/PROJCRS/COMPOUNDCRS string to a
+    """Compile a WKT2 GEOGCRS/PROJCRS/COMPOUNDCRS/BOUNDCRS string to a
     proj-string."""
     root = parse_wkt(text)
     return _node_to_projstring(root)
+
+
+# ABRIDGEDTRANSFORMATION parameter slots (EPSG parameter codes 8605-8611)
+_ABRIDGED_SLOTS = {8605: 0, 8606: 1, 8607: 2, 8608: 3, 8609: 4,
+                   8610: 5, 8611: 6}
+_ABRIDGED_NAMES = {"x-axis translation": 0, "y-axis translation": 1,
+                   "z-axis translation": 2, "x-axis rotation": 3,
+                   "y-axis rotation": 4, "z-axis rotation": 5,
+                   "scale difference": 6}
+
+
+def _boundcrs_to_projstring(root: Node) -> str:
+    """BOUNDCRS[SOURCECRS, TARGETCRS[WGS84], ABRIDGEDTRANSFORMATION]
+    -> the source CRS fragments + towgs84 — the most common WKT2 shape
+    a user pastes from gdalsrsinfo (GDAL exports any towgs84-bearing
+    CRS this way).
+
+    Reference: WKTParser::Private::buildBoundCRS
+    (src/iso19111/io.cpp:4406) + Transformation::getTOWGS84Parameters
+    (src/iso19111/coordinateoperation.cpp:6706): abridged parameter
+    values are unitless metres / arc-seconds, Scale difference is
+    (value - 1) * 1e6 ppm (convertFromAbridged,
+    coordinateoperation.cpp:1294-1345), and Coordinate Frame rotations
+    flip sign into the position-vector towgs84 convention."""
+    src = root.first("SOURCECRS")
+    ab = root.first("ABRIDGEDTRANSFORMATION")
+    if src is None or ab is None:
+        raise ValueError("BOUNDCRS needs SOURCECRS and "
+                         "ABRIDGEDTRANSFORMATION")
+    inner = next((a for a in src.args if isinstance(a, Node)), None)
+    if inner is None:
+        raise ValueError("SOURCECRS without a CRS node")
+    frag = _node_to_projstring(inner)
+
+    meth = ab.first("METHOD")
+    if meth is None:
+        raise ValueError("ABRIDGEDTRANSFORMATION without METHOD")
+    mname = next((a for a in meth.args if isinstance(a, str)), "").lower()
+    mcode = _id_code(meth)
+    if "coordinate frame" in mname or mcode in (1032, 1038, 9607):
+        invert_rot = True
+    elif "position vector" in mname or mcode in (1033, 1037, 9606):
+        invert_rot = False
+    elif "geocentric translations" in mname or mcode in (1031, 1035, 9603):
+        invert_rot = False
+    else:
+        raise ValueError(f"unsupported BOUNDCRS method {mname!r} "
+                         f"(EPSG:{mcode})")
+
+    vals = [0.0] * 7
+    for prm in ab.all("PARAMETER"):
+        pname = next((a for a in prm.args if isinstance(a, str)), "")
+        value = next((a for a in prm.args
+                      if isinstance(a, (int, float))), None)
+        if value is None:
+            continue
+        slot = _ABRIDGED_SLOTS.get(_id_code(prm))
+        if slot is None:
+            slot = _ABRIDGED_NAMES.get(pname.lower())
+        if slot is None:
+            raise ValueError(
+                f"unsupported ABRIDGEDTRANSFORMATION parameter {pname!r}")
+        if slot == 6:
+            value = (value - 1.0) * 1e6
+        vals[slot] = float(value)
+    if invert_rot:
+        for i_ in (3, 4, 5):
+            vals[i_] = -vals[i_] if vals[i_] != 0.0 else 0.0
+    towgs84 = "towgs84=" + ",".join(fmt(v) for v in vals)
+    if frag.endswith(" no_defs"):
+        return frag[: -len(" no_defs")] + f" {towgs84} no_defs"
+    return f"{frag} {towgs84}"
 
 
 def _node_to_projstring(root: Node) -> str:
@@ -400,9 +496,12 @@ def _node_to_projstring(root: Node) -> str:
         if hfrag.endswith(" no_defs"):
             return hfrag[: -len(" no_defs")] + f" {vfrag} no_defs"
         return f"{hfrag} {vfrag}"
+    if kw == "BOUNDCRS":
+        return _boundcrs_to_projstring(root)
     if kw != "PROJCRS" and kw != "PROJECTEDCRS":
         raise ValueError(f"unsupported WKT2 root {root.kw!r} "
-                         "(subset: GEOGCRS/PROJCRS/COMPOUNDCRS)")
+                         "(subset: GEOGCRS/PROJCRS/COMPOUNDCRS/"
+                         "BOUNDCRS)")
     base = root.first("BASEGEOGCRS", "BASEGEODCRS")
     if base is None:
         raise ValueError("PROJCRS without BASEGEOGCRS")
