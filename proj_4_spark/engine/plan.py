@@ -834,6 +834,12 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
         from proj_4_spark.sources.esri_wkt1 import wkt1_to_projstring
 
         projstring = "+" + wkt1_to_projstring(projstring).replace(" ", " +")
+    elif projstring.startswith("{"):
+        # PROJJSON (createFromUserInput dispatches on '{', io.cpp:5974)
+        from proj_4_spark.sources.projjson import projjson_to_projstring
+
+        projstring = "+" + projjson_to_projstring(projstring).replace(
+            " ", " +")
     elif re.fullmatch(r"[A-Za-z_]+:[A-Za-z0-9_.+-]+", projstring):
         # bare "AUTH:code" CRS spec (incl. the compound "EPSG:A+B"
         # form) — cs2cs accepts these directly (createFromUserInput)

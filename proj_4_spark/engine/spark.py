@@ -1227,9 +1227,10 @@ def transform(
 ):
     """Apply a proj-string operation to coordinate columns of ``df``.
 
-    ``projstring`` also accepts WKT2 (GEOGCRS/PROJCRS/COMPOUNDCRS),
-    ESRI WKT1 (PROJCS/GEOGCS) and bare ``AUTH:code`` CRS text
-    (createFromUserInput dispatch in engine.plan.create_operation).
+    ``projstring`` also accepts WKT2 (GEOGCRS/PROJCRS/COMPOUNDCRS/
+    BOUNDCRS), ESRI WKT1 (PROJCS/GEOGCS), PROJJSON and bare
+    ``AUTH:code`` CRS text (createFromUserInput dispatch in
+    engine.plan.create_operation).
 
     Angular input/output is degrees at the DataFrame edge when
     ``degrees=True`` (matching the reference CLIs, src/apps/proj.cpp:144-152);

@@ -1,0 +1,418 @@
+"""PROJJSON CRS text ingestion — subset.
+
+Reference: src/iso19111/io.cpp:4905 (``class JSONParser``);
+createFromUserInput dispatches on a leading ``{`` (io.cpp:5974).
+PROJJSON carries the same model as WKT2, so the reader maps the JSON
+dict onto the WKT2 ``Node`` tree and reuses sources/wkt2's compiler —
+the same EPSG method mappers, ellipsoid matching and unit handling —
+so a PROJJSON definition and its WKT2 twin produce identical
+proj-strings.
+
+Supported subset (mirrors the WKT2 reader's):
+- GeographicCRS / GeodeticCRS (datum or datum_ensemble, prime
+  meridian, degree/grad/custom angle units);
+- ProjectedCRS (base_crs + conversion via the shared EPSG method
+  mapping + axis length unit);
+- CompoundCRS (horizontal + vertical), VerticalCRS (ID- or
+  name-keyed against the generated vertical presets);
+- BoundCRS: helmert-family transformations -> +towgs84 (PROJJSON
+  values are TRUE values with units — metres / arc-seconds / ppm —
+  unlike the abridged WKT2 convention), NTv2 (EPSG:9615, parameter
+  8656) -> +nadgrids.
+
+The writer half (projstring_to_projjson) emits the same subset for
+the catalog presets, sharing the WKT2 writer's method tables; the
+round-trip test pins parse(write(x)) == x parameter-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from proj_4_spark.sources.epsg_methods import fmt
+from proj_4_spark.sources.wkt2 import (
+    Node,
+    _node_to_projstring,
+    _parse_projstring_tokens,
+    _wkt_family,
+    _WKT_METHODS,
+    _UNIT_WKT,
+)
+
+_ARCSEC_RAD = math.pi / 180.0 / 3600.0
+_DEG_RAD = math.pi / 180.0
+
+
+def _num(v, kind: str = "L") -> float:
+    """A PROJJSON measure: plain number (SI / degree) or
+    {"value": v, "unit": <string or unit object>}."""
+    if isinstance(v, dict):
+        val = float(v.get("value", 0.0))
+        u = v.get("unit")
+        f = _unit_conv(u)
+        if f is None:
+            return val
+        if kind == "A":
+            # angle: factor is rad/unit -> degrees
+            return val * f / _DEG_RAD
+        return val * f
+    return float(v)
+
+
+def _unit_conv(u) -> float | None:
+    """Conversion factor of a PROJJSON unit (string enum or object);
+    None for the kind's default (metre / degree / unity)."""
+    if u is None or u in ("metre", "degree", "unity"):
+        return None
+    if isinstance(u, dict):
+        f = u.get("conversion_factor")
+        return float(f) if f is not None else None
+    known = {"arc-second": _ARCSEC_RAD, "grad": math.pi / 200.0,
+             "radian": 1.0, "parts per million": 1e-6,
+             "foot": 0.3048, "US survey foot": 1200.0 / 3937.0,
+             "kilometre": 1000.0}
+    return known.get(str(u))
+
+
+def _unit_node(u, wkt_kind: str) -> Node | None:
+    """PROJJSON unit -> a WKT2 unit Node the wkt2 compiler understands
+    (None when the default applies)."""
+    f = _unit_conv(u)
+    if f is None:
+        return None
+    name = u.get("name", "unknown") if isinstance(u, dict) else str(u)
+    return Node(wkt_kind, [name, float(f)])
+
+
+def _id_node(d: dict) -> Node | None:
+    idd = d.get("id")
+    if idd is None:
+        ids = d.get("ids")
+        idd = ids[0] if ids else None
+    if not isinstance(idd, dict):
+        return None
+    return Node("ID", [str(idd.get("authority", "")),
+                       float(idd.get("code", -1))])
+
+
+def _ellipsoid_node(e: dict) -> Node:
+    name = str(e.get("name", "unknown"))
+    if "radius" in e:
+        a = _num(e["radius"])
+        rf = 0.0
+    else:
+        a = _num(e["semi_major_axis"])
+        if "inverse_flattening" in e:
+            rf = _num(e["inverse_flattening"], "K")
+        elif "semi_minor_axis" in e:
+            b = _num(e["semi_minor_axis"])
+            rf = 0.0 if b == a else a / (a - b)
+        else:
+            rf = 0.0
+    return Node("ELLIPSOID", [name, float(a), float(rf)])
+
+
+def _geog_args(d: dict) -> list:
+    """Shared GEOGCRS/BASEGEOGCRS arg list for a GeographicCRS dict."""
+    datum = d.get("datum") or d.get("datum_ensemble")
+    if datum is None:
+        raise ValueError("GeographicCRS without datum/datum_ensemble")
+    ell = datum.get("ellipsoid")
+    if ell is None:
+        raise ValueError("datum without ellipsoid")
+    args: list = [str(d.get("name", "unknown")),
+                  Node("DATUM", [str(datum.get("name", "unknown")),
+                                 _ellipsoid_node(ell)])]
+    pm = d.get("prime_meridian")
+    if pm is not None:
+        lon = _num(pm.get("longitude", 0.0), "A")
+        args.append(Node("PRIMEM", [str(pm.get("name", "unknown")),
+                                    float(lon)]))
+    idn = _id_node(d)
+    if idn is not None:
+        args.append(idn)
+    return args
+
+
+def _conversion_node(c: dict) -> Node:
+    m = c.get("method")
+    if m is None:
+        raise ValueError("conversion without method")
+    margs: list = [str(m.get("name", ""))]
+    idn = _id_node(m)
+    if idn is not None:
+        margs.append(idn)
+    args: list = [str(c.get("name", "unknown")), Node("METHOD", margs)]
+    for prm in c.get("parameters", []):
+        v = prm.get("value")
+        if not isinstance(v, (int, float)):
+            raise ValueError(
+                f"non-numeric conversion parameter {prm.get('name')!r}")
+        pargs: list = [str(prm.get("name", "")), float(v)]
+        u = prm.get("unit")
+        if isinstance(u, dict):
+            t = str(u.get("type", "")).lower()
+            wkt_kind = {"angularunit": "ANGLEUNIT",
+                        "linearunit": "LENGTHUNIT",
+                        "scaleunit": "SCALEUNIT"}.get(t, "UNIT")
+            un = _unit_node(u, wkt_kind)
+            if un is not None:
+                pargs.append(un)
+        elif u not in (None, "metre", "degree", "unity"):
+            f = _unit_conv(u)
+            if f is not None:
+                pargs.append(Node("UNIT", [str(u), float(f)]))
+        idn = _id_node(prm)
+        if idn is not None:
+            pargs.append(idn)
+        args.append(Node("PARAMETER", pargs))
+    return Node("CONVERSION", args)
+
+
+def _axis_length_unit(d: dict) -> Node | None:
+    cs = d.get("coordinate_system") or {}
+    for ax in cs.get("axis", []):
+        un = _unit_node(ax.get("unit"), "LENGTHUNIT")
+        if un is not None:
+            return un
+        if ax.get("unit") == "metre":
+            return Node("LENGTHUNIT", ["metre", 1.0])
+    return None
+
+
+def _vert_node(d: dict) -> Node:
+    args: list = [str(d.get("name", "unknown"))]
+    datum = d.get("datum") or d.get("datum_ensemble")
+    if datum is not None:
+        args.append(Node("VDATUM", [str(datum.get("name", "unknown"))]))
+    idn = _id_node(d)
+    if idn is not None:
+        args.append(idn)
+    return Node("VERTCRS", args)
+
+
+def _to_node(d: dict) -> Node:
+    t = str(d.get("type", ""))
+    if t in ("GeographicCRS", "GeodeticCRS"):
+        return Node("GEOGCRS", _geog_args(d))
+    if t == "ProjectedCRS":
+        base = d.get("base_crs")
+        if base is None:
+            raise ValueError("ProjectedCRS without base_crs")
+        conv = d.get("conversion")
+        if conv is None:
+            raise ValueError("ProjectedCRS without conversion")
+        args: list = [str(d.get("name", "unknown")),
+                      Node("BASEGEOGCRS", _geog_args(base)),
+                      _conversion_node(conv)]
+        un = _axis_length_unit(d)
+        if un is not None:
+            args.append(un)
+        idn = _id_node(d)
+        if idn is not None:
+            args.append(idn)
+        return Node("PROJCRS", args)
+    if t == "CompoundCRS":
+        comps = [_to_node(c) for c in d.get("components", [])]
+        return Node("COMPOUNDCRS", [str(d.get("name", "unknown"))] + comps)
+    if t == "VerticalCRS":
+        return _vert_node(d)
+    raise ValueError(f"unsupported PROJJSON type {t!r} (subset: "
+                     "GeographicCRS/ProjectedCRS/CompoundCRS/"
+                     "VerticalCRS/BoundCRS)")
+
+
+# BoundCRS helmert parameter slots (EPSG parameter codes) and the
+# target unit of each towgs84 slot
+_HELMERT_SLOTS = {8605: (0, "L"), 8606: (1, "L"), 8607: (2, "L"),
+                  8608: (3, "R"), 8609: (4, "R"), 8610: (5, "R"),
+                  8611: (6, "S")}
+_HELMERT_NAMES = {"x-axis translation": 8605, "y-axis translation": 8606,
+                  "z-axis translation": 8607, "x-axis rotation": 8608,
+                  "y-axis rotation": 8609, "z-axis rotation": 8610,
+                  "scale difference": 8611}
+
+
+def _bound_to_projstring(d: dict) -> str:
+    """BoundCRS -> source fragments + towgs84/nadgrids.
+
+    Unlike the WKT2 ABRIDGEDTRANSFORMATION convention, PROJJSON
+    transformation parameters carry TRUE values with units
+    (io.cpp JSONParser::buildBoundCRS): translations in metres,
+    rotations with an angular unit (arc-second in GDAL exports),
+    Scale difference in parts per million."""
+    src = d.get("source_crs")
+    tr = d.get("transformation")
+    if src is None or tr is None:
+        raise ValueError("BoundCRS needs source_crs and transformation")
+    frag = _node_to_projstring(_to_node(src))
+    m = tr.get("method") or {}
+    mname = str(m.get("name", "")).lower()
+    mid = m.get("id") or {}
+    mcode = int(mid.get("code", -1)) if isinstance(mid, dict) else -1
+
+    def _inject(extra: str) -> str:
+        if frag.endswith(" no_defs"):
+            return frag[: -len(" no_defs")] + f" {extra} no_defs"
+        return f"{frag} {extra}"
+
+    if mcode == 9615 or "ntv2" in mname:
+        for prm in tr.get("parameters", []):
+            pid = prm.get("id") or {}
+            if (isinstance(pid, dict) and int(pid.get("code", -1)) == 8656) \
+                    or "difference file" in str(prm.get("name", "")).lower():
+                return _inject(f"nadgrids={prm.get('value')}")
+        raise ValueError("NTv2 BoundCRS without a grid file parameter")
+
+    if "coordinate frame" in mname or mcode in (1032, 1038, 9607):
+        invert_rot = True
+    elif "position vector" in mname or mcode in (1033, 1037, 9606):
+        invert_rot = False
+    elif "geocentric translations" in mname or mcode in (1031, 1035, 9603):
+        invert_rot = False
+    else:
+        raise ValueError(f"unsupported BoundCRS method {mname!r} "
+                         f"(EPSG:{mcode})")
+    vals = [0.0] * 7
+    for prm in tr.get("parameters", []):
+        pid = prm.get("id") or {}
+        pcode = int(pid.get("code", -1)) if isinstance(pid, dict) else -1
+        if pcode not in _HELMERT_SLOTS:
+            pcode = _HELMERT_NAMES.get(str(prm.get("name", "")).lower(), -1)
+        if pcode not in _HELMERT_SLOTS:
+            raise ValueError(
+                f"unsupported BoundCRS parameter {prm.get('name')!r}")
+        slot, kind = _HELMERT_SLOTS[pcode]
+        v = float(prm.get("value", 0.0))
+        f = _unit_conv(prm.get("unit"))
+        if kind == "L":
+            v = v * f if f is not None else v
+        elif kind == "R":
+            # to arc-seconds (factor is rad/unit; default arc-second)
+            v = v * f / _ARCSEC_RAD if f is not None else v
+        else:
+            # to ppm (factor is ratio/unit; default ppm)
+            v = v * f / 1e-6 if f is not None else v
+        vals[slot] = v
+    if invert_rot:
+        for i in (3, 4, 5):
+            vals[i] = -vals[i] if vals[i] != 0.0 else 0.0
+    return _inject("towgs84=" + ",".join(fmt(v) for v in vals))
+
+
+def projjson_to_projstring(text: str | dict) -> str:
+    """Compile a PROJJSON document (string or parsed dict) to a
+    proj-string."""
+    d = json.loads(text) if isinstance(text, str) else text
+    if not isinstance(d, dict):
+        raise ValueError("PROJJSON root is not an object")
+    if d.get("type") == "BoundCRS":
+        return _bound_to_projstring(d)
+    return _node_to_projstring(_to_node(d))
+
+
+# ---------------------------------------------------------------------------
+# writer (round-trip half; shares the WKT2 writer's method tables)
+# ---------------------------------------------------------------------------
+
+def _ellipsoid_json(p: dict) -> dict:
+    from proj_4_spark.engine.plan import DATUMS
+    from proj_4_spark.kernels.ellipsoid import ELLPS_TABLE
+
+    if "datum" in p:
+        d = DATUMS.get(p["datum"])
+        if d is None:
+            raise ValueError(f"unknown datum {p['datum']}")
+        p.setdefault("ellps", d["ellps"])
+    if "ellps" in p:
+        ell = ELLPS_TABLE[p["ellps"]]
+        a = ell["a"]
+        if "rf" in ell:
+            rf = ell["rf"]
+        else:
+            b = ell["b"]
+            rf = 0.0 if b == a else a / (a - b)
+        name = p["ellps"]
+    elif "a" in p:
+        a = float(p["a"])
+        rf = float(p["rf"]) if "rf" in p else 0.0
+        if rf == 0.0 and "b" in p and float(p["b"]) != a:
+            rf = a / (a - float(p["b"]))
+        name = "unnamed"
+    else:
+        raise ValueError("preset without ellipsoid information")
+    if rf == 0.0:
+        return {"name": name, "radius": a}
+    return {"name": name, "semi_major_axis": a, "inverse_flattening": rf}
+
+
+def _geog_json(p: dict, name: str) -> dict:
+    out = {
+        "type": "GeographicCRS",
+        "name": name,
+        "datum": {"type": "GeodeticReferenceFrame", "name": "unknown",
+                  "ellipsoid": _ellipsoid_json(p)},
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [
+                {"name": "Longitude", "abbreviation": "lon",
+                 "direction": "east", "unit": "degree"},
+                {"name": "Latitude", "abbreviation": "lat",
+                 "direction": "north", "unit": "degree"},
+            ]},
+    }
+    pm = float(p.get("pm", 0.0) or 0.0)
+    if pm:
+        out["prime_meridian"] = {"name": "unnamed", "longitude": pm}
+    return out
+
+
+def projstring_to_projjson(projstring: str, name: str = "unnamed") -> dict:
+    """PROJJSON dict for a supported projected/geographic proj-string
+    preset (the writer half of the round-trip test: parse(write(x))
+    must reproduce x's parameters exactly)."""
+    p = _parse_projstring_tokens(projstring)
+    if p.get("proj") == "longlat":
+        return _geog_json(p, name)
+    fam = _wkt_family(p)
+    if fam is None:
+        raise ValueError(f"no PROJJSON writer for proj={p.get('proj')!r}")
+    key, pp = fam
+    code, mname, plist = _WKT_METHODS[key]
+    params = []
+    for pcode, pname, projkey, kind, default in plist:
+        v = float(pp.get(projkey, default) or default)
+        unit = {"A": "degree", "K": "unity", "L": "metre"}[kind]
+        params.append({"name": pname, "value": v, "unit": unit,
+                       "id": {"authority": "EPSG", "code": pcode}})
+    if "units" in p and p["units"] in _UNIT_WKT:
+        uname, ufac = _UNIT_WKT[p["units"]]
+    elif "to_meter" in p:
+        uname, ufac = "unknown", float(p["to_meter"])
+    else:
+        uname, ufac = "metre", 1.0
+    if ufac == 1.0:
+        unit_json = "metre"
+    else:
+        unit_json = {"type": "LinearUnit", "name": uname,
+                     "conversion_factor": ufac}
+    return {
+        "type": "ProjectedCRS",
+        "name": name,
+        "base_crs": _geog_json(p, name + " base"),
+        "conversion": {
+            "name": name + " conversion",
+            "method": {"name": mname,
+                       "id": {"authority": "EPSG", "code": code}},
+            "parameters": params,
+        },
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [
+                {"name": "Easting", "abbreviation": "E",
+                 "direction": "east", "unit": unit_json},
+                {"name": "Northing", "abbreviation": "N",
+                 "direction": "north", "unit": unit_json},
+            ]},
+    }
