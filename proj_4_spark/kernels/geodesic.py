@@ -575,11 +575,14 @@ class Geodesic:
                     sbet1, -cbet1, dn1, sbet2, cbet2, dn2, want_s12=False,
                 )
                 x = -1 + m12b / (cbet1 * cbet2 * m0 * math.pi)
-                betscale = np.where(
-                    x < -0.01, sbet12a / x, -g.f * cbet1**2 * math.pi
-                )
-                lamscale = betscale / cbet1
-                y = lam12x / lamscale
+                # sbet12a/x evaluates both lanes; x may be 0/NaN in the
+                # unselected (x >= -0.01) branch
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    betscale = np.where(
+                        x < -0.01, sbet12a / x, -g.f * cbet1**2 * math.pi
+                    )
+                    lamscale = betscale / cbet1
+                    y = lam12x / lamscale
 
             near_cut = (y > -_TOL1) & (x > -1 - _XTHRESH)
             if g.f >= 0:

@@ -546,6 +546,12 @@ def test_karney_kernel_emits_no_runtime_warnings():
                                 np.array([1.0, 2.0]), np.array([3.0, 4.0]))
         geodesic_direct(lat, lon, rng.uniform(0, 360, 5000),
                         rng.uniform(0, 2e7, 5000))
+        # r6: prolate (f<0) near-antipodal pairs drive the astroid
+        # fallback's -y*(1+k)/k lane where k can be 0 in the masked
+        # branch (geodesic.py:595) — the last unwrapped divide
+        geodesic_inverse_karney(lon, lat, lon + np.pi * 0.999, -lat,
+                                f=-1 / 300.0)
+        geodesic_inverse_karney(lon, lat, lon + np.pi, -lat)
     runtime = [x for x in w if issubclass(x.category, RuntimeWarning)]
     assert not runtime, [str(x.message) for x in runtime[:5]]
 

@@ -53,3 +53,63 @@ def test_registry_parity_holds():
     from proj_4_spark.engine.plan import _registry
 
     assert len(_registry()) >= 175
+
+
+def test_r6_twin_roster_and_text_formats():
+    """r6 ratchets: the datum-pipeline twin, the widened inverse-twin
+    roster, and the full CRS-text surface (WKT2 incl. BOUNDCRS, ESRI
+    WKT1, PROJJSON) stay wired."""
+    from proj_4_spark.engine.plan import create_operation
+    from proj_4_spark.engine.spark import (
+        _datum_jvm_legs,
+        _inv_jvm_fast_path_ok,
+    )
+
+    op = create_operation(
+        "+proj=pipeline +ellps=GRS80 +step +proj=cart "
+        "+step +proj=helmert +x=1 +step +proj=cart +inv")
+    assert _datum_jvm_legs(op, "fwd") is not None
+    assert _datum_jvm_legs(op, "inv") is not None
+
+    inv_twins = (
+        "+proj=webmerc +ellps=WGS84",
+        "+proj=merc +R=6371000",
+        "+proj=eqc +ellps=WGS84",
+        "+proj=cea +ellps=WGS84",       # ellipsoidal authlat series
+        "+proj=laea +ellps=GRS80 +lat_0=52",
+        "+proj=stere +R=6371000 +lat_0=90",
+        "+proj=sinu +R=6371000",
+        "+proj=eqdc +R=6371000 +lat_1=20 +lat_2=60",
+    )
+    for ps in inv_twins:
+        assert _inv_jvm_fast_path_ok(create_operation(ps), "inv"), ps
+
+    # fwd twin roster (15 families) keeps compiling
+    fwd_twins = ("webmerc", "merc", "eqc", "cea", "lcc", "aea", "leac",
+                 "stere", "ups", "laea", "sterea", "somerc", "krovak",
+                 "sinu", "eqdc")
+    from proj_4_spark.engine.spark import _webmerc_jvm_fast_path_ok
+
+    ex = {"lcc": " +lat_1=33 +lat_2=45", "aea": " +lat_1=29 +lat_2=45",
+          "leac": " +lat_1=29", "eqdc": " +lat_1=20 +lat_2=60",
+          "krovak": "", "somerc": ""}
+    for name in fwd_twins:
+        ps = f"+proj={name} +ellps=GRS80" + ex.get(name, "")
+        assert _webmerc_jvm_fast_path_ok(create_operation(ps), "fwd"), ps
+
+    # CRS-text formats all dispatch through create_operation
+    from proj_4_spark.sources.projjson import projstring_to_projjson
+    import json
+
+    assert create_operation(json.dumps(projstring_to_projjson(
+        "proj=utm zone=32 ellps=WGS84"))).P.name == "utm"
+    assert create_operation(
+        'BOUNDCRS[SOURCECRS[GEOGCRS["g",DATUM["d",ELLIPSOID["e",'
+        '6378137,298.257223563]]]],TARGETCRS[GEOGCRS["t",DATUM["d",'
+        'ELLIPSOID["e",6378137,298.257223563]]]],'
+        'ABRIDGEDTRANSFORMATION["a",METHOD["Geocentric translations '
+        '(geog2D domain)",ID["EPSG",9603]],'
+        'PARAMETER["X-axis translation",1],'
+        'PARAMETER["Y-axis translation",2],'
+        'PARAMETER["Z-axis translation",3]]]'
+    ).P.params.get("towgs84") == "1,2,3,0,0,0,0"
