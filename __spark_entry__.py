@@ -815,6 +815,59 @@ def _q_pipeline_composed(spark, sf_dir):
     )
 
 
+_TOWGS84_PS = ("+proj=longlat +ellps=bessel "
+               "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+
+
+def _q_towgs84_shift(spark, sf_dir):
+    """Datum-modified SINGLE op (+towgs84 cs2cs-emulation hooks; DHDN
+    7-param EXACT position-vector rotation): WGS84 -> bessel geodetic
+    shift with ellipsoidal heights.  Runs as the r6 composed Catalyst
+    twin (datum legs + latlong identity, zero Python workers); the
+    oracle mirrors cart fwd (WGS84) -> exact-helmert inverse -> cart
+    inv (bessel, Bowring closed form) term-for-term in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    pts = _geo_points(spark, sf_dir)
+    out = transform(pts, _TOWGS84_PS, x="lon", y="lat", out_prefix="d_")
+    return out.select(
+        "event_id",
+        _i(F.col("d_x"), 1000000).alias("dlon"),
+        _i(F.col("d_y"), 1000000).alias("dlat"),
+        _i(F.col("d_z"), 10000).alias("dh"),
+    )
+
+
+_LAEA_PS = "+proj=laea +ellps=GRS80 +lat_0=52 +lon_0=10"
+
+
+def _q_laea_inverse(spark, sf_dir):
+    """Reverse geocode through the r6 laea INVERSE Catalyst twin
+    (ETRS89-LAEA Europe, the standard EU grid): projected metres ->
+    lon/lat with zero Python workers (authalic-latitude closed series
+    auth.cpp:33-38).  The oracle recomputes laea.cpp:140-186 + authlat
+    term-for-term in DuckDB from the op's own setup constants."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 7919 % 4000000) - 2000000.0).alias("px"),
+        ((F.col("event_id") * 104729 % 4000000) - 2000000.0).alias("py"),
+    )
+    out = transform(pts, _LAEA_PS, x="px", y="py", direction="inv",
+                    out_prefix="i_")
+    return out.select(
+        "event_id",
+        _i(F.col("i_x"), 1000000).alias("ilon"),
+        _i(F.col("i_y"), 1000000).alias("ilat"),
+    )
+
+
 def _q_proj_factors(spark, sf_dir):
     """proj_factors (src/factors.cpp) for Mercator over the events-derived
     points; DuckDB recomputes the conformal closed form
@@ -1489,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "axisswap": _q_axisswap,
         "unitconvert": _q_unitconvert,
         "pipeline_datum_shift": _q_pipeline_composed,
+        "towgs84_datum_shift": _q_towgs84_shift,
+        "laea_inverse": _q_laea_inverse,
         "compound_geoid": _q_compound_geoid,
         "nad27_catalog_routed": _q_nad27_catalog_routed,
         "proj_factors": _q_proj_factors,
@@ -1745,6 +1800,113 @@ def oracle_sql() -> dict[str, str]:
     pipe_lon = sqli(f"{out_lam} / {_D2R}", 1000000)
     pipe_lat = sqli(f"{out_phi} / {_D2R}", 1000000)
 
+    # towgs84_datum_shift oracle: cart fwd on WGS84 -> EXACT 7-param
+    # position-vector helmert INVERSE (transpose multiply,
+    # helmert.cpp:403-436) -> cart inv on bessel (Bowring closed form
+    # incl. the height, cart.cpp:150-205; the synthetic points avoid
+    # the polar/near-origin branches).  All scalar constants come from
+    # the engine's own plan-time setup (repr'd doubles).
+    from proj_4_spark.kernels.helmert import _params_at as _helmert_params
+
+    dm_op = create_operation(_TOWGS84_PS)
+    hq = dm_op.P.helmert.P.opaque
+    (htx, hty, htz), hs_ppm, _, hR = _helmert_params(hq, hq["t_epoch"])
+    hs = 1 + hs_ppm * 1e-6
+    wP = dm_op.P.cart_wgs84.P
+    bP = dm_op.P.cart.P
+    wN = f"({wP.a!r} / sqrt(1.0 - {wP.es!r} * sin({phi}) * sin({phi})))"
+    wx = f"({wN} * cos({phi}) * cos({lam}))"
+    wy = f"({wN} * cos({phi}) * sin({lam}))"
+    wz = f"({wN} * (1.0 - {wP.es!r}) * sin({phi}))"
+    dxs = f"(({wx} - {htx!r}) / {hs!r})"
+    dys = f"(({wy} - {hty!r}) / {hs!r})"
+    dzs = f"(({wz} - {htz!r}) / {hs!r})"
+    dbx = f"({hR[0][0]!r} * {dxs} + {hR[1][0]!r} * {dys} + {hR[2][0]!r} * {dzs})"
+    dby = f"({hR[0][1]!r} * {dxs} + {hR[1][1]!r} * {dys} + {hR[2][1]!r} * {dzs})"
+    dbz = f"({hR[0][2]!r} * {dxs} + {hR[1][2]!r} * {dys} + {hR[2][2]!r} * {dzs})"
+    dm_lam = sqli(f"atan2({dby}, {dbx}) / {_D2R}", 1000000)
+    dm_phi = f"atan(dm_yph / dm_xph)"
+    dm_lat = sqli(f"{dm_phi} / {_D2R}", 1000000)
+    dm_nb = (f"({bP.a!r} / sqrt(1.0 - {bP.es!r} * "
+             f"(dm_yph / dm_nph) * (dm_yph / dm_nph)))")
+    dm_h = sqli(f"dm_p / (dm_xph / dm_nph) - {dm_nb}", 10000)
+    # staged via nested subselects (the lateral-alias textual-expansion
+    # lesson): each Bowring intermediate computed once per level
+    towgs84_sql = (
+        "select event_id, dm_lam as dlon, "
+        f"{dm_lat} as dlat, {dm_h} as dh from ("
+        "select event_id, dm_lam, dm_p, dm_yph, dm_xph, "
+        "sqrt(dm_yph * dm_yph + dm_xph * dm_xph) as dm_nph from ("
+        "select event_id, dm_lam, dm_p, "
+        f"(dm_z + {bP.e2s!r} * {bP.b!r} * dm_s * dm_s * dm_s) as dm_yph, "
+        f"(dm_p - {bP.es!r} * {bP.a!r} * dm_c * dm_c * dm_c) as dm_xph "
+        "from ("
+        "select event_id, dm_lam, dm_p, dm_z, "
+        "(dm_p * dm_bb) / dm_nrm as dm_c, "
+        "(dm_z * dm_aa) / dm_nrm as dm_s from ("
+        "select event_id, dm_lam, dm_p, dm_z, dm_aa, dm_bb, "
+        "sqrt(dm_z * dm_aa * dm_z * dm_aa + dm_p * dm_bb * dm_p * dm_bb)"
+        " as dm_nrm from ("
+        "select event_id, "
+        f"{dm_lam} as dm_lam, "
+        f"sqrt({dbx} * {dbx} + {dby} * {dby}) as dm_p, "
+        f"{dbz} as dm_z, {bP.a!r} as dm_aa, {bP.b!r} as dm_bb "
+        f"from ({GEO_SQL_SRC})"
+        ")))))"
+    )
+
+    # laea_inverse oracle: laea.cpp:140-186 oblique ellipsoidal inverse
+    # + the 3-term authalic-latitude series (auth.cpp:33-38), constants
+    # from the op's plan-time setup; center rows guarded like the kernel
+    la_op = create_operation(_LAEA_PS)
+    laq = la_op.P.opaque
+    la_lon0 = la_op.P.lam0
+    la_src = ("select event_id, "
+              "(event_id * 7919 % 4000000) - 2000000.0 as px, "
+              "(event_id * 104729 % 4000000) - 2000000.0 as py "
+              "from events")
+    la_apa = laq["apa"]
+    la_authlat = (
+        "(la_beta"
+        f" + {la_apa[0]!r} * sin(2.0 * la_beta)"
+        f" + {la_apa[1]!r} * sin(4.0 * la_beta)"
+        f" + {la_apa[2]!r} * sin(6.0 * la_beta))"
+    )
+    la_raw = (
+        f"(case when la_rho < 1e-10 then 0.0 else "
+        f"atan2(la_x * la_sce, "
+        f"la_rho * {laq['cosb1']!r} * la_cce"
+        f" - la_y * {laq['sinb1']!r} * la_sce) end + {la_lon0!r})"
+    )
+    # inv_finalize adjlon wrap (+lon_0 can push atan2 output past pi)
+    la_lam = (
+        f"(case when abs({la_raw}) < pi() + 1e-12 then {la_raw} "
+        f"else ({la_raw} + pi()) - 2*pi()*floor(({la_raw} + pi())/(2*pi())) - pi() end)"
+    )
+    laea_inv_sql = (
+        "select event_id, "
+        f"{sqli(f'{la_lam} / {_D2R}', 1000000)} as ilon, "
+        f"{sqli(f'(case when la_rho < 1e-10 then {la_op.P.phi0!r} else {la_authlat} end) / {_D2R}', 1000000)}"
+        " as ilat from ("
+        "select event_id, la_x, la_y, la_rho, la_sce, la_cce, "
+        f"asin(greatest(least((case when la_rho < 1e-10 then 0.0 else "
+        f"la_cce * {laq['sinb1']!r}"
+        f" + la_y * la_sce * {laq['cosb1']!r} / la_rho end), 1.0), -1.0))"
+        " as la_beta from ("
+        "select event_id, la_x, la_y, la_rho, "
+        "sin(la_sce0) as la_sce, cos(la_sce0) as la_cce from ("
+        "select event_id, la_x, la_y, la_rho, "
+        f"2.0 * asin(greatest(least(0.5 * la_rho / {laq['rq']!r}, 1.0),"
+        " -1.0)) as la_sce0 from ("
+        "select event_id, la_x, la_y, "
+        "sqrt(la_x * la_x + la_y * la_y) as la_rho from ("
+        "select event_id, "
+        f"(px / {la_op.P.a!r}) / {laq['dd']!r} as la_x, "
+        f"(py / {la_op.P.a!r}) * {laq['dd']!r} as la_y "
+        f"from ({la_src})"
+        ")))))"
+    )
+
     zone_rows = " union all ".join(
         f"select '{z}' as zone_id, {a!r} as zmin_lon, {b!r} as zmin_lat, "
         f"{c!r} as zmax_lon, {d!r} as zmax_lat"
@@ -1814,6 +1976,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_datum_shift": (
             f"select event_id, {pipe_lon} as plon, {pipe_lat} as plat from ({GEO_SQL_SRC})"
         ),
+        "towgs84_datum_shift": towgs84_sql,
+        "laea_inverse": laea_inv_sql,
         # proj_factors for merc: DuckDB mirrors the engine's own 4-point
         # finite-difference stencil (deriv.cpp) term-by-term so both
         # sides produce the same doubles (libm-ulp noise only, far below

@@ -1024,93 +1024,95 @@ def _sql_dlit(v: float) -> str:
     return repr(v) + "D"
 
 
-def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
-                     z_supplied: bool, out_prefix: str):
-    """Staged-projection Catalyst twin of a cart/helmert datum pipeline
-    (engine/plan.py PipelineOperation over the legs from
-    _datum_jvm_legs): towgs84-style datum shifts run with ZERO Python
-    workers.  Every non-cheap intermediate lands in its own select so
-    CollapseProject keeps the plan linear-size inside one
-    whole-stage-codegen region (the etmerc-twin staging rule).
+class _SqlStager:
+    """Accumulates staged-projection SQL stages; ONE selectExpr (py4j
+    round-trip) per stage instead of hundreds of Column-object calls —
+    building a ~15-stage plan costs ~20 ms instead of ~400 ms, which
+    dominated small-batch wall time.  Fragments referenced more than
+    once must be column refs from an earlier stage, never textual
+    expression duplication (the DuckDB lateral-alias lesson)."""
 
-    The stages are emitted as SQL strings — ONE selectExpr (py4j
-    round-trip) per stage instead of hundreds of Column-object calls;
-    building this plan costs ~20 ms instead of ~400 ms, which dominated
-    small-batch wall time.  Fragments referenced more than once are
-    always column refs from an earlier stage, never textual expression
-    duplication (the DuckDB lateral-alias lesson).
+    PREFIX = "_jd_"
 
-    Semantics replicated term for term against the Arrow-UDF path
-    (parity pinned in tests/test_engine.py):
-    - global error rows (null/NaN x,y[,z], |lam|>10 rad pre-wrap,
-      |phi| overrange by >1e-12) -> NaN x/y/z out (fwd.cpp:41-102);
-    - per-cart-leg angular prepare (adjlon wrap + lat clip) and
-      finalize (adjlon), cart fwd/inv closed forms (cart.cpp:132-205)
-      incl. the near-origin and polar branches;
+    def __init__(self):
+        self.tmp: list[str] = []
+        self.stages: list[list[str]] = []
+
+    def stage(self, **cols):
+        exprs = []
+        for name, sql in cols.items():
+            self.tmp.append(self.PREFIX + name)
+            exprs.append(f"({sql}) AS {self.PREFIX}{name}")
+        self.stages.append(exprs)
+
+    def col(self, name: str) -> str:
+        return self.PREFIX + name
+
+    def apply(self, df, final_exprs: list[str] | None = None):
+        out = df
+        for exprs in self.stages:
+            out = out.selectExpr("*", *exprs)
+        if final_exprs:
+            out = out.selectExpr("*", *final_exprs)
+        return out.drop(*self.tmp)
+
+
+def _sql_adjlon(c: str) -> str:
+    """adjlon over a COLUMN REF (appears 4x textually)."""
+    L = _sql_dlit
+    PI, TWO_PI = L(math.pi), L(2.0 * math.pi)
+    return (f"CASE WHEN abs({c}) >= {L(math.pi + 1e-12)} THEN "
+            f"(({c}) + {PI}) - {TWO_PI} * floor((({c}) + {PI})"
+            f" / {TWO_PI}) - {PI} ELSE ({c}) END")
+
+
+def _emit_datum_legs(st: _SqlStager, legs, cx: str, cy: str, cz: str,
+                     tag: str = "", first_cart_prepare: bool = True):
+    """Emit the SQL stages for a cart/helmert leg sequence starting from
+    the column refs (cx, cy, cz); returns the final (cx, cy, cz).
+
+    Semantics term for term against the NumPy kernels (parity pinned in
+    tests/test_engine.py):
+    - cart fwd: angular prepare (adjlon wrap + lat clip — a no-op when
+      the caller pre-wrapped, matching the bare skip-prep helper ops of
+      the cs2cs emulation graph) then cart.cpp:132-147;
+    - cart inv: the closed form cart.cpp:150-205 incl. the near-origin
+      and polar branches, then the finalize adjlon (a no-op on atan2
+      output — matches both the pipeline-step and bare-helper cases);
     - static helmert / Molodensky-Badekas matmul with plan-time
       parameter resolution at t_epoch (helmert.cpp:363-436).
     """
     from proj_4_spark.kernels.helmert import _params_at
 
     L = _sql_dlit
-    PI = L(math.pi)
-    TWO_PI = L(2.0 * math.pi)
     HALF_PI = L(math.pi / 2.0)
-    NAN = "CAST('NaN' AS DOUBLE)"
-    T = "_jd_"
-    tmp: list[str] = []
-    stages: list[list[str]] = []
-
-    def stage(**cols):
-        exprs = []
-        for name, sql in cols.items():
-            tmp.append(T + name)
-            exprs.append(f"({sql}) AS {T}{name}")
-        stages.append(exprs)
-
-    def col(name):
-        return T + name
-
-    def adjlon(c):
-        # c MUST be a column ref (appears 4x textually)
-        return (f"CASE WHEN abs({c}) >= {L(math.pi + 1e-12)} THEN "
-                f"(({c}) + {PI}) - {TWO_PI} * floor((({c}) + {PI})"
-                f" / {TWO_PI}) - {PI} ELSE ({c}) END")
-
-    xq, yq = f"CAST(`{x}` AS DOUBLE)", f"CAST(`{y}` AS DOUBLE)"
-    if degrees:
-        lam_sql, phi_sql = f"radians({xq})", f"radians({yq})"
-    else:
-        lam_sql, phi_sql = xq, yq
-    if z is not None:
-        zz_sql = f"coalesce(CAST(`{z}` AS DOUBLE), {NAN})"
-    else:
-        zz_sql = "0.0D"
-    if t is not None:
-        tt_sql = f"coalesce(CAST(`{t}` AS DOUBLE), {NAN})"
-    else:
-        tt_sql = "0.0D"
-    stage(lam=lam_sql, phi=phi_sql, zz=zz_sql, tt=tt_sql)
-    err = (f"`{x}` IS NULL OR isnan({xq}) OR `{y}` IS NULL OR "
-           f"isnan({yq}) OR {col('lam')} > 10.0D OR "
-           f"{col('lam')} < -10.0D OR "
-           f"abs({col('phi')}) - {HALF_PI} > 1e-12D")
-    if z_supplied:
-        err += f" OR `{z}` IS NULL OR isnan({col('zz')})"
-    stage(err=err)
-    cx, cy, cz = col("lam"), col("phi"), col("zz")
+    adjlon = _sql_adjlon
+    col = st.col
 
     for i, (kind, step_dir, P) in enumerate(legs):
         def s(name):
-            return col(f"l{i}_{name}")
+            return col(f"{tag}l{i}_{name}")
 
         def put(**cols):
-            stage(**{f"l{i}_{n}": v for n, v in cols.items()})
+            st.stage(**{f"{tag}l{i}_{n}": v for n, v in cols.items()})
 
         if kind == "cart" and step_dir == "fwd":
-            # fwd prepare (adjlon + clip) then cart.cpp:132-147
-            put(lamw=adjlon(cx),
-                phic=f"least(greatest({cy}, -{HALF_PI}), {HALF_PI})")
+            # fwd prepare (adjlon + clip) then cart.cpp:132-147.  The
+            # cs2cs-emulation INVERSE chain feeds a BARE cart helper
+            # with no prepare (inv_finalize pre-wraps lam but never
+            # clips phi, src/inv.cpp:117-124) — first_cart_prepare=False
+            # keeps out-of-range latitudes unclipped there.
+            if i == 0 and not first_cart_prepare:
+                put(lamw=cx, phic=cy)
+            else:
+                # NaN-preserving clip: Spark's least/greatest order NaN
+                # LAST (greatest(NaN,c)=NaN but least(NaN,c)=c), which
+                # would turn a NaN latitude into +pi/2 — np.clip keeps
+                # NaN
+                put(lamw=adjlon(cx),
+                    phic=f"CASE WHEN isnan({cy}) THEN {cy} ELSE "
+                         f"least(greatest({cy}, -{HALF_PI}), {HALF_PI})"
+                         f" END")
             put(sp=f"sin({s('phic')})", cp=f"cos({s('phic')})",
                 sl=f"sin({s('lamw')})", cl=f"cos({s('lamw')})")
             if P.es != 0.0:
@@ -1191,11 +1193,56 @@ def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
                         Z=f"{r[0][2]} * {Xs} + {r[1][2]} * {Ys}"
                           f" + {r[2][2]} * {Zs} + {L(pz)}")
             cx, cy, cz = s("X"), s("Y"), s("Z")
+    return cx, cy, cz
 
+
+def _entry_stages(st: _SqlStager, x, y, z, t, degrees: bool,
+                  z_supplied: bool):
+    """Shared entry: radian lam/phi, synthesized z/t, the global error
+    predicate (fwd.cpp:41-102)."""
+    L = _sql_dlit
+    NAN = "CAST('NaN' AS DOUBLE)"
+    col = st.col
+    xq, yq = f"CAST(`{x}` AS DOUBLE)", f"CAST(`{y}` AS DOUBLE)"
     if degrees:
-        cx = f"{cx} * {L(C.RAD_TO_DEG)}"
-        cy = f"{cy} * {L(C.RAD_TO_DEG)}"
-    errc = col("err")
+        lam_sql, phi_sql = f"radians({xq})", f"radians({yq})"
+    else:
+        lam_sql, phi_sql = xq, yq
+    # NULL inputs normalize to NaN up front (the UDF path's na_value):
+    # SQL NULL would otherwise slip through least/greatest, which SKIP
+    # NULLs instead of propagating
+    lam_sql = f"coalesce({lam_sql}, {NAN})"
+    phi_sql = f"coalesce({phi_sql}, {NAN})"
+    zz_sql = (f"coalesce(CAST(`{z}` AS DOUBLE), {NAN})"
+              if z is not None else "0.0D")
+    tt_sql = (f"coalesce(CAST(`{t}` AS DOUBLE), {NAN})"
+              if t is not None else "0.0D")
+    st.stage(lam=lam_sql, phi=phi_sql, zz=zz_sql, tt=tt_sql)
+    err = (f"`{x}` IS NULL OR isnan({xq}) OR `{y}` IS NULL OR "
+           f"isnan({yq}) OR {col('lam')} > 10.0D OR "
+           f"{col('lam')} < -10.0D OR "
+           f"abs({col('phi')}) - {L(math.pi / 2.0)} > 1e-12D")
+    if z_supplied:
+        err += f" OR `{z}` IS NULL OR isnan({col('zz')})"
+    st.stage(err=err)
+
+
+def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
+                     z_supplied: bool, out_prefix: str):
+    """Staged-projection Catalyst twin of a cart/helmert datum pipeline
+    (engine/plan.py PipelineOperation over the legs from
+    _datum_jvm_legs): towgs84-style datum shifts run with ZERO Python
+    workers.  Stage layout and semantics in _emit_datum_legs /
+    _SqlStager; parity pinned in tests/test_engine.py."""
+    NAN = "CAST('NaN' AS DOUBLE)"
+    st = _SqlStager()
+    _entry_stages(st, x, y, z, t, degrees, z_supplied)
+    cx, cy, cz = st.col("lam"), st.col("phi"), st.col("zz")
+    cx, cy, cz = _emit_datum_legs(st, legs, cx, cy, cz)
+    if degrees:
+        cx = f"{cx} * {_sql_dlit(C.RAD_TO_DEG)}"
+        cy = f"{cy} * {_sql_dlit(C.RAD_TO_DEG)}"
+    errc = st.col("err")
     outs = [
         f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({cx}, {NAN}) END"
         f" AS `{out_prefix}x`",
@@ -1203,14 +1250,244 @@ def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
         f" AS `{out_prefix}y`",
         f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({cz}, {NAN}) END"
         f" AS `{out_prefix}z`",
-        f"{col('tt')} AS `{out_prefix}t`",
+        f"{st.col('tt')} AS `{out_prefix}t`",
     ]
-    out = df
-    for exprs in stages:
-        out = out.selectExpr("*", *exprs)
-    out = out.selectExpr("*", *outs)
-    return out.drop(*tmp)
+    return st.apply(df, outs)
 
+
+_FWD_TWIN_NAMES = ("webmerc", "merc", "eqc", "cea", "lcc", "aea",
+                   "leac", "stere", "ups", "laea", "sterea", "somerc",
+                   "krovak", "sinu", "eqdc")
+
+
+def _inv_twin_name_ok(P) -> bool:
+    """Closed-form-inverse gating shared by the bare and composed
+    inverse twins (ellipsoidal stere/sinu/eqdc iterate; ellipsoidal
+    merc needs the phi2 iteration)."""
+    name = getattr(P, "name", None)
+    if name == "merc" and P.es != 0.0:
+        return False
+    if name in ("stere", "ups", "sinu") and P.es != 0.0:
+        return False
+    if name == "eqdc" and P.opaque.get("ellips"):
+        return False
+    return name in ("webmerc", "merc", "eqc", "cea", "laea",
+                    "stere", "ups", "sinu", "eqdc")
+
+
+def _bare_cart_helper_ok(hop) -> bool:
+    hp = getattr(hop, "P", None)
+    if hp is None or getattr(hop, "inverted", False):
+        return False
+    if hp.name != "cart":
+        return False
+    if (hp.lam0 != 0.0 or hp.from_greenwich != 0.0 or hp.over
+            or hp.geoc or hp.x0 != 0.0 or hp.y0 != 0.0
+            or hp.fr_meter != 1.0 or hp.to_meter != 1.0):
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(hp, attr, None) is not None:
+            return False
+    return True
+
+
+def _static_helmert_helper_ok(hop) -> bool:
+    from proj_4_spark.kernels.base import UNITS_CARTESIAN
+
+    hp = getattr(hop, "P", None)
+    if hp is None or getattr(hop, "inverted", False):
+        return False
+    if hp.name not in ("helmert", "molobadekas"):
+        return False
+    if hp.left != UNITS_CARTESIAN:
+        return False
+    Q = hp.opaque
+    if (Q.get("fourparam") or Q["dxyz"] != (0.0, 0.0, 0.0)
+            or Q["dopk"] != (0.0, 0.0, 0.0)
+            or Q["dscale"] != 0.0 or Q["dtheta"] != 0.0):
+        return False
+    return hp.fr_meter == 1.0 and hp.to_meter == 1.0
+
+
+def _datum_modified_jvm_ok(op, direction: str) -> bool:
+    """True when a SINGLE datum-modified operation (+towgs84 / +datum
+    cs2cs-emulation hooks: P.cart + P.cart_wgs84 [+ P.helmert]) can run
+    as the composed Catalyst twin: datum legs (closed forms, see
+    _emit_datum_legs) + the projection's own expression twin — i.e. the
+    dominant catalog-preset shape runs with zero Python workers in both
+    directions.  Grid hooks (+nadgrids/+geoidgrids), +axis, +over,
+    +geoc, long-wrap, prime meridians, vertical unit scaling and
+    geocentric CRS stay on the Arrow-UDF path."""
+    from proj_4_spark.engine.plan import PipelineOperation
+
+    P = getattr(op, "P", None)
+    if P is None or isinstance(op, PipelineOperation):
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    if direction not in ("fwd", "inv"):
+        return False
+    if P.cart is None or P.cart_wgs84 is None:
+        return False  # not datum-modified: the bare twins handle it
+    if getattr(P, "is_geocent", False):
+        return False
+    for attr in ("hgridshift", "vgridshift", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if P.over or P.geoc or P.from_greenwich != 0.0 or P.is_long_wrap_set:
+        return False
+    if P.z0 != 0.0:
+        return False  # vfr/vto_meter (e.g. +units=km) are handled
+    if not (_bare_cart_helper_ok(P.cart)
+            and _bare_cart_helper_ok(P.cart_wgs84)):
+        return False
+    if P.helmert is not None and not _static_helmert_helper_ok(P.helmert):
+        return False
+    if getattr(P, "is_latlong", False):
+        return True
+    if direction == "fwd":
+        return P.name in _FWD_TWIN_NAMES
+    return _inv_twin_name_ok(P)
+
+
+def _emulation_legs(P, direction: str):
+    """The cs2cs-emulation datum leg sequence (fwd_prepare
+    src/fwd.cpp:74-85 / inv_finalize src/inv.cpp:117-124)."""
+    if direction == "fwd":
+        legs = [("cart", "fwd", P.cart_wgs84.P)]
+        if P.helmert is not None:
+            legs.append(("helmert", "inv", P.helmert.P))
+        legs.append(("cart", "inv", P.cart.P))
+    else:
+        legs = [("cart", "fwd", P.cart.P)]
+        if P.helmert is not None:
+            legs.append(("helmert", "fwd", P.helmert.P))
+        legs.append(("cart", "inv", P.cart_wgs84.P))
+    return legs
+
+
+def _datum_modified_fwd_apply(df, op, x, y, z, t, degrees: bool,
+                              z_supplied: bool, out_prefix: str):
+    """Composed forward twin for a datum-modified single op: SQL-staged
+    datum legs (WGS84 -> local datum, fwd_prepare order) feeding the
+    projection's Column-expression twin (or the latlong identity).
+
+    The masked hand-off (err -> NaN on the staged geographic columns)
+    makes the projection twin's own isnan error predicate subsume the
+    global error rows, exactly like NaN propagation through the NumPy
+    kernels on the UDF path."""
+    from pyspark.sql import functions as F
+
+    P = op.P
+    NAN = "CAST('NaN' AS DOUBLE)"
+    st = _SqlStager()
+    _entry_stages(st, x, y, z, t, degrees, z_supplied)
+    cx, cy, cz = st.col("lam"), st.col("phi"), st.col("zz")
+    cx, cy, cz = _emit_datum_legs(st, _emulation_legs(P, "fwd"),
+                                  cx, cy, cz)
+    # NOT masked by err: fwd_prepare runs the legs on the clipped /
+    # wrapped values and NaN-masks only x,y afterwards (fwd.cpp:41-102)
+    # — an overrange-latitude row still gets a real datum-shifted z.
+    # NULLs (guarded-division lanes) normalize to NaN.
+    st.stage(glam=f"coalesce({cx}, {NAN})",
+             gphi=f"coalesce({cy}, {NAN})",
+             gz=f"coalesce({cz}, {NAN})")
+    staged = df
+    for exprs in st.stages:
+        staged = staged.selectExpr("*", *exprs)
+    glam = F.col(st.col("glam"))
+    gphi = F.col(st.col("gphi"))
+    gz = F.col(st.col("gz"))
+    tc = F.col(st.col("tt"))
+    errc = F.col(st.col("err"))
+    nan = F.lit(float("nan"))
+    if getattr(P, "is_latlong", False):
+        # prepare tail: x -= lam0, adjlon; identity kernel; finalize
+        # wraps nothing further (long_wrap refused in detection)
+        pi = math.pi
+        lam = glam - F.lit(P.lam0)
+        lam = F.when(
+            F.abs(lam) >= F.lit(pi + 1e-12),
+            (lam + pi) - 2.0 * pi * F.floor((lam + pi) / (2.0 * pi)) - pi,
+        ).otherwise(lam)
+        phi = gphi
+        if degrees:
+            lam = lam * C.RAD_TO_DEG
+            phi = phi * C.RAD_TO_DEG
+        xo = F.coalesce(lam, nan)
+        yo = F.coalesce(phi, nan)
+    else:
+        xo, yo = _webmerc_jvm_columns(P, glam, gphi, gz,
+                                      degrees=False, z_supplied=False)
+    # fwd_finalize vertical scaling: z = vfr_meter * (z + z0), z0 == 0
+    # by detection (src/fwd.cpp:119-131; +units=km propagates to vunits)
+    zout = gz if P.vfr_meter == 1.0 else gz * F.lit(P.vfr_meter)
+    out = (staged.withColumn(f"{out_prefix}x",
+                             F.when(errc, nan).otherwise(xo))
+                 .withColumn(f"{out_prefix}y",
+                             F.when(errc, nan).otherwise(yo))
+                 .withColumn(f"{out_prefix}z", zout)
+                 .withColumn(f"{out_prefix}t", tc))
+    return out.drop(*st.tmp)
+
+
+def _datum_modified_inv_apply(df, op, x, y, z, t, degrees: bool,
+                              z_supplied: bool, out_prefix: str):
+    """Composed inverse twin: the projection's inverse Column twin
+    (which bakes inv_prepare scaling and the inv_finalize lam0+adjlon),
+    then the SQL-staged datum legs (local datum -> WGS84, inv_finalize
+    order, src/inv.cpp:117-124)."""
+    from pyspark.sql import functions as F
+
+    P = op.P
+    NAN = "CAST('NaN' AS DOUBLE)"
+    nan = F.lit(float("nan"))
+    zc = (F.coalesce(F.col(z).cast("double"), nan) if z else F.lit(0.0))
+    tc = (F.coalesce(F.col(t).cast("double"), nan) if t else F.lit(0.0))
+    # inv_prepare vertical scaling: z = vto_meter * z - z0, z0 == 0 by
+    # detection (src/inv.cpp:55-76)
+    if P.vto_meter != 1.0:
+        zc = zc * F.lit(P.vto_meter)
+    if getattr(P, "is_latlong", False):
+        pi = math.pi
+        err = (F.col(x).isNull() | F.isnan(F.col(x).cast("double"))
+               | F.col(y).isNull() | F.isnan(F.col(y).cast("double")))
+        if z_supplied:
+            err = err | zc.isNull() | F.isnan(zc)
+        lam = F.col(x).cast("double")
+        phi = F.col(y).cast("double")
+        if degrees:
+            lam = F.radians(lam)
+            phi = F.radians(phi)
+        lam = lam + F.lit(P.lam0)
+        lam = F.when(
+            F.abs(lam) >= F.lit(pi + 1e-12),
+            (lam + pi) - 2.0 * pi * F.floor((lam + pi) / (2.0 * pi)) - pi,
+        ).otherwise(lam)
+        xo = F.when(err, nan).otherwise(F.coalesce(lam, nan))
+        yo = F.when(err, nan).otherwise(F.coalesce(phi, nan))
+    else:
+        xo, yo = _inv_jvm_columns(P, F.col(x), F.col(y), zc,
+                                  degrees=False, z_supplied=z_supplied)
+    T = _SqlStager.PREFIX
+    staged = df.select("*", xo.alias(T + "plam"), yo.alias(T + "pphi"),
+                       zc.alias(T + "pz"), tc.alias(T + "ptt"))
+    st = _SqlStager()
+    st.tmp.extend([T + "plam", T + "pphi", T + "pz", T + "ptt"])
+    cx, cy, cz = _emit_datum_legs(
+        st, _emulation_legs(P, "inv"),
+        T + "plam", T + "pphi", T + "pz", first_cart_prepare=False)
+    if degrees:
+        cx = f"{cx} * {_sql_dlit(C.RAD_TO_DEG)}"
+        cy = f"{cy} * {_sql_dlit(C.RAD_TO_DEG)}"
+    outs = [
+        f"coalesce({cx}, {NAN}) AS `{out_prefix}x`",
+        f"coalesce({cy}, {NAN}) AS `{out_prefix}y`",
+        f"coalesce({cz}, {NAN}) AS `{out_prefix}z`",
+        f"{T}ptt AS `{out_prefix}t`",
+    ]
+    return st.apply(staged, outs)
 
 def transform(
     df,
@@ -1286,6 +1563,19 @@ def transform(
             # codegen — zero Python workers
             out = _datum_jvm_apply(df, datum_legs, x, y, z, t,
                                    degrees, z_supplied, out_prefix)
+            if not keep_errors:
+                out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                                & ~F.isnan(F.col(f"{out_prefix}x")))
+            return out
+
+        if _datum_modified_jvm_ok(op_probe, direction):
+            # composed twin: datum legs + the projection's expression
+            # twin — the dominant catalog-preset shape (+towgs84 /
+            # +datum) runs with zero Python workers in both directions
+            fn = (_datum_modified_fwd_apply if direction == "fwd"
+                  else _datum_modified_inv_apply)
+            out = fn(df, op_probe, x, y, z, t, degrees, z_supplied,
+                     out_prefix)
             if not keep_errors:
                 out = out.where(F.col(f"{out_prefix}x").isNotNull()
                                 & ~F.isnan(F.col(f"{out_prefix}x")))

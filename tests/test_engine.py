@@ -477,12 +477,16 @@ def test_webmerc_jvm_fast_path_parity(spark):
                    keep_errors=False, jvm_fast_path=False).count()
     assert nf == ns
 
-    # the guard: datum-modified (hub-leg) or inverse webmerc stays on
-    # the UDF path (datum=WGS84 IS the hub — no leg — so it still fast-
-    # paths; NAD83 wires a cart/helmert leg)
+    # r6: datum-modified (hub-leg) webmerc now takes the COMPOSED
+    # datum+projection twin (datum=NAD83 wires a cart/cart_wgs84 leg;
+    # values covered by test_datum_modified_jvm_fast_path_parity) —
+    # grid-backed datums still refuse
     hub = transform(df, "+proj=webmerc +datum=NAD83", x="lon", y="lat")
     hplan = hub._jdf.queryExecution().executedPlan().toString()
-    assert "EvalPython" in hplan
+    assert "EvalPython" not in hplan
+    grid = transform(df, "+proj=webmerc +datum=NAD27", x="lon", y="lat")
+    assert "EvalPython" in \
+        grid._jdf.queryExecution().executedPlan().toString()
     # inverse webmerc now has its OWN closed-form twin (r5): no
     # Python eval, values covered by test_inverse_jvm_fast_path_parity
     inv = transform(df, "+proj=webmerc +ellps=WGS84", x="lon", y="lat",
@@ -596,9 +600,10 @@ def test_merc_jvm_fast_path_parity(spark):
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
 
-    # guards: datum-modified merc and inverse stay on the UDF path
+    # r6: datum-modified merc takes the composed twin; the
+    # ellipsoidal inverse still iterates (UDF)
     hub = transform(df, "+proj=merc +datum=NAD83", x="lon", y="lat")
-    assert "EvalPython" in \
+    assert "EvalPython" not in \
         hub._jdf.queryExecution().executedPlan().toString()
     # ellipsoidal merc inverse needs the phi2 iteration: UDF path
     inv = transform(df, "+proj=merc +ellps=GRS80", x="lon", y="lat",
@@ -1168,3 +1173,87 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
         p = transform(df, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
+
+
+def test_datum_modified_jvm_fast_path_parity(spark):
+    """r6 composed twin: a SINGLE datum-modified op (+towgs84 / +datum
+    cs2cs-emulation hooks) compiles to datum legs + the projection's
+    expression twin — the dominant catalog-preset shape runs with ZERO
+    Python workers in both directions.  Values match the Arrow-UDF path
+    (rtol covers pow/tan ulp amplification at degenerate latitudes, the
+    same bound the bare twins pin) and the NaN pattern is exact —
+    including the asymmetries of the emulation chain: overrange
+    latitudes clip before the fwd legs (z still gets a real shift, only
+    x/y go NaN) but pass UNCLIPPED into the inverse legs."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -96.0, 0.0, 91.3, 180.0, 600.0, None,
+            float("nan"), 45.0]
+    lats = [-90.1, -90.0, -45.0, 0.0, 33.3, 84.0, 90.0, 90.1, None,
+            float("nan")]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    pdf["h"] = np.linspace(-400.0, 5000.0, len(pdf))
+    pdf.loc[4, "h"] = np.nan
+    df = spark.createDataFrame(pdf)
+
+    cases = [
+        # (projstring, direction, with_z)
+        ("+proj=webmerc +datum=GGRS87", "fwd", True),
+        ("+proj=webmerc +datum=GGRS87", "inv", True),
+        ("+proj=merc +datum=OSGB36", "fwd", False),     # 7-param
+        ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
+         "+ellps=clrk66 +towgs84=-10,158,187", "fwd", True),
+        ("+proj=longlat +ellps=bessel +towgs84=577.326,90.129,463.919,"
+         "5.137,1.474,5.297,2.4232", "fwd", True),      # geodetic shift
+        ("+proj=longlat +ellps=bessel +towgs84=577.326,90.129,463.919,"
+         "5.137,1.474,5.297,2.4232", "inv", True),
+        ("+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80 +towgs84=1,2,3",
+         "inv", True),
+        ("+proj=eqc +ellps=intl +towgs84=0,0,0", "fwd", True),  # ellps hub
+        # false origin + non-metre units through the composed chain
+        ("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46 +lon_0=3 "
+         "+x_0=700000 +y_0=6600000 +units=km +ellps=clrk80ign "
+         "+towgs84=-168,-60,320", "fwd", True),
+        # vto_meter scaling through the composed INVERSE chain
+        ("+proj=webmerc +units=km +ellps=WGS84 +towgs84=1,2,3",
+         "inv", True),
+    ]
+    for ps, direc, with_z in cases:
+        kw = dict(x="lon", y="lat", direction=direc, out_prefix="f_")
+        if with_z:
+            kw["z"] = "h"
+        fast = transform(df, ps, **kw)
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), (ps,
+                                                                   direc)
+        kw["out_prefix"] = "s_"
+        slow = transform(df, ps, jvm_fast_path=False, **kw)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y", "z"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, direc, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, direc, c, np.abs(a[m] - b[m]).max())
+
+    # guards: grid-backed datums, +axis, geocent, ellipsoidal-inverse
+    # projections and vertical unit scaling stay on the UDF path
+    guards = [
+        ("+proj=webmerc +datum=NAD27", "fwd"),          # nadgrids
+        ("+proj=merc +towgs84=1,2,3 +axis=wsu", "fwd"),
+        ("+proj=merc +ellps=GRS80 +towgs84=1,2,3", "inv"),  # phi2 iter
+        ("+proj=longlat +ellps=bessel +towgs84=1,2,3 +geoidgrids="
+         "@egm96_15.gtx", "fwd"),
+    ]
+    for ps, direc in guards:
+        g = transform(df, ps, x="lon", y="lat", direction=direc)
+        assert "EvalPython" in \
+            g._jdf.queryExecution().executedPlan().toString(), (ps, direc)
