@@ -868,6 +868,70 @@ def _q_laea_inverse(spark, sf_dir):
     )
 
 
+_BOUNDCRS_WKT = (
+    'BOUNDCRS[SOURCECRS[GEOGCRS["DHDN",DATUM["Deutsches Hauptdreiecksnetz",'
+    'ELLIPSOID["Bessel 1841",6377397.155,299.1528128]],'
+    'ANGLEUNIT["degree",0.0174532925199433]]],'
+    'TARGETCRS[GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563]],'
+    'ANGLEUNIT["degree",0.0174532925199433]]],'
+    'ABRIDGEDTRANSFORMATION["DHDN to WGS 84",'
+    'METHOD["Position Vector transformation (geog2D domain)",'
+    'ID["EPSG",9606]],'
+    'PARAMETER["X-axis translation",598.1],'
+    'PARAMETER["Y-axis translation",73.7],'
+    'PARAMETER["Z-axis translation",418.2],'
+    'PARAMETER["X-axis rotation",0.202],'
+    'PARAMETER["Y-axis rotation",0.045],'
+    'PARAMETER["Z-axis rotation",-2.455],'
+    'PARAMETER["Scale difference",1.0000067]]]'
+)
+
+
+def _q_boundcrs_text_shift(spark, sf_dir):
+    """The SAME 7-param datum shift as towgs84_datum_shift, but the CRS
+    arrives as GDAL-style WKT2 BOUNDCRS TEXT (r6 ingestion): proves the
+    text -> proj-string -> composed-twin chain end-to-end in the
+    correctness gate.  The oracle rebuilds the chain SQL from the op
+    the TEXT produced (abridged scale (1.0000067-1)*1e6 differs from a
+    literal 6.7 ppm in the last bits — constants must come from the
+    same parse)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    pts = _geo_points(spark, sf_dir)
+    out = transform(pts, _BOUNDCRS_WKT, x="lon", y="lat",
+                    out_prefix="d_")
+    return out.select(
+        "event_id",
+        _i(F.col("d_x"), 1000000).alias("dlon"),
+        _i(F.col("d_y"), 1000000).alias("dlat"),
+        _i(F.col("d_z"), 10000).alias("dh"),
+    )
+
+
+def _q_projjson_text_merc(spark, sf_dir):
+    """Plain Mercator, but the CRS arrives as PROJJSON TEXT (r6
+    ingestion; createFromUserInput '{' dispatch): same projection and
+    integerization as merc_fwd, so the oracle is merc_fwd's SQL —
+    pinning the JSON -> proj-string -> Catalyst-twin chain
+    value-exact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+    from proj_4_spark.sources.projjson import projstring_to_projjson
+
+    pts = _geo_points(spark, sf_dir)
+    j = _json.dumps(projstring_to_projjson("proj=merc ellps=GRS80"))
+    out = transform(pts, j, x="lon", y="lat", out_prefix="m_")
+    return out.select("event_id",
+                      _i(F.col("m_x"), 100).alias("x_cm"),
+                      _i(F.col("m_y"), 100).alias("y_cm"))
+
+
 def _q_proj_factors(spark, sf_dir):
     """proj_factors (src/factors.cpp) for Mercator over the events-derived
     points; DuckDB recomputes the conformal closed form
@@ -1544,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_datum_shift": _q_pipeline_composed,
         "towgs84_datum_shift": _q_towgs84_shift,
         "laea_inverse": _q_laea_inverse,
+        "boundcrs_text_shift": _q_boundcrs_text_shift,
+        "projjson_text_merc": _q_projjson_text_merc,
         "compound_geoid": _q_compound_geoid,
         "nad27_catalog_routed": _q_nad27_catalog_routed,
         "proj_factors": _q_proj_factors,
@@ -1802,58 +1868,64 @@ def oracle_sql() -> dict[str, str]:
 
     # towgs84_datum_shift oracle: cart fwd on WGS84 -> EXACT 7-param
     # position-vector helmert INVERSE (transpose multiply,
-    # helmert.cpp:403-436) -> cart inv on bessel (Bowring closed form
-    # incl. the height, cart.cpp:150-205; the synthetic points avoid
-    # the polar/near-origin branches).  All scalar constants come from
-    # the engine's own plan-time setup (repr'd doubles).
+    # helmert.cpp:403-436) -> cart inv on the local ellipsoid (Bowring
+    # closed form incl. the height, cart.cpp:150-205; the synthetic
+    # points avoid the polar/near-origin branches).  All scalar
+    # constants come from the given op's plan-time setup (repr'd
+    # doubles) — shared by the proj-string and WKT2-BOUNDCRS-text
+    # variants of the query.
     from proj_4_spark.kernels.helmert import _params_at as _helmert_params
 
-    dm_op = create_operation(_TOWGS84_PS)
-    hq = dm_op.P.helmert.P.opaque
-    (htx, hty, htz), hs_ppm, _, hR = _helmert_params(hq, hq["t_epoch"])
-    hs = 1 + hs_ppm * 1e-6
-    wP = dm_op.P.cart_wgs84.P
-    bP = dm_op.P.cart.P
-    wN = f"({wP.a!r} / sqrt(1.0 - {wP.es!r} * sin({phi}) * sin({phi})))"
-    wx = f"({wN} * cos({phi}) * cos({lam}))"
-    wy = f"({wN} * cos({phi}) * sin({lam}))"
-    wz = f"({wN} * (1.0 - {wP.es!r}) * sin({phi}))"
-    dxs = f"(({wx} - {htx!r}) / {hs!r})"
-    dys = f"(({wy} - {hty!r}) / {hs!r})"
-    dzs = f"(({wz} - {htz!r}) / {hs!r})"
-    dbx = f"({hR[0][0]!r} * {dxs} + {hR[1][0]!r} * {dys} + {hR[2][0]!r} * {dzs})"
-    dby = f"({hR[0][1]!r} * {dxs} + {hR[1][1]!r} * {dys} + {hR[2][1]!r} * {dzs})"
-    dbz = f"({hR[0][2]!r} * {dxs} + {hR[1][2]!r} * {dys} + {hR[2][2]!r} * {dzs})"
-    dm_lam = sqli(f"atan2({dby}, {dbx}) / {_D2R}", 1000000)
-    dm_phi = f"atan(dm_yph / dm_xph)"
-    dm_lat = sqli(f"{dm_phi} / {_D2R}", 1000000)
-    dm_nb = (f"({bP.a!r} / sqrt(1.0 - {bP.es!r} * "
-             f"(dm_yph / dm_nph) * (dm_yph / dm_nph)))")
-    dm_h = sqli(f"dm_p / (dm_xph / dm_nph) - {dm_nb}", 10000)
-    # staged via nested subselects (the lateral-alias textual-expansion
-    # lesson): each Bowring intermediate computed once per level
-    towgs84_sql = (
-        "select event_id, dm_lam as dlon, "
-        f"{dm_lat} as dlat, {dm_h} as dh from ("
-        "select event_id, dm_lam, dm_p, dm_yph, dm_xph, "
-        "sqrt(dm_yph * dm_yph + dm_xph * dm_xph) as dm_nph from ("
-        "select event_id, dm_lam, dm_p, "
-        f"(dm_z + {bP.e2s!r} * {bP.b!r} * dm_s * dm_s * dm_s) as dm_yph, "
-        f"(dm_p - {bP.es!r} * {bP.a!r} * dm_c * dm_c * dm_c) as dm_xph "
-        "from ("
-        "select event_id, dm_lam, dm_p, dm_z, "
-        "(dm_p * dm_bb) / dm_nrm as dm_c, "
-        "(dm_z * dm_aa) / dm_nrm as dm_s from ("
-        "select event_id, dm_lam, dm_p, dm_z, dm_aa, dm_bb, "
-        "sqrt(dm_z * dm_aa * dm_z * dm_aa + dm_p * dm_bb * dm_p * dm_bb)"
-        " as dm_nrm from ("
-        "select event_id, "
-        f"{dm_lam} as dm_lam, "
-        f"sqrt({dbx} * {dbx} + {dby} * {dby}) as dm_p, "
-        f"{dbz} as dm_z, {bP.a!r} as dm_aa, {bP.b!r} as dm_bb "
-        f"from ({GEO_SQL_SRC})"
-        ")))))"
-    )
+    def _towgs84_chain_sql(dm_op) -> str:
+        hq = dm_op.P.helmert.P.opaque
+        (htx, hty, htz), hs_ppm, _, hR = _helmert_params(hq, hq["t_epoch"])
+        hs = 1 + hs_ppm * 1e-6
+        wP = dm_op.P.cart_wgs84.P
+        bP = dm_op.P.cart.P
+        wN = f"({wP.a!r} / sqrt(1.0 - {wP.es!r} * sin({phi}) * sin({phi})))"
+        wx = f"({wN} * cos({phi}) * cos({lam}))"
+        wy = f"({wN} * cos({phi}) * sin({lam}))"
+        wz = f"({wN} * (1.0 - {wP.es!r}) * sin({phi}))"
+        dxs = f"(({wx} - {htx!r}) / {hs!r})"
+        dys = f"(({wy} - {hty!r}) / {hs!r})"
+        dzs = f"(({wz} - {htz!r}) / {hs!r})"
+        dbx = f"({hR[0][0]!r} * {dxs} + {hR[1][0]!r} * {dys} + {hR[2][0]!r} * {dzs})"
+        dby = f"({hR[0][1]!r} * {dxs} + {hR[1][1]!r} * {dys} + {hR[2][1]!r} * {dzs})"
+        dbz = f"({hR[0][2]!r} * {dxs} + {hR[1][2]!r} * {dys} + {hR[2][2]!r} * {dzs})"
+        dm_lam = sqli(f"atan2({dby}, {dbx}) / {_D2R}", 1000000)
+        dm_phi = f"atan(dm_yph / dm_xph)"
+        dm_lat = sqli(f"{dm_phi} / {_D2R}", 1000000)
+        dm_nb = (f"({bP.a!r} / sqrt(1.0 - {bP.es!r} * "
+                 f"(dm_yph / dm_nph) * (dm_yph / dm_nph)))")
+        dm_h = sqli(f"dm_p / (dm_xph / dm_nph) - {dm_nb}", 10000)
+        # staged via nested subselects (the lateral-alias
+        # textual-expansion lesson): each Bowring intermediate computed
+        # once per level
+        return (
+            "select event_id, dm_lam as dlon, "
+            f"{dm_lat} as dlat, {dm_h} as dh from ("
+            "select event_id, dm_lam, dm_p, dm_yph, dm_xph, "
+            "sqrt(dm_yph * dm_yph + dm_xph * dm_xph) as dm_nph from ("
+            "select event_id, dm_lam, dm_p, "
+            f"(dm_z + {bP.e2s!r} * {bP.b!r} * dm_s * dm_s * dm_s) as dm_yph, "
+            f"(dm_p - {bP.es!r} * {bP.a!r} * dm_c * dm_c * dm_c) as dm_xph "
+            "from ("
+            "select event_id, dm_lam, dm_p, dm_z, "
+            "(dm_p * dm_bb) / dm_nrm as dm_c, "
+            "(dm_z * dm_aa) / dm_nrm as dm_s from ("
+            "select event_id, dm_lam, dm_p, dm_z, dm_aa, dm_bb, "
+            "sqrt(dm_z * dm_aa * dm_z * dm_aa + dm_p * dm_bb * dm_p * dm_bb)"
+            " as dm_nrm from ("
+            "select event_id, "
+            f"{dm_lam} as dm_lam, "
+            f"sqrt({dbx} * {dbx} + {dby} * {dby}) as dm_p, "
+            f"{dbz} as dm_z, {bP.a!r} as dm_aa, {bP.b!r} as dm_bb "
+            f"from ({GEO_SQL_SRC})"
+            ")))))"
+        )
+
+    towgs84_sql = _towgs84_chain_sql(create_operation(_TOWGS84_PS))
+    boundcrs_sql = _towgs84_chain_sql(create_operation(_BOUNDCRS_WKT))
 
     # laea_inverse oracle: laea.cpp:140-186 oblique ellipsoidal inverse
     # + the 3-term authalic-latitude series (auth.cpp:33-38), constants
@@ -1978,6 +2050,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "towgs84_datum_shift": towgs84_sql,
         "laea_inverse": laea_inv_sql,
+        "boundcrs_text_shift": boundcrs_sql,
+        "projjson_text_merc": (
+            f"select event_id, {merc_x} as x_cm, {merc_y} as y_cm "
+            f"from ({GEO_SQL_SRC})"
+        ),
         # proj_factors for merc: DuckDB mirrors the engine's own 4-point
         # finite-difference stencil (deriv.cpp) term-by-term so both
         # sides produce the same doubles (libm-ulp noise only, far below
