@@ -63,11 +63,14 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # somerc (Swiss oblique Mercator, somerc.cpp:10-25) and krovak
     # (S-JTSK, krovak.cpp:86-240) — closed-form forwards
     # sinu and eqdc (flat mlfn meridional-arc series)
+    # r6: eqearth (Equal Earth polynomial), cass (sphere + series),
+    # ortho (sphere + EPSG ellipsoidal), gnom (sphere formulas)
     if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
                                         "lcc", "aea", "leac", "stere",
                                         "ups", "laea", "sterea",
                                         "somerc", "krovak", "sinu",
-                                        "eqdc"):
+                                        "eqdc", "eqearth", "cass",
+                                        "ortho", "gnom"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -131,18 +134,30 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
     lamw = adjlon(adjlon(lam) - F.lit(P.lam0))
     phic = F.least(F.greatest(phi, F.lit(-pi / 2.0)), F.lit(pi / 2.0))
     eps = float(np.finfo(np.float64).eps)
-    if P.name in ("sinu", "eqdc"):
-        # flat meridional-arc series M(phi) (mlfn.hpp inline_pj_mlfn)
-        def _mlfn_col(ph, en):
-            s = F.sin(ph)
-            cph = F.cos(ph) * s
-            s2 = s * s
-            return (F.lit(float(en[0])) * ph
-                    - cph * (F.lit(float(en[1]))
-                             + s2 * (F.lit(float(en[2]))
-                                     + s2 * (F.lit(float(en[3]))
-                                             + s2 * F.lit(float(en[4]))))))
 
+    def _mlfn_col(ph, en):
+        # flat meridional-arc series M(phi) (mlfn.hpp inline_pj_mlfn)
+        s = F.sin(ph)
+        cph = F.cos(ph) * s
+        s2 = s * s
+        return (F.lit(float(en[0])) * ph
+                - cph * (F.lit(float(en[1]))
+                         + s2 * (F.lit(float(en[2]))
+                                 + s2 * (F.lit(float(en[3]))
+                                         + s2 * F.lit(float(en[4]))))))
+
+    def _clip1c(v):
+        return F.greatest(F.least(v, F.lit(1.0)), F.lit(-1.0))
+
+    def _qsfn_col(sphi):
+        # authalic q (src/qsfn.cpp:9-25)
+        e = P.e
+        con = sphi * e
+        return P.one_es * (sphi / (1.0 - con * con)
+                           - F.lit(0.5 / e)
+                           * F.log((1.0 - con) / (1.0 + con)))
+
+    if P.name in ("sinu", "eqdc"):
         Qo = P.opaque
         if P.name == "sinu":
             if P.es != 0.0:
@@ -167,6 +182,123 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
             lamn = lamw * n
             xk = rho * F.sin(lamn)
             yk = F.lit(rho0) - rho * F.cos(lamn)
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name == "eqearth":
+        # eqearth.cpp:44-74: psi from the (authalic) sin-beta, 9th-order
+        # polynomial; the Equal Earth constants are exact doubles
+        from proj_4_spark.kernels.pseudocyl import _A1, _A2, _A3, _A4, _M
+
+        Qo = P.opaque
+        rqda = float(Qo["rqda"])
+        sphi = F.sin(phic)
+        if P.es != 0.0:
+            sbeta = _clip1c(_qsfn_col(sphi) / float(Qo["qp"]))
+        else:
+            sbeta = sphi
+        psi = F.asin(F.lit(_M) * sbeta)
+        psi2 = psi * psi
+        psi6 = psi2 * psi2 * psi2
+        xk = (lamw * F.cos(psi)
+              / (_M * (F.lit(_A1) + 3.0 * _A2 * psi2
+                       + psi6 * (7.0 * _A3 + 9.0 * _A4 * psi2))))
+        yk = psi * (F.lit(_A1) + _A2 * psi2 + psi6 * (_A3 + _A4 * psi2))
+        xe = F.lit(P.fr_meter) * (xk * rqda * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * rqda * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name == "cass":
+        # cass.cpp forward: spherical closed form / ellipsoidal series
+        # over the flat mlfn meridional arc; en/m0 recomputed at plan
+        # time with the kernel's own scalar formulas (closure constants)
+        if P.es == 0.0:
+            xk = F.asin(_clip1c(F.cos(phic) * F.sin(lamw)))
+            yk = F.atan2(F.tan(phic), F.cos(lamw)) - F.lit(P.phi0)
+        else:
+            C1_, C2_, C3_ = (0.16666666666666666666,
+                             0.00833333333333333333,
+                             0.04166666666666666666)
+            en = C.enfn(P.es)
+            m0 = float(C.mlfn(np.float64(P.phi0),
+                              np.float64(math.sin(P.phi0)),
+                              np.float64(math.cos(P.phi0)), en))
+            s = F.sin(phic)
+            cph = F.cos(phic)
+            yml = _mlfn_col(phic, en)
+            n = 1.0 / F.sqrt(1.0 - F.lit(P.es) * s * s)
+            tn = F.tan(phic)
+            tt = tn * tn
+            a1 = lamw * cph
+            cc = cph * (F.lit(P.es / (1.0 - P.es)) * cph)
+            a2 = a1 * a1
+            xk = n * a1 * (1.0 - a2 * tt
+                           * (C1_ - (8.0 - tt + 8.0 * cc) * a2 * C2_))
+            yk = yml - (F.lit(m0) - n * tn * a2
+                        * (0.5 + (5.0 - tt + 6.0 * cc) * a2 * C3_))
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name in ("ortho", "gnom"):
+        # ortho.cpp:38-76/133-157, gnom.cpp:33-77: hemisphere-guarded
+        # closed forms, all aspect modes
+        Qo = P.opaque
+        mode = Qo["mode"]
+        sinph0, cosph0 = float(Qo["sinph0"]), float(Qo["cosph0"])
+        cosphi = F.cos(phic)
+        sinphi = F.sin(phic)
+        coslam = F.cos(lamw)
+        sinlam = F.sin(lamw)
+        if P.name == "ortho" and P.es != 0.0:
+            nu0 = float(Qo["nu0"])
+            bad = (F.lit(sinph0) * sinphi
+                   + F.lit(cosph0) * cosphi * coslam) < -1e-10
+            nu = 1.0 / F.sqrt(1.0 - F.lit(P.es) * sinphi * sinphi)
+            xk = nu * cosphi * sinlam
+            yk = (nu * (sinphi * cosph0 - cosphi * sinph0 * coslam)
+                  + P.es * (F.lit(nu0 * sinph0) - nu * sinphi) * cosph0)
+        elif P.name == "ortho":
+            if mode == "equit":
+                bad = cosphi * coslam < -1e-10
+                yk = sinphi
+            elif mode == "obliq":
+                bad = (F.lit(sinph0) * sinphi
+                       + F.lit(cosph0) * cosphi * coslam) < -1e-10
+                yk = (F.lit(cosph0) * sinphi
+                      - F.lit(sinph0) * cosphi * coslam)
+            else:
+                cl = -coslam if mode == "n_pole" else coslam
+                bad = (F.abs(phic - F.lit(P.phi0)) - 1e-10) > pi / 2.0
+                yk = cosphi * cl
+            xk = cosphi * sinlam
+        else:
+            # gnom: sphere formulas regardless of es (gnom.cpp)
+            if mode == "equit":
+                y0c = cosphi * coslam
+            elif mode == "obliq":
+                y0c = (F.lit(sinph0) * sinphi
+                       + F.lit(cosph0) * cosphi * coslam)
+            elif mode == "s_pole":
+                y0c = -sinphi
+            else:
+                y0c = sinphi
+            bad = y0c <= 1e-10
+            yi = 1.0 / F.when(bad, F.lit(1.0)).otherwise(y0c)
+            xk = yi * cosphi * sinlam
+            if mode == "equit":
+                yk = yi * sinphi
+            elif mode == "obliq":
+                yk = yi * (F.lit(cosph0) * sinphi
+                           - F.lit(sinph0) * cosphi * coslam)
+            else:
+                cl = -coslam if mode == "n_pole" else coslam
+                yk = yi * cosphi * cl
+        err = err | bad
         xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
         ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
         xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
@@ -563,12 +695,14 @@ def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
     name = getattr(P, "name", None)
     if name == "merc" and P.es != 0.0:
         return False  # ellipsoidal inverse needs the phi2 iteration
-    if name in ("stere", "ups", "sinu") and P.es != 0.0:
-        return False  # conformal-lat / inv_mlfn iteration
+    if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
+            and P.es != 0.0:
+        return False  # conformal-lat / inv_mlfn / 2D-Newton iteration
     if name == "eqdc" and P.opaque.get("ellips"):
         return False  # inv_mlfn Newton iteration
     if name not in ("webmerc", "merc", "eqc", "cea", "laea",
-                    "stere", "ups", "sinu", "eqdc"):
+                    "stere", "ups", "sinu", "eqdc", "cass", "ortho",
+                    "gnom"):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -754,6 +888,83 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
         yy = ym / float(Qo["C_y"])
         phi = yy
         lam = xm / (float(Qo["C_x"]) * F.cos(yy))
+    elif P.name == "cass":
+        # cass.cpp spherical inverse (closed form)
+        dd = ym + F.lit(P.phi0)
+        phi = F.asin(clip1(F.sin(dd) * F.cos(xm)))
+        lam = atan2_ieee(F.tan(xm), F.cos(dd))
+    elif P.name == "ortho":
+        # ortho.cpp:79-128 spherical inverse, all aspect modes
+        Qo2 = P.opaque
+        mode = Qo2["mode"]
+        rh = F.hypot(xm, ym)
+        bad = (rh - 1.0) > 1e-10
+        sinc = F.least(rh, F.lit(1.0))
+        cosc = F.sqrt(F.greatest(1.0 - sinc * sinc, F.lit(0.0)))
+        center = rh <= 1e-10
+        rh_safe = F.when(rh == 0.0, F.lit(1.0)).otherwise(rh)
+        if mode in ("n_pole", "s_pole"):
+            sgn = 1.0 if mode == "n_pole" else -1.0
+            phi = sgn * F.acos(clip1(sinc))
+            lam = atan2_ieee(xm, -sgn * ym)
+        else:
+            if mode == "equit":
+                raw = ym * sinc / rh_safe
+                xx = xm * sinc
+                yy = cosc * rh
+            else:
+                s0, c0 = float(Qo2["sinph0"]), float(Qo2["cosph0"])
+                raw = cosc * s0 + ym * sinc * c0 / rh_safe
+                yy = (cosc - s0 * raw) * rh
+                xx = xm * sinc * c0
+            phi = F.when(F.abs(raw) >= 1.0,
+                         F.when(raw < 0.0, F.lit(-pi / 2.0))
+                          .otherwise(F.lit(pi / 2.0))
+                         ).otherwise(F.asin(clip1(raw)))
+            lam = F.when(yy == 0.0,
+                         F.when(xx == 0.0, F.lit(0.0))
+                          .when(xx < 0.0, F.lit(-pi / 2.0))
+                          .otherwise(F.lit(pi / 2.0))
+                         ).otherwise(atan2_ieee(xx, yy))
+        phi = F.when(center, F.lit(P.phi0)).otherwise(phi)
+        lam = F.when(center, F.lit(0.0)).otherwise(lam)
+        phi = F.when(bad, nan).otherwise(phi)
+        lam = F.when(bad, nan).otherwise(lam)
+    elif P.name == "gnom":
+        # gnom.cpp:80-125 spherical inverse, all aspect modes
+        Qo2 = P.opaque
+        mode = Qo2["mode"]
+        rh = F.hypot(xm, ym)
+        phi0a = F.atan(rh)
+        sinz = F.sin(phi0a)
+        cosz = F.sqrt(1.0 - sinz * sinz)
+        center = F.abs(rh) <= 1e-10
+        rh_safe = F.when(center, F.lit(1.0)).otherwise(rh)
+        if mode in ("obliq", "equit"):
+            if mode == "obliq":
+                s0, c0 = float(Qo2["sinph0"]), float(Qo2["cosph0"])
+                raw = cosz * s0 + ym * sinz * c0 / rh_safe
+            else:
+                raw = ym * sinz / rh_safe
+            phi = F.when(F.abs(raw) >= 1.0,
+                         F.when(raw > 0.0, F.lit(pi / 2.0))
+                          .otherwise(F.lit(-pi / 2.0))
+                         ).otherwise(F.asin(clip1(raw)))
+            if mode == "obliq":
+                yy = (cosz - F.lit(s0) * F.sin(phi)) * rh
+                xx = xm * sinz * c0
+            else:
+                yy = cosz * rh
+                xx = xm * sinz
+        elif mode == "s_pole":
+            phi = phi0a - F.lit(pi / 2.0)
+            xx, yy = xm, ym
+        else:
+            phi = F.lit(pi / 2.0) - phi0a
+            xx, yy = xm, -ym
+        lam = atan2_ieee(xx, yy)
+        phi = F.when(center, F.lit(P.phi0)).otherwise(phi)
+        lam = F.when(center, F.lit(0.0)).otherwise(lam)
     elif P.name == "eqdc":
         # eqdc.cpp inverse, spherical branch (phi = c - rho)
         n, c, rho0 = float(Qo["n"]), float(Qo["c"]), float(Qo["rho0"])
@@ -1257,7 +1468,8 @@ def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
 
 _FWD_TWIN_NAMES = ("webmerc", "merc", "eqc", "cea", "lcc", "aea",
                    "leac", "stere", "ups", "laea", "sterea", "somerc",
-                   "krovak", "sinu", "eqdc")
+                   "krovak", "sinu", "eqdc", "eqearth", "cass",
+                   "ortho", "gnom")
 
 
 def _inv_twin_name_ok(P) -> bool:
@@ -1267,12 +1479,14 @@ def _inv_twin_name_ok(P) -> bool:
     name = getattr(P, "name", None)
     if name == "merc" and P.es != 0.0:
         return False
-    if name in ("stere", "ups", "sinu") and P.es != 0.0:
+    if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
+            and P.es != 0.0:
         return False
     if name == "eqdc" and P.opaque.get("ellips"):
         return False
     return name in ("webmerc", "merc", "eqc", "cea", "laea",
-                    "stere", "ups", "sinu", "eqdc")
+                    "stere", "ups", "sinu", "eqdc", "cass", "ortho",
+                    "gnom")
 
 
 def _bare_cart_helper_ok(hop) -> bool:

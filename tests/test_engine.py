@@ -1257,3 +1257,87 @@ def test_datum_modified_jvm_fast_path_parity(spark):
         g = transform(df, ps, x="lon", y="lat", direction=direc)
         assert "EvalPython" in \
             g._jdf.queryExecution().executedPlan().toString(), (ps, direc)
+
+
+def test_eqearth_cass_ortho_gnom_jvm_fast_path_parity(spark):
+    """r6 late roster additions: eqearth (Equal Earth polynomial,
+    sphere+ellipsoid), cass (sphere + mlfn series), ortho (sphere all
+    modes + EPSG ellipsoidal fwd), gnom (sphere formulas) forward
+    twins; spherical cass/ortho/gnom inverse twins.  Iterative
+    ellipsoidal inverses refuse."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -96.0, 0.0, 30.0, 91.3, 180.0, 200.0,
+            None, float("nan")]
+    lats = [-90.1, -90.0, -60.0, 0.0, 30.0, 59.9999, 84.0, 90.0,
+            None, float("nan")]
+    pdf = pd.DataFrame({"lon": lons * len(lats),
+                        "lat": np.repeat(lats, len(lons))})
+    df = spark.createDataFrame(pdf)
+    fwd = ("+proj=eqearth +ellps=WGS84", "+proj=eqearth +R=6371000",
+           "+proj=cass +ellps=GRS80 +lat_0=30 +lon_0=10",
+           "+proj=cass +R=6371000 +lat_0=-20",
+           "+proj=ortho +ellps=WGS84 +lat_0=40 +lon_0=-30",
+           "+proj=ortho +R=6371000 +lat_0=0",
+           "+proj=ortho +R=6371000 +lat_0=90",
+           "+proj=gnom +R=6371000 +lat_0=40",
+           "+proj=gnom +R=6371000 +lat_0=-90",
+           "+proj=gnom +ellps=WGS84 +lat_0=0")
+    for ps in fwd:
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["lon", "lat"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
+
+    xs = [-1.27e7, -6.4e6, -1e4, 0.0, 1e4, 6.36e6, 6.4e6, None,
+          float("nan")]
+    ys = [-1.2e7, -6.36e6, -5e6, 0.0, 1e4, 6.36e6, 6.4e6, 1.27e7]
+    pdf2 = pd.DataFrame({"px": xs * len(ys), "py": np.repeat(ys, len(xs))})
+    df2 = spark.createDataFrame(pdf2)
+    inv = ("+proj=cass +R=6371000 +lat_0=30",
+           "+proj=ortho +R=6371000 +lat_0=0",
+           "+proj=ortho +R=6371000 +lat_0=42 +lon_0=-30",
+           "+proj=ortho +R=6371000 +lat_0=90",
+           "+proj=ortho +R=6371000 +lat_0=-90",
+           "+proj=gnom +R=6371000 +lat_0=40",
+           "+proj=gnom +R=6371000 +lat_0=90")
+    for ps in inv:
+        fast = transform(df2, ps, x="px", y="py", direction="inv",
+                         out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df2, ps, x="px", y="py", direction="inv",
+                         out_prefix="s_", jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
+                ps, c, np.abs(a[m] - b[m]).max())
+    # iterative ellipsoidal inverses refuse
+    for ps in ("+proj=cass +ellps=GRS80",
+               "+proj=ortho +ellps=WGS84 +lat_0=40",
+               "+proj=gnom +ellps=WGS84"):
+        g = transform(df2, ps, x="px", y="py", direction="inv")
+        assert "EvalPython" in \
+            g._jdf.queryExecution().executedPlan().toString(), ps

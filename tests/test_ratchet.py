@@ -80,6 +80,9 @@ def test_r6_twin_roster_and_text_formats():
         "+proj=stere +R=6371000 +lat_0=90",
         "+proj=sinu +R=6371000",
         "+proj=eqdc +R=6371000 +lat_1=20 +lat_2=60",
+        "+proj=cass +R=6371000",
+        "+proj=ortho +R=6371000 +lat_0=40",
+        "+proj=gnom +R=6371000",
     )
     for ps in inv_twins:
         assert _inv_jvm_fast_path_ok(create_operation(ps), "inv"), ps
@@ -87,7 +90,7 @@ def test_r6_twin_roster_and_text_formats():
     # fwd twin roster (15 families) keeps compiling
     fwd_twins = ("webmerc", "merc", "eqc", "cea", "lcc", "aea", "leac",
                  "stere", "ups", "laea", "sterea", "somerc", "krovak",
-                 "sinu", "eqdc")
+                 "sinu", "eqdc", "eqearth", "cass", "ortho", "gnom")
     from proj_4_spark.engine.spark import _webmerc_jvm_fast_path_ok
 
     ex = {"lcc": " +lat_1=33 +lat_2=45", "aea": " +lat_1=29 +lat_2=45",
