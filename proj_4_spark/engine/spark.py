@@ -1729,17 +1729,24 @@ def transform(
     (reference: HUGE_VAL sentinel, src/fwd.cpp:42-43); pass
     ``keep_errors=False`` to filter them out.
 
-    ``jvm_fast_path``: True (default) compiles bare single-op forwards
-    of webmerc/merc/eqc/cea/lcc/aea/leac/stere/ups/laea/sterea/somerc/
-    krovak — inverses of webmerc/spherical-merc/eqc — and cart/helmert
-    datum pipelines (the towgs84 expansion shape, incl. hub-composed
-    catalog candidates) to Catalyst expression twins (zero Python
-    workers; parity pinned per twin in tests/test_engine.py).  ``"all"``
-    additionally enables the staged
+    ``jvm_fast_path``: True (default) compiles to Catalyst expression
+    twins (zero Python workers; parity pinned per twin in
+    tests/test_engine.py):
+    - bare single-op FORWARDS of webmerc/merc/eqc/cea/lcc/aea/leac/
+      stere/ups/laea/sterea/somerc/krovak/sinu/eqdc/eqearth/cass/
+      ortho/gnom (19 families);
+    - closed-form INVERSES of webmerc/merc(sphere)/eqc/cea/laea and
+      spherical stere/ups/sinu/eqdc/cass/ortho/gnom;
+    - cart/helmert datum PIPELINES (the towgs84 expansion shape, incl.
+      hub-composed catalog candidates);
+    - datum-MODIFIED single ops (+towgs84/+datum emulation hooks over
+      any twin family or latlong), both directions.
+    ``"all"`` additionally enables the staged
     etmerc/utm forward twin (opt-in: see PLANS.md for the measured JIT
     cliff rationale).  ``False`` always uses the Arrow-UDF kernels.
-    Datum-modified (+towgs84/+nadgrids/+geoidgrids hub legs), +axis,
-    +over, +geoc and pipeline operations always use the UDF path.
+    Grid-backed datums (+nadgrids/+geoidgrids), +axis, +over, +geoc,
+    geocentric CRS and iterative ellipsoidal inverses always use the
+    UDF path.
 
     Returns ``df`` with four new columns ``{out_prefix}{x,y,z,t}``.
     """
