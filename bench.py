@@ -138,10 +138,19 @@ def scaling_workloads(spark, n_points: int, n_docs: int) -> dict:
     # operator) took 10.6 s vs 3.1 s for the actual pipeline, so the
     # r5-style measurement was ~75% data generator.  The timed region
     # is the engine: explode -> webmerc twin -> tile histogram.
+    import hashlib
     import tempfile
 
-    docs_path = os.path.join(tempfile.gettempdir(),
-                             f"proj4spark_scale_docs_{n_docs}.parquet")
+    import proj_4_spark.docs.synth as _synth_mod
+
+    # cache key includes the generator source hash: a stale cache from
+    # an older synth implementation (or another checkout on this box)
+    # must not silently feed the measurement
+    synth_tag = hashlib.md5(
+        open(_synth_mod.__file__, "rb").read()).hexdigest()[:10]
+    docs_path = os.path.join(
+        tempfile.gettempdir(),
+        f"proj4spark_scale_docs_{synth_tag}_{n_docs}.parquet")
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         synthesize_spark(spark, n_docs).write.mode("overwrite") \
             .parquet(docs_path)

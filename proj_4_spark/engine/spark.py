@@ -40,6 +40,34 @@ def _cached_operation(projstring: str):
     return create_operation(projstring)
 
 
+# the single source of truth for the forward twin families — used by
+# BOTH the bare fast-path gate and the composed datum-modified twin
+# (which calls _webmerc_jvm_columns directly); a name listed here MUST
+# have a dispatch branch in _webmerc_jvm_columns
+_FWD_TWIN_NAMES = ("webmerc", "merc", "eqc", "cea", "lcc", "aea",
+                   "leac", "stere", "ups", "laea", "sterea", "somerc",
+                   "krovak", "sinu", "eqdc", "eqearth", "cass",
+                   "ortho", "gnom")
+
+
+def _inv_twin_name_ok(P) -> bool:
+    """Closed-form-inverse gating shared by the bare and composed
+    inverse twins (ellipsoidal stere/ups/sinu/cass/ortho/gnom iterate;
+    ellipsoidal merc needs the phi2 iteration; ellipsoidal eqdc needs
+    inv_mlfn)."""
+    name = getattr(P, "name", None)
+    if name == "merc" and P.es != 0.0:
+        return False
+    if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
+            and P.es != 0.0:
+        return False
+    if name == "eqdc" and P.opaque.get("ellips"):
+        return False
+    return name in ("webmerc", "merc", "eqc", "cea", "laea",
+                    "stere", "ups", "sinu", "eqdc", "cass", "ortho",
+                    "gnom")
+
+
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     """True when the operation is a bare webmerc/merc forward that the
     JVM expression twin below reproduces exactly: single op, no
@@ -65,12 +93,7 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # sinu and eqdc (flat mlfn meridional-arc series)
     # r6: eqearth (Equal Earth polynomial), cass (sphere + series),
     # ortho (sphere + EPSG ellipsoidal), gnom (sphere formulas)
-    if getattr(P, "name", None) not in ("webmerc", "merc", "eqc", "cea",
-                                        "lcc", "aea", "leac", "stere",
-                                        "ups", "laea", "sterea",
-                                        "somerc", "krovak", "sinu",
-                                        "eqdc", "eqearth", "cass",
-                                        "ortho", "gnom"):
+    if getattr(P, "name", None) not in _FWD_TWIN_NAMES:
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -692,17 +715,7 @@ def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
         return False
     if getattr(op, "inverted", False):
         return False
-    name = getattr(P, "name", None)
-    if name == "merc" and P.es != 0.0:
-        return False  # ellipsoidal inverse needs the phi2 iteration
-    if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
-            and P.es != 0.0:
-        return False  # conformal-lat / inv_mlfn / 2D-Newton iteration
-    if name == "eqdc" and P.opaque.get("ellips"):
-        return False  # inv_mlfn Newton iteration
-    if name not in ("webmerc", "merc", "eqc", "cea", "laea",
-                    "stere", "ups", "sinu", "eqdc", "cass", "ortho",
-                    "gnom"):
+    if not _inv_twin_name_ok(P):
         return False
     for attr in ("hgridshift", "vgridshift", "helmert", "cart",
                  "cart_wgs84", "axisswap"):
@@ -1464,29 +1477,6 @@ def _datum_jvm_apply(df, legs, x, y, z, t, degrees: bool,
         f"{st.col('tt')} AS `{out_prefix}t`",
     ]
     return st.apply(df, outs)
-
-
-_FWD_TWIN_NAMES = ("webmerc", "merc", "eqc", "cea", "lcc", "aea",
-                   "leac", "stere", "ups", "laea", "sterea", "somerc",
-                   "krovak", "sinu", "eqdc", "eqearth", "cass",
-                   "ortho", "gnom")
-
-
-def _inv_twin_name_ok(P) -> bool:
-    """Closed-form-inverse gating shared by the bare and composed
-    inverse twins (ellipsoidal stere/sinu/eqdc iterate; ellipsoidal
-    merc needs the phi2 iteration)."""
-    name = getattr(P, "name", None)
-    if name == "merc" and P.es != 0.0:
-        return False
-    if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
-            and P.es != 0.0:
-        return False
-    if name == "eqdc" and P.opaque.get("ellips"):
-        return False
-    return name in ("webmerc", "merc", "eqc", "cea", "laea",
-                    "stere", "ups", "sinu", "eqdc", "cass", "ortho",
-                    "gnom")
 
 
 def _bare_cart_helper_ok(hop) -> bool:

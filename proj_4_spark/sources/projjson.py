@@ -285,15 +285,42 @@ def _bound_to_projstring(d: dict) -> str:
                 f"unsupported BoundCRS parameter {prm.get('name')!r}")
         slot, kind = _HELMERT_SLOTS[pcode]
         v = float(prm.get("value", 0.0))
-        f = _unit_conv(prm.get("unit"))
+        u = prm.get("unit")
         if kind == "L":
+            f = _unit_conv(u)
             v = v * f if f is not None else v
         elif kind == "R":
-            # to arc-seconds (factor is rad/unit; default arc-second)
-            v = v * f / _ARCSEC_RAD if f is not None else v
+            # to arc-seconds.  NOTE: the schema-valid string "degree"
+            # is NOT the slot default here (the _unit_conv None return
+            # means metre/degree/unity SI defaults, but rotation slots
+            # default to arc-second) — handle the strings explicitly
+            if u in (None, "arc-second"):
+                pass
+            elif u == "degree":
+                v = v * 3600.0
+            else:
+                f = _unit_conv(u)
+                if f is None:
+                    raise ValueError(
+                        f"unsupported rotation unit {u!r} in BoundCRS")
+                # exact path: multiplying by f then dividing by the
+                # same arc-second factor would corrupt the last bits
+                # (the WKT2 degree-factor lesson)
+                if f != _ARCSEC_RAD:
+                    v = v * f / _ARCSEC_RAD
         else:
-            # to ppm (factor is ratio/unit; default ppm)
-            v = v * f / 1e-6 if f is not None else v
+            # to ppm; same reasoning for the "unity" string
+            if u in (None, "parts per million"):
+                pass
+            elif u == "unity":
+                v = v * 1e6
+            else:
+                f = _unit_conv(u)
+                if f is None:
+                    raise ValueError(
+                        f"unsupported scale unit {u!r} in BoundCRS")
+                if f != 1e-6:  # exact ppm path (see above)
+                    v = v * f / 1e-6
         vals[slot] = v
     if invert_rot:
         for i in (3, 4, 5):
@@ -368,13 +395,69 @@ def _geog_json(p: dict, name: str) -> dict:
     return out
 
 
+def _bound_json(core: dict, p: dict, name: str) -> dict:
+    """Wrap a CRS dict in a BoundCRS when the preset carries datum
+    info (+towgs84 / +nadgrids) — the writer must not silently DROP
+    the datum shift; the reader converts the wrapper back."""
+    tw = p.get("towgs84")
+    ng = p.get("nadgrids")
+    if not tw and not ng:
+        return core
+    if ng:
+        tr = {
+            "name": name + " to WGS84",
+            "method": {"name": "NTv2",
+                       "id": {"authority": "EPSG", "code": 9615}},
+            "parameters": [
+                {"name": "Latitude and longitude difference file",
+                 "value": ng,
+                 "id": {"authority": "EPSG", "code": 8656}}],
+        }
+    else:
+        vals = [float(x) for x in str(tw).split(",")]
+        while len(vals) < 7:
+            vals.append(0.0)
+        asec = {"type": "AngularUnit", "name": "arc-second",
+                "conversion_factor": _ARCSEC_RAD}
+        ppm = {"type": "ScaleUnit", "name": "parts per million",
+               "conversion_factor": 1e-06}
+        names = ["X-axis translation", "Y-axis translation",
+                 "Z-axis translation", "X-axis rotation",
+                 "Y-axis rotation", "Z-axis rotation",
+                 "Scale difference"]
+        units = ["metre", "metre", "metre", asec, asec, asec, ppm]
+        params = [{"name": n, "value": v, "unit": u,
+                   "id": {"authority": "EPSG", "code": 8605 + i}}
+                  for i, (n, v, u) in enumerate(zip(names, vals, units))]
+        # +towgs84 is the position-vector convention by definition
+        tr = {
+            "name": name + " to WGS84",
+            "method": {"name": "Position Vector transformation "
+                               "(geog2D domain)",
+                       "id": {"authority": "EPSG", "code": 9606}},
+            "parameters": params,
+        }
+    return {"type": "BoundCRS", "source_crs": core,
+            "target_crs": _geog_json({"ellps": "WGS84"}, "WGS 84"),
+            "transformation": tr}
+
+
 def projstring_to_projjson(projstring: str, name: str = "unnamed") -> dict:
     """PROJJSON dict for a supported projected/geographic proj-string
     preset (the writer half of the round-trip test: parse(write(x))
-    must reproduce x's parameters exactly)."""
+    must reproduce x's parameters exactly, INCLUDING the datum shift —
+    towgs84/nadgrids presets emit a BoundCRS wrapper)."""
+    from proj_4_spark.engine.plan import DATUMS
+
     p = _parse_projstring_tokens(projstring)
+    if "datum" in p:
+        d = DATUMS.get(p["datum"])
+        if d is None:
+            raise ValueError(f"unknown datum {p['datum']}")
+        for k, v in d.items():
+            p.setdefault(k, v)
     if p.get("proj") == "longlat":
-        return _geog_json(p, name)
+        return _bound_json(_geog_json(p, name), p, name)
     fam = _wkt_family(p)
     if fam is None:
         raise ValueError(f"no PROJJSON writer for proj={p.get('proj')!r}")
@@ -397,7 +480,7 @@ def projstring_to_projjson(projstring: str, name: str = "unnamed") -> dict:
     else:
         unit_json = {"type": "LinearUnit", "name": uname,
                      "conversion_factor": ufac}
-    return {
+    return _bound_json({
         "type": "ProjectedCRS",
         "name": name,
         "base_crs": _geog_json(p, name + " base"),
@@ -415,4 +498,4 @@ def projstring_to_projjson(projstring: str, name: str = "unnamed") -> dict:
                 {"name": "Northing", "abbreviation": "N",
                  "direction": "north", "unit": unit_json},
             ]},
-    }
+    }, p, name)

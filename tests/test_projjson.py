@@ -193,13 +193,38 @@ def test_bound_crs_helmert_true_values():
         projjson_to_projstring(bad)
 
 
+def _norm_datum(ps: str) -> dict:
+    """_norm plus the DATUM tokens the PROJJSON writer must preserve
+    (towgs84 normalized to 7 floats; nadgrids verbatim; +datum
+    expanded)."""
+    from proj_4_spark.engine.plan import DATUMS
+    from proj_4_spark.sources.wkt2 import _parse_projstring_tokens
+
+    out = _norm(ps)
+    raw = _parse_projstring_tokens(ps)
+    if "datum" in raw:
+        for k, v in DATUMS[raw["datum"]].items():
+            raw.setdefault(k, v)
+    if raw.get("towgs84"):
+        vals = [float(x) for x in raw["towgs84"].split(",")]
+        while len(vals) < 7:
+            vals.append(0.0)
+        out["towgs84"] = tuple(vals)
+    if raw.get("nadgrids"):
+        out["nadgrids"] = raw["nadgrids"]
+    return out
+
+
 def test_projjson_roundtrip_generated_catalog():
     """Every generated-catalog preset in the writer's method subset
     round-trips preset -> PROJJSON -> proj-string with EXACTLY equal
-    parameters — the same guarantee the WKT2 round-trip test pins."""
+    parameters INCLUDING the datum shift (towgs84 presets emit a
+    BoundCRS wrapper; a writer that silently dropped the shift would
+    produce ~100 m errors on re-import)."""
     from proj_4_spark.sources.epsg_generated import PRESETS
 
     ok = 0
+    with_datum = 0
     families = set()
     for code, ps in PRESETS.items():
         try:
@@ -207,11 +232,43 @@ def test_projjson_roundtrip_generated_catalog():
             back = projjson_to_projstring(json.dumps(j))
         except (ValueError, KeyError):
             continue  # outside the writer subset
-        assert _norm(ps) == _norm(back), (code, ps, back)
+        assert _norm_datum(ps) == _norm_datum(back), (code, ps, back)
         ok += 1
+        if "towgs84" in _norm_datum(ps) or "nadgrids" in _norm_datum(ps):
+            with_datum += 1
         families.add(ps.split()[0])
     assert ok >= 5000, ok
     assert len(families) >= 15, families
+    assert with_datum >= 200, with_datum
+
+
+def test_projjson_bound_unit_strings():
+    """Schema-valid unit STRINGS on BoundCRS helmert parameters:
+    rotations in 'degree' convert via 3600, 'unity' scale via 1e6 —
+    NOT silently misread as the arc-second/ppm slot defaults."""
+    src = {"type": "GeographicCRS", "name": "s",
+           "datum": {"type": "GeodeticReferenceFrame", "name": "d",
+                     "ellipsoid": {"name": "WGS 84",
+                                   "semi_major_axis": 6378137,
+                                   "inverse_flattening": 298.257223563}}}
+    b = {"type": "BoundCRS", "source_crs": src, "target_crs": src,
+         "transformation": {
+             "name": "t",
+             "method": {"name": "Position Vector transformation "
+                                "(geog2D domain)",
+                        "id": {"authority": "EPSG", "code": 9606}},
+             "parameters": [
+                 {"name": "X-axis rotation", "value": 0.001,
+                  "unit": "degree",
+                  "id": {"authority": "EPSG", "code": 8608}},
+                 {"name": "Scale difference", "value": 6.7e-06,
+                  "unit": "unity",
+                  "id": {"authority": "EPSG", "code": 8611}}]}}
+    got = projjson_to_projstring(b)
+    tw = [float(v) for v in
+          got.split("towgs84=")[1].split()[0].split(",")]
+    assert np.allclose(tw, [0, 0, 0, 3.6, 0, 0, 6.7], rtol=0,
+                       atol=1e-12)
 
 
 def test_create_operation_and_transform_accept_projjson(spark):
