@@ -438,6 +438,17 @@ def _boundcrs_to_projstring(root: Node) -> str:
         raise ValueError("ABRIDGEDTRANSFORMATION without METHOD")
     mname = next((a for a in meth.args if isinstance(a, str)), "").lower()
     mcode = _id_code(meth)
+    if "ntv2" in mname or mcode == 9615:
+        pf = ab.first("PARAMETERFILE")
+        if pf is None:
+            raise ValueError("NTv2 BOUNDCRS without PARAMETERFILE")
+        grid = [a for a in pf.args if isinstance(a, str)]
+        if len(grid) < 2:
+            raise ValueError("PARAMETERFILE needs a file name")
+        extra = f"nadgrids={grid[1]}"
+        if frag.endswith(" no_defs"):
+            return frag[: -len(" no_defs")] + f" {extra} no_defs"
+        return f"{frag} {extra}"
     if "coordinate frame" in mname or mcode in (1032, 1038, 9607):
         invert_rot = True
     elif "position vector" in mname or mcode in (1033, 1037, 9606):
@@ -709,10 +720,51 @@ def _wkt_family(params: dict[str, str]) -> tuple[str, dict[str, str]] | None:
     return None
 
 
+_WGS84_GEOG_WKT = ('GEOGCRS["WGS 84",DATUM["World Geodetic System '
+                   '1984",ELLIPSOID["WGS 84",6378137,298.257223563,'
+                   'LENGTHUNIT["metre",1]]],'
+                   'UNIT["degree",0.0174532925199433]]')
+
+
+def _bound_wkt(core: str, p: dict, name: str) -> str:
+    """Wrap datum-bearing presets in BOUNDCRS — the writer must not
+    silently DROP +towgs84/+nadgrids (the reader converts back).
+    Note the ABRIDGED convention stores Scale difference as
+    1 + ppm*1e-6, which round-trips the ppm value to ~1e-10 relative
+    (inherent to the WKT2 abridged form; PROJ has the same artifact)."""
+    tw = p.get("towgs84")
+    ng = p.get("nadgrids")
+    if not tw and not ng:
+        return core
+    if ng:
+        tr = (f'ABRIDGEDTRANSFORMATION["{name} to WGS84",'
+              'METHOD["NTv2",ID["EPSG",9615]],'
+              'PARAMETERFILE["Latitude and longitude difference file",'
+              f'"{ng}"]]')
+    else:
+        vals = [float(x) for x in str(tw).split(",")]
+        while len(vals) < 7:
+            vals.append(0.0)
+        pnames = ["X-axis translation", "Y-axis translation",
+                  "Z-axis translation", "X-axis rotation",
+                  "Y-axis rotation", "Z-axis rotation"]
+        parts = [f'PARAMETER["{n}",{fmt(v)}]'
+                 for n, v in zip(pnames, vals[:6])]
+        parts.append(f'PARAMETER["Scale difference",'
+                     f'{fmt(1.0 + vals[6] * 1e-6)}]')
+        tr = (f'ABRIDGEDTRANSFORMATION["{name} to WGS84",'
+              'METHOD["Position Vector transformation '
+              '(geog2D domain)",ID["EPSG",9606]],'
+              + ",".join(parts) + "]")
+    return (f"BOUNDCRS[SOURCECRS[{core}],"
+            f"TARGETCRS[{_WGS84_GEOG_WKT}],{tr}]")
+
+
 def projstring_to_wkt2(projstring: str, name: str = "unnamed") -> str:
     """WKT2-2019 text for a supported projected/geographic proj-string
     preset (the writer half of the round-trip test: parse(write(x))
-    must reproduce x's parameters exactly)."""
+    must reproduce x's parameters exactly, INCLUDING the datum shift —
+    towgs84/nadgrids presets emit a BOUNDCRS wrapper)."""
     from proj_4_spark.engine.plan import DATUMS
 
     p = _parse_projstring_tokens(projstring)
@@ -720,7 +772,8 @@ def projstring_to_wkt2(projstring: str, name: str = "unnamed") -> str:
         d = DATUMS.get(p["datum"])
         if d is None:
             raise ValueError(f"unknown datum {p['datum']}")
-        p.setdefault("ellps", d["ellps"])
+        for k, v in d.items():
+            p.setdefault(k, v)
     if "ellps" in p:
         ell = ELLPS_TABLE[p["ellps"]]
         a = ell["a"]
@@ -748,11 +801,12 @@ def projstring_to_wkt2(projstring: str, name: str = "unnamed") -> str:
             + ("," + pm_wkt if pm_wkt else "")
             + ',UNIT["degree",0.0174532925199433]]')
     if p.get("proj") == "longlat":
-        return (f'GEOGCRS["{name}",DATUM["unknown",{ell_wkt}]'
-                + ("," + pm_wkt if pm_wkt else "")
-                + ',CS[ellipsoidal,2],AXIS["latitude",north],'
-                'AXIS["longitude",east],'
-                'UNIT["degree",0.0174532925199433]]')
+        return _bound_wkt(
+            (f'GEOGCRS["{name}",DATUM["unknown",{ell_wkt}]'
+             + ("," + pm_wkt if pm_wkt else "")
+             + ',CS[ellipsoidal,2],AXIS["latitude",north],'
+             'AXIS["longitude",east],'
+             'UNIT["degree",0.0174532925199433]]'), p, name)
     fam = _wkt_family(p)
     if fam is None:
         raise ValueError(f"no WKT2 writer for proj={p.get('proj')!r}")
@@ -777,6 +831,7 @@ def projstring_to_wkt2(projstring: str, name: str = "unnamed") -> str:
         uname, ufac = "unknown", float(p["to_meter"])
     else:
         uname, ufac = "metre", 1.0
-    return (f'PROJCRS["{name}",{base},{conv},'
-            f'CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],'
-            f'LENGTHUNIT["{uname}",{fmt(ufac)}]]')
+    return _bound_wkt(
+        (f'PROJCRS["{name}",{base},{conv},'
+         f'CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],'
+         f'LENGTHUNIT["{uname}",{fmt(ufac)}]]'), p, name)

@@ -127,6 +127,27 @@ def _norm(ps: str) -> dict:
     return out
 
 
+def _norm_datum_wkt(ps: str) -> dict:
+    """_norm plus the datum tokens the r6 BOUNDCRS writer preserves.
+    The abridged Scale difference (stored as 1 + ppm*1e-6) round-trips
+    the ppm value to ~1e-10 relative — slot 6 compares rounded."""
+    from proj_4_spark.engine.plan import DATUMS
+
+    out = _norm(ps)
+    raw = _parse_projstring_tokens(ps)
+    if "datum" in raw:
+        for k, v in DATUMS[raw["datum"]].items():
+            raw.setdefault(k, v)
+    if raw.get("towgs84"):
+        vals = [float(x) for x in raw["towgs84"].split(",")]
+        while len(vals) < 7:
+            vals.append(0.0)
+        out["towgs84"] = tuple(vals[:6]) + (round(vals[6], 6),)
+    if raw.get("nadgrids"):
+        out["nadgrids"] = raw["nadgrids"]
+    return out
+
+
 def test_wkt2_roundtrip_generated_catalog():
     """Every generated-catalog preset in the writer's method subset
     round-trips preset -> WKT2 -> proj-string with EXACTLY equal
@@ -144,11 +165,15 @@ def test_wkt2_roundtrip_generated_catalog():
             back = wkt2_to_projstring(wkt)
         except (ValueError, KeyError):
             continue  # outside the writer subset
-        assert _norm(ps) == _norm(back), (code, ps, back)
+        assert _norm_datum_wkt(ps) == _norm_datum_wkt(back), (
+            code, ps, back)
         ok += 1
         families.add(ps.split()[0])
     assert ok >= 5000, ok
     assert len(families) >= 15, families
+    # datum-bearing presets round-trip through the BOUNDCRS wrapper
+    assert sum(1 for _, ps in PRESETS.items()
+               if "towgs84=" in ps or "nadgrids=" in ps) >= 200
 
 
 def test_wkt2_units_and_errors():
@@ -303,10 +328,19 @@ def test_boundcrs_position_vector_and_geocentric():
           got.split("towgs84=")[1].split()[0].split(",")]
     assert tw == [-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0]
 
+    # NTv2 BOUNDCRS (r6 review follow-up: the writer emits this shape
+    # for +nadgrids presets, so the reader must accept it)
+    got = wkt2_to_projstring(_boundcrs(
+        'METHOD["NTv2",ID["EPSG",9615]]',
+        'PARAMETERFILE["Latitude and longitude difference file",'
+        '"x.gsb"]'))
+    assert "nadgrids=x.gsb" in got
+
+    # genuinely unsupported methods still raise
     with pytest.raises(ValueError):
         wkt2_to_projstring(_boundcrs(
-            'METHOD["NTv2",ID["EPSG",9615]]',
-            'PARAMETERFILE["file","x.gsb"]'))
+            'METHOD["Molodensky",ID["EPSG",9604]]',
+            'PARAMETER["X-axis translation",1]'))
 
 
 def test_boundcrs_end_to_end_matches_towgs84_projstring():
