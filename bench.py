@@ -229,6 +229,19 @@ def main():
         eff_d = (report[big]["docs_per_sec"] / report[small]["docs_per_sec"]) / 4.0
         report["transform_scaling_efficiency"] = round(eff_t, 3)
         report["docs_scaling_efficiency"] = round(eff_d, 3)
+        # methodology version: v2 (r6) moved doc synthesis OUT of the
+        # timed region and upsized the workload (5M->25M pts/core-4,
+        # 50k->150k docs/core-4) — v2 numbers are NOT comparable to
+        # v1 (r1-r5) runs; the explicit fields below let cross-round
+        # dashboards refuse unlike comparisons instead of silently
+        # mixing them
+        report["methodology"] = {
+            "version": 2,
+            "points_per_core_times_4": base_points,
+            "docs_per_core_times_4": base_docs,
+            "timed_region": "engine only (inputs materialized before "
+                            "the timer; doc synthesis excluded)",
+        }
         report["note"] = (
             f"throughput at local[{small}] vs local[{big}], each pinned to "
             f"its own CPU set; input scaled with cores (weak scaling)"

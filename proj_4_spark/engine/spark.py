@@ -1273,12 +1273,40 @@ class _SqlStager:
         return self.PREFIX + name
 
     def apply(self, df, final_exprs: list[str] | None = None):
+        clash = [c for c in df.columns
+                 if c.startswith(self.PREFIX) and c not in self.tmp]
+        if clash:
+            # a pre-existing _jd_* column (other than hand-off columns
+            # the caller registered in self.tmp, e.g. the composed
+            # inverse twin's pre-seeded projection outputs) would either
+            # raise an ambiguous-reference AnalysisException mid-plan or
+            # be silently dropped by the final drop(*tmp)
+            raise ValueError(
+                f"input columns collide with the staging prefix "
+                f"{self.PREFIX!r}: {clash}; rename them before transform()")
         out = df
         for exprs in self.stages:
             out = out.selectExpr("*", *exprs)
         if final_exprs:
             out = out.selectExpr("*", *final_exprs)
         return out.drop(*self.tmp)
+
+
+def _sql_atan2_ieee(yc: str, xc: str) -> str:
+    """SQL twin of the Column-path atan2_ieee (see _inv_jvm_columns):
+    Spark's atan2 adds +0.0 to both args, collapsing -0.0 — restore
+    IEEE signed-zero semantics on the y == 0 boundary so a geocentric
+    Y of exactly -0.0 yields lon -0.0 / ±pi like the NumPy kernels.
+    Args must be COLUMN REFS (they appear several times textually)."""
+    L = _sql_dlit
+    xneg = f"startswith(cast({xc} AS STRING), '-')"
+    yneg = f"startswith(cast({yc} AS STRING), '-')"
+    return (f"CASE WHEN isnan({xc}) OR isnan({yc}) THEN {L(float('nan'))} "
+            f"WHEN {yc} = 0.0D THEN "
+            f"(CASE WHEN {xneg} AND {yneg} THEN {L(-math.pi)} "
+            f"WHEN {xneg} THEN {L(math.pi)} "
+            f"WHEN {yneg} THEN -0.0D ELSE 0.0D END) "
+            f"ELSE atan2({yc}, {xc}) END")
 
 
 def _sql_adjlon(c: str) -> str:
@@ -1374,7 +1402,7 @@ def _emit_datum_legs(st: _SqlStager, legs, cx: str, cy: str, cz: str,
                 phi=f"CASE WHEN {near} THEN (CASE WHEN {zpos} THEN "
                     f"{HALF_PI} ELSE -{HALF_PI} END) ELSE "
                     f"atan({s('yph')} / {s('xph')}) END",
-                lam=f"atan2({cy}, {cx})")
+                lam=_sql_atan2_ieee(cy, cx))
             put(zz=f"CASE WHEN {s('cpi')} < 1e-6D THEN abs({cz}) - "
                    f"hypot({L(a * a)} * {s('cpi')}, {L(b * b)} * {s('spi')})"
                    f" / hypot({L(a)} * {s('cpi')}, {L(b)} * {s('spi')}) "

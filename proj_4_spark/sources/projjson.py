@@ -303,10 +303,15 @@ def _bound_to_projstring(d: dict) -> str:
                 if f is None:
                     raise ValueError(
                         f"unsupported rotation unit {u!r} in BoundCRS")
-                # exact path: multiplying by f then dividing by the
+                # exact paths: multiplying by f then dividing by the
                 # same arc-second factor would corrupt the last bits
-                # (the WKT2 degree-factor lesson)
-                if f != _ARCSEC_RAD:
+                # (the WKT2 degree-factor lesson).  Unit OBJECTS whose
+                # conversion_factor is the (possibly 15-digit-rounded)
+                # degree factor get the same exact *3600 route as the
+                # "degree" string.
+                if abs(f - _DEG_RAD) < 1e-16:
+                    v = v * 3600.0
+                elif f != _ARCSEC_RAD:
                     v = v * f / _ARCSEC_RAD
         else:
             # to ppm; same reasoning for the "unity" string
@@ -319,7 +324,9 @@ def _bound_to_projstring(d: dict) -> str:
                 if f is None:
                     raise ValueError(
                         f"unsupported scale unit {u!r} in BoundCRS")
-                if f != 1e-6:  # exact ppm path (see above)
+                if f == 1.0:  # unit OBJECT for unity: exact *1e6 path
+                    v = v * 1e6
+                elif f != 1e-6:  # exact ppm path (see above)
                     v = v * f / 1e-6
         vals[slot] = v
     if invert_rot:
@@ -389,9 +396,12 @@ def _geog_json(p: dict, name: str) -> dict:
                  "direction": "north", "unit": "degree"},
             ]},
     }
-    pm = float(p.get("pm", 0.0) or 0.0)
+    from proj_4_spark.sources.wkt2 import _pm_degrees
+
+    pm = _pm_degrees(p)
     if pm:
-        out["prime_meridian"] = {"name": "unnamed", "longitude": pm}
+        out["prime_meridian"] = {"name": str(p.get("pm", "unnamed")),
+                                 "longitude": pm}
     return out
 
 

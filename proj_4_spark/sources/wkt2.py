@@ -289,6 +289,20 @@ def _base_fragments(crs: Node) -> list[str]:
     return frags
 
 
+def _pm_degrees(p: dict) -> float:
+    """Resolve a +pm token — numeric degrees or a NAMED meridian
+    (``pm=paris`` etc., src/datums.cpp pj_prime_meridians) — to decimal
+    degrees via the same table the proj-string reader uses.  Shared by
+    the WKT2 and PROJJSON writers so named meridians round-trip instead
+    of crashing float()."""
+    raw = p.get("pm", 0.0) or 0.0
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        from proj_4_spark.engine.projstring import prime_meridian_rad
+        return prime_meridian_rad(str(raw)) * 180.0 / math.pi
+
+
 def _conversion_params(conv: Node) -> tuple[int, dict]:
     meth = conv.first("METHOD", "PROJECTION")
     if meth is None:
@@ -794,7 +808,7 @@ def projstring_to_wkt2(projstring: str, name: str = "unnamed") -> str:
         raise ValueError("preset without ellipsoid information")
     ell_wkt = (f'ELLIPSOID["{ename}",{fmt(a)},{fmt(rf)},'
                'LENGTHUNIT["metre",1]]')
-    pm = float(p.get("pm", 0.0) or 0.0)
+    pm = _pm_degrees(p)
     pm_wkt = (f'PRIMEM["unnamed",{fmt(pm)},'
               'ANGLEUNIT["degree",0.0174532925199433]]') if pm else ""
     base = (f'BASEGEOGCRS["{name} base",DATUM["unknown",{ell_wkt}]'

@@ -1114,6 +1114,47 @@ def test_datum_pipeline_jvm_fast_path_parity(spark):
             guarded._jdf.queryExecution().executedPlan().toString(), ps
 
 
+def test_datum_twin_signed_zero_and_prefix_collision(spark):
+    """r7 ADVICE fixes on the SQL-staged datum twin: (a) the cart-inverse
+    leg preserves IEEE signed zeros (geocentric Y=-0.0 -> lon -0.0, and
+    Y=+0.0, X<0 -> lon +180, Y=-0.0, X<0 -> lon -180) via the same CASE
+    the Column twins' atan2_ieee uses; (b) an input column colliding
+    with the _jd_ staging prefix raises a clear ValueError instead of an
+    ambiguous-reference AnalysisException / silent drop."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    # cart fwd -> cart inv is the minimal shape the datum twin accepts
+    # (legs must start cart-fwd / end cart-inv); lon=-0.0 deg survives
+    # cart fwd as geocentric Y=-0.0, so the inverse leg's atan2 sees an
+    # exact signed zero
+    pdf = pd.DataFrame({
+        "lon": [-0.0, 0.0, 180.0, -180.0],
+        "lat": [0.0, 0.0, 0.0, 0.0],
+        "h": [0.0, 0.0, 0.0, 0.0],
+    })
+    df = spark.createDataFrame(pdf)
+    ps = ("+proj=pipeline +step +proj=cart +ellps=WGS84 "
+          "+step +inv +proj=cart +ellps=WGS84")
+    out = transform(df, ps, x="lon", y="lat", z="h", out_prefix="o_")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = {math.copysign(1.0, r["lon"]) * (abs(r["lon"]) + 1.0): r["o_x"]
+            for r in out.collect()}
+    assert rows[-1.0] == 0.0 and math.copysign(1.0, rows[-1.0]) == -1.0
+    assert rows[1.0] == 0.0 and math.copysign(1.0, rows[1.0]) == 1.0
+    assert rows[181.0] == pytest.approx(180.0, abs=1e-9)
+    assert rows[-181.0] == pytest.approx(-180.0, abs=1e-9)
+
+    clash = df.withColumn("_jd_x", F.lit(1))
+    with pytest.raises(ValueError, match="_jd_"):
+        transform(clash, ps, x="lon", y="lat", z="h", out_prefix="o_")
+
+
 def test_inverse_jvm_fast_path_parity_r6(spark):
     """r6 inverse twins: cea (sphere+ellipsoid authlat), laea (all
     modes, sphere+ellipsoid), spherical stere (all modes), spherical

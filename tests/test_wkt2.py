@@ -124,6 +124,13 @@ def _norm(ps: str) -> dict:
         out["rf"] = 0.0 if b == a else a / (a - b)
     if out.get("units") == "m":
         out.pop("units")
+    if "pm" in out:
+        # named meridians (pm=paris) and their numeric-degree emission
+        # must compare equal; round(rad, 12) absorbs dms->deg->dms
+        # last-bit jitter (~1e-17) without hiding real differences
+        from proj_4_spark.engine.projstring import prime_meridian_rad
+
+        out["pm"] = round(prime_meridian_rad(str(p["pm"])), 12)
     return out
 
 
