@@ -1409,6 +1409,80 @@ def _q_ann_lsh(spark, sf_dir):
                        _i(F.col("cosine"), 1000000).alias("cosine"))
 
 
+def _ann_index_path(kind: str, sf_dir: str) -> str:
+    """Cached persisted-index location for a given sf dir (benchdata/ is
+    gitignored; at cluster scale this would be a DFS URI)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchdata", "ann_index", f"{kind}_{tag}")
+
+
+def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
+    """Build-once semantics for the prebuilt ANN queries: reuse the
+    cached index when its sidecar params + corpus row count still match
+    the sf dir, else (re)build.  The staleness check is one footer-only
+    parquet count — cheap at any sf."""
+    from proj_4_spark.functions import ann_index
+
+    path = _ann_index_path(kind, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = ({"kind": "lsh", "dim": 64, "n_planes": 8, "seed": 42}
+            if kind == "lsh"
+            else {"kind": "ivf", "dim": 64, "n_centroids": 16, "seed": 42})
+    try:
+        meta = ann_index.read_meta(path)
+        if (all(meta.get(k) == v for k, v in want.items())
+                and meta.get("corpus_rows") == emb.count()):
+            return path
+    except ValueError:
+        pass
+    if kind == "lsh":
+        ann_index.build_lsh_index(emb, path, dim=64, n_planes=8, seed=42)
+    else:
+        ann_index.build_ivf_index(emb, path, dim=64, n_centroids=16,
+                                  seed=42)
+    return path
+
+
+def _q_ann_lsh_prebuilt(spark, sf_dir):
+    """Probe-only LSH ANN against a PERSISTED index (build-once /
+    probe-many — the serving shape a 100-TB user actually runs; VERDICT
+    r6 #1).  Same params as `ann_lsh_topk`, so the identical DuckDB
+    recompute oracle applies; the corpus side of the plan is a
+    partition-pruned scan of precomputed signatures (gated in
+    tests/test_functions.py::test_lsh_prebuilt_matches_in_query)."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.ann_index import lsh_topk_prebuilt
+
+    path = _ensure_ann_index(spark, sf_dir, "lsh")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id",
+                                                  "embedding")
+    topk = lsh_topk_prebuilt(spark, path, queries, k=5, multiprobe=2,
+                             raw_cosine=True)
+    return topk.select("q_id", "vec_id", "rank",
+                       _i(F.col("cosine"), 1000000).alias("cosine"))
+
+
+def _q_ann_ivf_prebuilt(spark, sf_dir):
+    """Probe-only IVF ANN against a PERSISTED inverted file (same
+    quantizer as `ann_ivf_topk`, so the same DuckDB oracle applies);
+    probe plan = literal list_id partition pruning + broadcast join."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.ann_index import ivf_topk_prebuilt
+
+    path = _ensure_ann_index(spark, sf_dir, "ivf")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id",
+                                                  "embedding")
+    topk = ivf_topk_prebuilt(spark, path, queries, k=5, n_probe=6,
+                             raw_cosine=True)
+    return topk.select("q_id", "vec_id", "rank",
+                       _i(F.col("cosine"), 1000000).alias("cosine"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard verification on the LSH candidate pairs;
     DuckDB recomputes candidates AND the exact Jaccard from the shingle
@@ -1627,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_prebuilt": _q_ann_lsh_prebuilt,
+        "ann_ivf_prebuilt": _q_ann_ivf_prebuilt,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -2168,6 +2244,15 @@ def oracle_sql() -> dict[str, str]:
                                      multiprobe=2, k=5),
         "ann_ivf_topk": _sql_ann_ivf(n_centroids=16, n_probe=6, dim=64,
                                      seed=42, k=5),
+        # the prebuilt probes persist exactly what the in-query paths
+        # derive (same planes / quantizer, pinned by parity tests), so
+        # the same recompute oracles apply — what differs is the Spark
+        # plan (bucket-pruned scan + broadcast probe, no corpus-side
+        # signature recompute), not the values
+        "ann_lsh_prebuilt": _sql_ann_lsh(n_planes=8, dim=64, seed=42,
+                                         multiprobe=2, k=5),
+        "ann_ivf_prebuilt": _sql_ann_ivf(n_centroids=16, n_probe=6,
+                                         dim=64, seed=42, k=5),
         # flagship: DuckDB recomputes the WHOLE chain from the same
         # parquet fixture — unnest spans, media filter, regexp geo-tag
         # parse, merc error semantics (|lam|>10rad, |phi|-pi/2<=1e-10),

@@ -35,6 +35,11 @@ HEADLINE = [
     # baseline so the speedup is visible in every BENCH_r*.json
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # r7: probe-only latency against a PERSISTED index (built once in
+    # the warm-up below) — the serving shape a 100-TB user runs; the
+    # *_topk twins above keep measuring the one-shot build+probe shape
+    "ann_lsh_prebuilt",
+    "ann_ivf_prebuilt",
     "docs_geo_pipeline",
 ]
 
@@ -76,6 +81,11 @@ def run_workload(spark, sf_dir: str) -> dict[str, float]:
     # ...and the mapInPandas path (doc synthesis) which spins up its own
     # worker type
     qs["docs_geo_pipeline"](spark, "/root/testdata/sf0.001").count()
+    # build-once: constructing the prebuilt-ANN DataFrames materializes
+    # the persisted index (cached across runs in benchdata/ann_index),
+    # so the timed region below measures PROBE-ONLY latency
+    qs["ann_lsh_prebuilt"](spark, sf_dir)
+    qs["ann_ivf_prebuilt"](spark, sf_dir)
     times: dict[str, float] = {}
     # best-of-3 per query: single-box runs show multi-second GC/straggler
     # spikes that land on a different query each run; the min is the
@@ -257,7 +267,8 @@ def main():
     # headline; value_r5_subset keeps the r1-r5 12-query total
     # comparable across rounds (BENCH/BASELINE.md §8)
     r5_subset = [q for q in HEADLINE
-                 if q not in ("ann_lsh_topk", "ann_ivf_topk")]
+                 if q not in ("ann_lsh_topk", "ann_ivf_topk",
+                              "ann_lsh_prebuilt", "ann_ivf_prebuilt")]
     print(json.dumps({
         "metric": "headline-suite wall time (transform+spatial+agg+dedup+ann)",
         "value": round(sum(times.values()), 3),

@@ -1,0 +1,268 @@
+"""Persisted ANN indexes: build ONCE, probe MANY (the 100-TB serving
+shape).
+
+The in-query ANN paths (`similarity.lsh_bucket_topk` / `ivf_topk`)
+re-derive the corpus signatures / centroid assignments inside every
+invocation — fine for a one-shot query, wrong for serving, where the
+index over a 100 TB corpus is built once and probed by many small query
+batches.  This module splits the two:
+
+- build_lsh_index / build_ivf_index: one full-corpus pass computing
+  (vec_id, v, v_norm, bucket|list_id), written as parquet PARTITIONED BY
+  the bucket / list id, plus a small JSON sidecar carrying the index
+  parameters (and, for IVF, the exact centroid matrix — JSON doubles
+  round-trip bit-exactly via repr).
+- lsh_topk_prebuilt / ivf_topk_prebuilt: probe-only queries.  The query
+  batch (small by definition in the serving shape) is signed/probed,
+  its DISTINCT probe keys are collected to the driver (bounded by
+  n_queries x probe-expansion, NOT by corpus size) and pushed as a
+  literal partition filter — so the corpus side of the plan is a
+  partition-PRUNED parquet scan of precomputed columns + a broadcast
+  hash join.  No full-corpus signature recompute, no Python on the
+  corpus side, and only the probed fraction of the index is read.
+
+At cluster scale `path` is a DFS URI and the partition directories are
+the inverted file; everything here is plain `spark.read/write.parquet`,
+so nothing changes beyond the path scheme.  Index lifecycle (rebuilds
+after corpus updates) is the caller's job — `meta["corpus_rows"]` is
+recorded to make staleness checks cheap.
+
+Reference parity: the reference engine (kbevers/proj.4) has no ANN
+surface; these operators extend the engine for LLM-training-data
+pipelines per the build brief.  Result semantics are pinned to
+`similarity.lsh_bucket_topk` / `ivf_topk` (tests assert equality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from proj_4_spark.functions.similarity import (
+    _dot_col,
+    _hyperplanes,
+    _i64,
+    _norm_col,
+    centroid_dots_col,
+    signature_col,
+)
+
+META_NAME = "_ann_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, META_NAME), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_meta(path: str) -> dict:
+    mp = os.path.join(path, META_NAME)
+    if not os.path.exists(mp):
+        raise ValueError(
+            f"no ANN index at {path!r}: missing {META_NAME} sidecar "
+            "(build one with build_lsh_index / build_ivf_index)")
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def build_lsh_index(emb_df, path: str, *, dim: int, n_planes: int = 8,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """One-pass LSH index build: sign-bucket signature per corpus vector
+    (JVM expressions below the literal-term threshold, Arrow matmul
+    above — see similarity.signature_col), norm precomputed, written
+    partitioned by bucket (<= 2^n_planes directories).  Returns the
+    meta dict."""
+    from pyspark.sql import functions as F
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    indexed = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("v_norm"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    # cluster by the partition key before partitionBy: without it every
+    # write task emits a file into every bucket directory it touches
+    # (n_tasks x n_buckets tiny files — measured 510 files for 2000 rows
+    # at sf0.1); with it, one file per bucket.  At 100 TB you'd
+    # additionally bound file sizes via spark.sql.files.maxRecordsPerFile
+    indexed.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(path)
+    spark = emb_df.sparkSession
+    meta = {
+        "kind": "lsh", "dim": dim, "n_planes": n_planes, "seed": seed,
+        # footer-only count over the just-written files: cheap staleness
+        # fingerprint for callers that cache the index
+        "corpus_rows": spark.read.parquet(path).count(),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def build_ivf_index(emb_df, path: str, *, dim: int, n_centroids: int = 16,
+                    seed: int = 42, centroids: np.ndarray | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> dict:
+    """One-pass IVF (inverted-file) index build: nearest-centroid
+    assignment per corpus vector, written partitioned by list_id.
+    `centroids` may be a trained matrix (similarity.train_centroids);
+    default is the seed-deterministic random-unit quantizer that
+    similarity.ivf_topk uses, so prebuilt and in-query results match
+    exactly.  The exact centroid matrix is persisted in the sidecar
+    (JSON float repr round-trips doubles bit-exactly)."""
+    from pyspark.sql import functions as F
+
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        n_centroids = cents.shape[0]
+    else:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        cents = rng.standard_normal((n_centroids, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # two-step projection: argmax references the dots twice; a separate
+    # projection stops CollapseProject from inlining the matmul twice
+    corpus = emb_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        _norm_col(F.col(vec_col)).alias("v_norm"),
+        centroid_dots_col(F.col(vec_col), cents).alias("_cd"),
+    )
+    corpus = corpus.withColumn(
+        "list_id",
+        F.array_position(F.col("_cd"), F.array_max(F.col("_cd")))
+        .cast("int") - 1,
+    ).drop("_cd")
+    # one file per inverted list (see build_lsh_index)
+    corpus.repartition("list_id").write.mode("overwrite") \
+        .partitionBy("list_id").parquet(path)
+    spark = emb_df.sparkSession
+    meta = {
+        "kind": "ivf", "dim": dim, "n_centroids": n_centroids,
+        "seed": seed, "centroids": [[float(x) for x in c] for c in cents],
+        "corpus_rows": spark.read.parquet(path).count(),
+    }
+    _write_meta(path, meta)
+    return meta
+
+
+def _ranked_topk(cand, k: int, raw_cosine: bool, dedup: bool):
+    """Shared re-rank tail: exact cosine on candidates, optional
+    adjacent-duplicate fold (multiprobe emits the same (q_id, vec_id)
+    from several probed buckets with an identical cosine — the lag()
+    trick folds the dedup into the ranking window's single Exchange;
+    see similarity.lsh_bucket_topk), row_number top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cand = cand.withColumn(
+        "cosine",
+        _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
+    )
+    cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    out = cand.select("q_id", "vec_id", "cosine")
+    if dedup:
+        out = (out.withColumn("_prev", F.lag("vec_id").over(w))
+                  .where(F.col("_prev").isNull()
+                         | (F.col("_prev") != F.col("vec_id"))))
+    return (out.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= k)
+               .select("q_id", "vec_id", "rank", cos_out.alias("cosine")))
+
+
+def lsh_topk_prebuilt(spark, path: str, query_df, k: int = 5,
+                      multiprobe: int = 1, q_id_col: str = "q_id",
+                      q_vec_col: str = "embedding",
+                      raw_cosine: bool = False):
+    """Probe-only LSH top-k against a persisted index.
+
+    Plan shape: query batch signed with the index's planes (JVM
+    expressions at bench dims), multiprobe-expanded; the distinct probe
+    buckets are collected (<= n_queries x (1 + n_planes + C(n_planes,2))
+    values — a driver-side list bounded by the QUERY batch, never the
+    corpus) and pushed as a literal `bucket IN (...)` partition filter;
+    then partition-pruned scan -> broadcast hash join -> exact re-rank.
+    Matches similarity.lsh_bucket_topk(multiprobe=...) value-exactly."""
+    from pyspark.sql import functions as F
+
+    meta = read_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"index at {path!r} is {meta.get('kind')!r}, "
+                         "not lsh")
+    n_planes = meta["n_planes"]
+    planes = _hyperplanes(meta["dim"], n_planes, meta["seed"])
+
+    queries = query_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
+        _norm_col(F.col(q_vec_col)).alias("q_norm"),
+        signature_col(F.col(q_vec_col), planes).alias("q_bucket"),
+    )
+    probes = [F.col("q_bucket")]
+    if multiprobe >= 1:
+        probes += [F.col("q_bucket")
+                   .bitwiseXOR(F.lit(_i64(1 << i)).cast("long"))
+                   for i in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [F.col("q_bucket")
+                   .bitwiseXOR(F.lit(_i64((1 << i) | (1 << j))).cast("long"))
+                   for i in range(n_planes)
+                   for j in range(i + 1, n_planes)]
+    queries = queries.withColumn("bucket", F.explode(F.array(*probes)))
+
+    bucket_list = sorted(
+        r[0] for r in queries.select("bucket").distinct().collect())
+    corpus = (spark.read.parquet(path)
+              .where(F.col("bucket").isin(bucket_list)))
+    cand = corpus.join(F.broadcast(queries), "bucket")
+    return _ranked_topk(cand, k, raw_cosine, dedup=multiprobe >= 1)
+
+
+def ivf_topk_prebuilt(spark, path: str, query_df, k: int = 5,
+                      n_probe: int = 4, q_id_col: str = "q_id",
+                      q_vec_col: str = "embedding",
+                      raw_cosine: bool = False):
+    """Probe-only IVF top-k against a persisted index: each query's
+    n_probe best centroid lists (from the sidecar's exact centroid
+    matrix) become a literal `list_id IN (...)` partition filter +
+    broadcast probe join.  Matches similarity.ivf_topk (same centroids)
+    value-exactly."""
+    from pyspark.sql import functions as F
+
+    meta = read_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {path!r} is {meta.get('kind')!r}, "
+                         "not ivf")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+
+    q = query_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
+        _norm_col(F.col(q_vec_col)).alias("q_norm"),
+        centroid_dots_col(F.col(q_vec_col), cents).alias("cd"),
+    )
+    # probe the n_probe best centroid lists per query (argsort by
+    # descending dot, index-ascending ties — same as similarity.ivf_topk)
+    q = q.withColumn(
+        "probes",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.col("cd"),
+                        lambda d, i: F.struct((-d).alias("nd"),
+                                              i.alias("i")),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            1, n_probe,
+        ),
+    ).withColumn("list_id", F.explode("probes")).drop("cd", "probes")
+
+    list_ids = sorted(
+        r[0] for r in q.select("list_id").distinct().collect())
+    corpus = (spark.read.parquet(path)
+              .where(F.col("list_id").isin(list_ids)))
+    cand = corpus.join(F.broadcast(q), "list_id")
+    return _ranked_topk(cand, k, raw_cosine, dedup=False)

@@ -610,3 +610,109 @@ def test_png_wavefront_matches_scalar_unfilter():
         filters = rng.integers(0, 5, h)
         got = _unfilter_wavefront(cur, filters)
         assert np.array_equal(got, scalar_ref(cur, filters)), (h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN indexes (r7): build once / probe many
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_prebuilt_matches_in_query(spark, tmp_path):
+    """lsh_topk_prebuilt over a persisted index must equal
+    lsh_bucket_topk (same params) value-exactly, and its corpus side
+    must be a partition-PRUNED scan of precomputed columns — no
+    signature recompute, no Python anywhere in the probe plan."""
+    from proj_4_spark.functions.ann_index import (build_lsh_index,
+                                                  lsh_topk_prebuilt)
+    from proj_4_spark.functions.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 10").selectExpr("vec_id as q_id",
+                                                  "embedding")
+    path = str(tmp_path / "lsh_idx")
+    meta = build_lsh_index(emb, path, dim=64, n_planes=8, seed=42)
+    assert meta["corpus_rows"] == emb.count()
+
+    pre = lsh_topk_prebuilt(spark, path, queries, k=5, multiprobe=2)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # dim 64 -> JVM path both sides
+    assert "bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    live = lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64,
+                           multiprobe=2).toPandas()
+    got = pre.toPandas()
+    key = ["q_id", "rank"]
+    assert (got.sort_values(key).reset_index(drop=True)[
+        ["q_id", "vec_id", "rank", "cosine"]].equals(
+        live.sort_values(key).reset_index(drop=True)[
+            ["q_id", "vec_id", "rank", "cosine"]]))
+
+
+def test_ivf_prebuilt_matches_in_query(spark, tmp_path):
+    """ivf_topk_prebuilt (seed quantizer) == ivf_topk; the probe plan
+    reads only the probed list_id partitions."""
+    from proj_4_spark.functions.ann_index import (build_ivf_index,
+                                                  ivf_topk_prebuilt)
+    from proj_4_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 10").selectExpr("vec_id as q_id",
+                                                  "embedding")
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, dim=64, n_centroids=16, seed=42)
+
+    pre = ivf_topk_prebuilt(spark, path, queries, k=5, n_probe=6)
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "list_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    live = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6,
+                    dim=64).toPandas()
+    got = pre.toPandas()
+    key = ["q_id", "rank"]
+    assert (got.sort_values(key).reset_index(drop=True)[
+        ["q_id", "vec_id", "rank", "cosine"]].equals(
+        live.sort_values(key).reset_index(drop=True)[
+            ["q_id", "vec_id", "rank", "cosine"]]))
+
+
+def test_ivf_prebuilt_trained_centroids(spark, tmp_path):
+    """A TRAINED quantizer (train_centroids) persists bit-exactly
+    through the JSON sidecar: probe == ivf_topk(centroids=...)."""
+    from proj_4_spark.functions.ann_index import (build_ivf_index,
+                                                  ivf_topk_prebuilt,
+                                                  read_meta)
+    from proj_4_spark.functions.similarity import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as q_id",
+                                                 "embedding")
+    cents = train_centroids(emb, n_centroids=8, dim=64, n_iter=2)
+    path = str(tmp_path / "ivf_trained")
+    build_ivf_index(emb, path, dim=64, centroids=cents)
+    stored = np.asarray(read_meta(path)["centroids"])
+    assert (stored == cents).all()  # JSON repr round-trips doubles
+
+    pre = ivf_topk_prebuilt(spark, path, queries, k=3, n_probe=3)
+    live = ivf_topk(emb, queries, k=3, n_probe=3, dim=64,
+                    centroids=cents).toPandas()
+    got = pre.toPandas()
+    key = ["q_id", "rank"]
+    assert (got.sort_values(key).reset_index(drop=True).equals(
+        live.sort_values(key).reset_index(drop=True)))
+
+
+def test_ann_index_meta_errors(spark, tmp_path):
+    """Missing sidecar and kind mismatch fail with clear messages."""
+    from proj_4_spark.functions.ann_index import (build_lsh_index,
+                                                  ivf_topk_prebuilt,
+                                                  lsh_topk_prebuilt)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    q = emb.selectExpr("vec_id as q_id", "embedding").limit(2)
+    with pytest.raises(ValueError, match="missing"):
+        lsh_topk_prebuilt(spark, str(tmp_path / "nope"), q)
+    path = str(tmp_path / "lsh_small")
+    build_lsh_index(emb, path, dim=64, n_planes=4)
+    with pytest.raises(ValueError, match="not ivf"):
+        ivf_topk_prebuilt(spark, path, q)
