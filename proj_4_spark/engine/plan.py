@@ -824,9 +824,14 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
     # createFromUserInput dispatch (src/iso19111/io.cpp:12106+): WKT2 /
     # WKT1 CRS text is accepted anywhere a proj-string is — compiled
     # through the registry-shared readers
-    upper = projstring[:16].upper()
+    upper = projstring[:24].upper()
     if upper.startswith(("PROJCRS[", "GEOGCRS[", "GEODCRS[",
-                         "COMPOUNDCRS[", "PROJECTEDCRS[", "BOUNDCRS[")):
+                         "COMPOUNDCRS[", "PROJECTEDCRS[", "BOUNDCRS[",
+                         # operation objects, not just CRSs
+                         # (io.cpp:3075 buildCoordinateOperation,
+                         # :3133 buildConcatenatedOperation)
+                         "COORDINATEOPERATION[",
+                         "CONCATENATEDOPERATION[", "CONVERSION[")):
         from proj_4_spark.sources.wkt2 import wkt2_to_projstring
 
         projstring = "+" + wkt2_to_projstring(projstring).replace(" ", " +")

@@ -129,6 +129,25 @@ def _geog_args(d: dict) -> list:
         lon = _num(pm.get("longitude", 0.0), "A")
         args.append(Node("PRIMEM", [str(pm.get("name", "unknown")),
                                     float(lon)]))
+    # CS/AXIS nodes (axis order + angular unit) — ignored by the CRS
+    # compiler but required by the coordinate-operation compiler's
+    # normalization steps (wkt2._geog_io_steps)
+    cs = d.get("coordinate_system")
+    if isinstance(cs, dict):
+        axes = cs.get("axis", [])
+        args.append(Node("CS", [str(cs.get("subtype", "ellipsoidal")),
+                                float(len(axes))]))
+        for ax in axes:
+            axargs: list = [str(ax.get("name", "")),
+                            str(ax.get("direction", ""))]
+            u = ax.get("unit")
+            if u == "degree":
+                axargs.append(Node("ANGLEUNIT", ["degree", _DEG_RAD]))
+            else:
+                un = _unit_node(u, "ANGLEUNIT")
+                if un is not None:
+                    axargs.append(un)
+            args.append(Node("AXIS", axargs))
     idn = _id_node(d)
     if idn is not None:
         args.append(idn)
@@ -218,9 +237,94 @@ def _to_node(d: dict) -> Node:
         return Node("COMPOUNDCRS", [str(d.get("name", "unknown"))] + comps)
     if t == "VerticalCRS":
         return _vert_node(d)
+    if t == "Transformation":
+        return _transformation_node(d)
+    if t == "ConcatenatedOperation":
+        args: list = [str(d.get("name", "unknown"))]
+        for key, kw in (("source_crs", "SOURCECRS"),
+                        ("target_crs", "TARGETCRS")):
+            c = d.get(key)
+            if c is None:
+                raise ValueError(f"ConcatenatedOperation without {key}")
+            args.append(Node(kw, [_to_node(c)]))
+        steps = d.get("steps", [])
+        for s in steps:
+            args.append(Node("STEP", [_to_node(s)]))
+        return Node("CONCATENATEDOPERATION", args)
+    if t == "Conversion":
+        return _conversion_node(d)
     raise ValueError(f"unsupported PROJJSON type {t!r} (subset: "
                      "GeographicCRS/ProjectedCRS/CompoundCRS/"
-                     "VerticalCRS/BoundCRS)")
+                     "VerticalCRS/BoundCRS/Transformation/"
+                     "ConcatenatedOperation)")
+
+
+# known PROJJSON unit strings -> (WKT unit node kind, factor); exact
+# factors so the wkt2 converters take their exact degree/arcsec/ppm
+# paths (io.cpp getUnit: same five SI-or-common cases)
+_UNIT_STRINGS = {
+    "metre": ("LENGTHUNIT", 1.0),
+    "degree": ("ANGLEUNIT", _DEG_RAD),
+    "arc-second": ("ANGLEUNIT", _ARCSEC_RAD),
+    "grad": ("ANGLEUNIT", math.pi / 200.0),
+    "radian": ("ANGLEUNIT", 1.0),
+    "unity": ("SCALEUNIT", 1.0),
+    "parts per million": ("SCALEUNIT", 1e-6),
+    "kilometre": ("LENGTHUNIT", 1000.0),
+    "foot": ("LENGTHUNIT", 0.3048),
+    "US survey foot": ("LENGTHUNIT", 1200.0 / 3937.0),
+    "year": ("TIMEUNIT", 1.0),
+}
+
+
+def _transformation_node(d: dict) -> Node:
+    """PROJJSON Transformation -> the WKT COORDINATEOPERATION Node shape
+    (io.cpp:5635 JSONParser::buildTransformation), compiled by
+    wkt2._operation_to_projstring.  String parameter values are grid
+    file names -> PARAMETERFILE (ParameterValue::createFilename)."""
+    args: list = [str(d.get("name", "unknown"))]
+    for key, kw in (("source_crs", "SOURCECRS"),
+                    ("target_crs", "TARGETCRS")):
+        c = d.get(key)
+        if c is None:
+            raise ValueError(f"Transformation without {key}")
+        args.append(Node(kw, [_to_node(c)]))
+    m = d.get("method")
+    if m is None:
+        raise ValueError("Transformation without method")
+    margs: list = [str(m.get("name", ""))]
+    idn = _id_node(m)
+    if idn is not None:
+        margs.append(idn)
+    args.append(Node("METHOD", margs))
+    for prm in d.get("parameters", []):
+        v = prm.get("value")
+        if isinstance(v, str):
+            args.append(Node("PARAMETERFILE",
+                             [str(prm.get("name", "")), v]))
+            continue
+        pargs: list = [str(prm.get("name", "")), float(v)]
+        u = prm.get("unit")
+        if isinstance(u, str) and u in _UNIT_STRINGS:
+            kind, f = _UNIT_STRINGS[u]
+            pargs.append(Node(kind, [u, f]))
+        elif isinstance(u, dict):
+            t2 = str(u.get("type", "")).lower()
+            wkt_kind = {"angularunit": "ANGLEUNIT",
+                        "linearunit": "LENGTHUNIT",
+                        "scaleunit": "SCALEUNIT",
+                        "timeunit": "TIMEUNIT"}.get(t2, "UNIT")
+            un = _unit_node(u, wkt_kind)
+            if un is not None:
+                pargs.append(un)
+        elif u is not None:
+            raise ValueError(f"unsupported parameter unit {u!r} in "
+                             "Transformation")
+        idn = _id_node(prm)
+        if idn is not None:
+            pargs.append(idn)
+        args.append(Node("PARAMETER", pargs))
+    return Node("COORDINATEOPERATION", args)
 
 
 # BoundCRS helmert parameter slots (EPSG parameter codes) and the

@@ -263,7 +263,13 @@ def _ellps_fragment_from(ell: Node) -> str:
         else:
             b = spec["b"]
             erf = 0.0 if b == a else a / (a - b)
-        if erf == rf:
+        # exact match, or the 15-significant-digit WKT rounding of the
+        # registry value (b-defined ellipsoids like clrk66 print rf as
+        # 294.978698213898 in the reference's own WKT, a last-bit short
+        # of the computed a/(a-b) — the reference canonicalizes such
+        # text back to the named ellipsoid via tolerant equivalence,
+        # iso19111 _isEquivalentTo)
+        if erf == rf or float(f"{erf:.15g}") == rf:
             return f"ellps={name}"
     if rf == 0.0:
         return f"a={fmt(a)} b={fmt(a)}"
@@ -523,10 +529,14 @@ def _node_to_projstring(root: Node) -> str:
         return f"{hfrag} {vfrag}"
     if kw == "BOUNDCRS":
         return _boundcrs_to_projstring(root)
+    if kw in ("COORDINATEOPERATION", "CONCATENATEDOPERATION",
+              "CONVERSION"):
+        return _operation_to_projstring(root)
     if kw != "PROJCRS" and kw != "PROJECTEDCRS":
         raise ValueError(f"unsupported WKT2 root {root.kw!r} "
                          "(subset: GEOGCRS/PROJCRS/COMPOUNDCRS/"
-                         "BOUNDCRS)")
+                         "BOUNDCRS/COORDINATEOPERATION/"
+                         "CONCATENATEDOPERATION)")
     base = root.first("BASEGEOGCRS", "BASEGEODCRS")
     if base is None:
         raise ValueError("PROJCRS without BASEGEOGCRS")
@@ -549,6 +559,427 @@ def _node_to_projstring(root: Node) -> str:
         raise ValueError(f"unsupported EPSG method {code}")
     return " ".join([frag] + _base_fragments(base)
                     + [_units_fragment_from(root), "no_defs"])
+
+
+# ---------------------------------------------------------------------------
+# coordinate-operation objects: COORDINATEOPERATION / CONCATENATEDOPERATION /
+# CONVERSION["PROJ-based..."] -> pipeline proj-strings
+#
+# The reference parses operation WKT at src/iso19111/io.cpp:3075
+# (buildCoordinateOperation) and :3133 (buildConcatenatedOperation), and
+# exports the result as a +proj=pipeline via
+# Transformation::_exportToPROJString
+# (src/iso19111/coordinateoperation.cpp:9229): geographic-domain Helmerts
+# wrap in cart/cart⁻¹ with push/pop v_3 for 2D CRSs
+# (setupPROJGeodeticSourceCRS, coordinateoperation.cpp:9174), grid methods
+# become hgridshift, and the pipeline is book-ended by the CRSs' own
+# axis-order/unit normalization (axisswap 2,1 + unitconvert for lat,lon
+# degree CRSs — see the expected strings in
+# test/unit/test_operation.cpp:571).  This section replays exactly that
+# compilation, so the resulting Operation consumes/produces coordinates
+# in the source/target CRS's native axis order and units, like PROJ's
+# cct on the same text.
+# ---------------------------------------------------------------------------
+
+_AS_RAD = math.pi / 180.0 / 3600.0
+
+# transformation methods (coordinate_operation_method.sql codes); the
+# (geog2D/geog3D/geocentric domain) triples share one kernel chain and
+# differ only in the cart wrap + push/pop v_3
+_OP_TRANSLATION = {1031: "geocent", 9603: "geog2", 1035: "geog3"}
+_OP_POSVEC = {1033: "geocent", 9606: "geog2", 1037: "geog3"}
+_OP_COORDFRAME = {1032: "geocent", 9607: "geog2", 1038: "geog3"}
+_OP_TIME_PV = {1053: "geocent", 1054: "geog2", 1055: "geog3"}
+_OP_TIME_CF = {1056: "geocent", 1057: "geog2", 1058: "geog3"}
+
+_OP_PARAM_NAMES = {
+    "x-axis translation": 8605, "y-axis translation": 8606,
+    "z-axis translation": 8607, "x-axis rotation": 8608,
+    "y-axis rotation": 8609, "z-axis rotation": 8610,
+    "scale difference": 8611,
+    "rate of change of x-axis translation": 1040,
+    "rate of change of y-axis translation": 1041,
+    "rate of change of z-axis translation": 1042,
+    "rate of change of x-axis rotation": 1043,
+    "rate of change of y-axis rotation": 1044,
+    "rate of change of z-axis rotation": 1045,
+    "rate of change of scale difference": 1046,
+    "parameter reference epoch": 1047,
+    "semi-major axis length difference": 8654,
+    "flattening difference": 8655,
+    "latitude offset": 8601, "longitude offset": 8602,
+    "vertical offset": 8603,
+}
+
+
+def _to_metres(v: float, f: float | None) -> float:
+    return v if f in (None, 1.0) else v * f
+
+
+def _to_arcsec(v: float, f: float | None) -> float:
+    """Angle parameter -> arc-seconds (helmert +rx convention), with
+    exact degree/arc-second paths (the rounded-factor divide corrupts
+    last bits — the WKT2 degree-factor lesson)."""
+    if f is None or abs(f - _AS_RAD) < 1e-21:
+        return v
+    if abs(f - _DEG) < 1e-16:
+        return v * 3600.0
+    return v * f / _AS_RAD
+
+
+def _to_ppm(v: float, f: float | None) -> float:
+    if f is None or f == 1e-6:
+        return v
+    if f == 1.0:
+        return v * 1e6
+    return v * f / 1e-6
+
+
+def _op_params(node: Node) -> dict[int, tuple[float, float | None]]:
+    """{EPSG transformation-parameter code: (raw value, unit factor)}"""
+    out: dict[int, tuple[float, float | None]] = {}
+    for par in node.all("PARAMETER"):
+        pcode = _id_code(par)
+        if pcode is None:
+            names = [a for a in par.args if isinstance(a, str)]
+            pcode = _OP_PARAM_NAMES.get(names[0].lower()) if names else None
+        if pcode is None:
+            continue
+        vals = [a for a in par.args if isinstance(a, float)]
+        if not vals:
+            continue
+        f = _unit_factor(par.first("ANGLEUNIT", "SCALEUNIT", "LENGTHUNIT",
+                                   "TIMEUNIT", "UNIT"))
+        out[pcode] = (vals[0], f)
+    return out
+
+
+def _inner_crs(node: Node, kw: str) -> Node:
+    holder = node.first(kw)
+    if holder is None:
+        raise ValueError(f"{node.kw} missing {kw}")
+    inner = next((a for a in holder.args if isinstance(a, Node)), None)
+    if inner is None:
+        raise ValueError(f"{kw} without a CRS node")
+    return inner
+
+
+_GEOG_KWS = ("GEOGCRS", "GEODCRS", "GEOGRAPHICCRS", "GEODETICCRS")
+_PROJ_KWS = ("PROJCRS", "PROJECTEDCRS")
+
+
+def _geog_of(crs: Node) -> Node:
+    """The geodetic component: the CRS itself, or a PROJCRS's base."""
+    kw = crs.kw.upper()
+    if kw in _GEOG_KWS:
+        return crs
+    if kw in _PROJ_KWS:
+        base = crs.first("BASEGEOGCRS", "BASEGEODCRS")
+        if base is None:
+            raise ValueError("PROJCRS without BASEGEOGCRS")
+        return base
+    if kw == "BOUNDCRS":
+        return _geog_of(_inner_crs(crs, "SOURCECRS"))
+    raise ValueError(f"unsupported CRS kind {crs.kw!r} in a "
+                     "coordinate operation")
+
+
+def _is_geocentric(crs: Node) -> bool:
+    """GEODCRS with CS[Cartesian,3] is a geocentric CRS."""
+    if crs.kw.upper() not in _GEOG_KWS:
+        return False
+    cs = crs.first("CS")
+    return (cs is not None and cs.args
+            and str(cs.args[0]).lower() == "cartesian")
+
+
+def _ellps_of(crs: Node) -> str:
+    frags = _base_fragments(_geog_of(crs))
+    if any(fr.startswith("pm=") for fr in frags):
+        raise ValueError("non-Greenwich prime meridian not supported in "
+                         "coordinate-operation pipelines")
+    return " ".join(frags)
+
+
+def _geog_io_steps(crs: Node, entering: bool) -> list[str]:
+    """Normalization between a CRS's native axis order/units and the
+    pipeline-internal radians lon,lat (the reference book-ends exported
+    pipelines the same way, test_operation.cpp:571).  entering=True is
+    the source side (CRS -> radians)."""
+    kw = crs.kw.upper()
+    if kw in _PROJ_KWS:
+        # conversions consume/produce easting,northing metres directly
+        uf = _units_fragment_from(crs)
+        if uf != "units=m":
+            raise ValueError(f"non-metre projected CRS units ({uf}) not "
+                             "supported in coordinate-operation pipelines")
+        return []
+    if _is_geocentric(crs):
+        return []
+    if kw not in _GEOG_KWS:
+        raise ValueError(f"unsupported CRS kind {crs.kw!r} in a "
+                         "coordinate operation")
+    axes = crs.all("AXIS")
+    lat_first = False
+    unit = "deg"
+    if axes:
+        strs = [a for a in axes[0].args if isinstance(a, str)]
+        direction = strs[1].lower() if len(strs) >= 2 else ""
+        lat_first = direction == "north"
+        f = _unit_factor(axes[0].first("ANGLEUNIT", "UNIT"))
+        if f is None:
+            f = _unit_factor(crs.first("ANGLEUNIT"))
+        if f is not None:
+            if abs(f - _DEG) < 1e-16:
+                unit = "deg"
+            elif abs(f - math.pi / 200.0) < 1e-16:
+                unit = "grad"
+            elif f == 1.0:
+                unit = "rad"
+            else:
+                raise ValueError(
+                    f"unsupported angular axis unit factor {f!r}")
+    steps = []
+    if entering:
+        if lat_first:
+            steps.append("proj=axisswap order=2,1")
+        if unit != "rad":
+            steps.append(f"proj=unitconvert xy_in={unit} xy_out=rad")
+    else:
+        if unit != "rad":
+            steps.append(f"proj=unitconvert xy_in=rad xy_out={unit}")
+        if lat_first:
+            steps.append("proj=axisswap order=2,1")
+    return steps
+
+
+def _op_parameterfile(node: Node) -> str:
+    pf = node.first("PARAMETERFILE")
+    if pf is None:
+        raise ValueError(f"{node.kw}: grid method without PARAMETERFILE")
+    strs = [a for a in pf.args if isinstance(a, str)]
+    if len(strs) < 2:
+        raise ValueError("PARAMETERFILE needs a file name")
+    return strs[1]
+
+
+def _coordop_core(node: Node) -> tuple[list[str], Node, Node]:
+    """(core pipeline steps — no outer normalization —, source CRS,
+    target CRS) for one COORDINATEOPERATION node."""
+    src = _inner_crs(node, "SOURCECRS")
+    tgt = _inner_crs(node, "TARGETCRS")
+    meth = node.first("METHOD")
+    if meth is None:
+        raise ValueError("COORDINATEOPERATION without METHOD")
+    names = [a for a in meth.args if isinstance(a, str)]
+    name = names[0] if names else ""
+    if not name:
+        raise ValueError("METHOD without a name")
+    low = name.lower()
+    code = _id_code(meth)
+    p = _op_params(node)
+
+    def P(c, conv):
+        v = p.get(c)
+        return conv(v[0], v[1]) if v is not None else 0.0
+
+    if low.startswith("proj-based operation method:"):
+        body = name.split(":", 1)[1].strip().replace("+", "")
+        if "proj=pipeline" in body:
+            raise ValueError("nested pipeline in PROJ-based method")
+        return [body], src, tgt
+
+    # grid-shift methods: NTv2/NTv1/CTABLE2 horizontal grids ->
+    # hgridshift; VERTCON-style vertical offset files -> vgridshift
+    if code == 9615 or low in ("ntv2", "ntv1", "ctable2"):
+        return ["proj=hgridshift grids=" + _op_parameterfile(node)], src, tgt
+    if code == 9658 or "vertcon" in low or \
+            low.startswith("vertical offset by grid interpolation"):
+        return ["proj=vgridshift grids=" + _op_parameterfile(node)], src, tgt
+
+    # Helmert family (translation / position vector / coordinate frame,
+    # static and time-dependent) — coordinateoperation.cpp:9240-9395
+    family = None
+    domain = None
+    if code in _OP_TRANSLATION:
+        family, domain = "trans", _OP_TRANSLATION[code]
+    elif code in _OP_POSVEC:
+        family, domain = "position_vector", _OP_POSVEC[code]
+    elif code in _OP_COORDFRAME:
+        family, domain = "coordinate_frame", _OP_COORDFRAME[code]
+    elif code in _OP_TIME_PV:
+        family, domain = "position_vector", _OP_TIME_PV[code]
+    elif code in _OP_TIME_CF:
+        family, domain = "coordinate_frame", _OP_TIME_CF[code]
+    elif "geocentric translations" in low:
+        family = "trans"
+    elif "position vector" in low:
+        family = "position_vector"
+    elif "coordinate frame" in low:
+        family = "coordinate_frame"
+    if family is not None:
+        if domain is None:
+            if "geog3d" in low:
+                domain = "geog3"
+            elif "geocentric" in low or _is_geocentric(src):
+                domain = "geocent"
+            else:
+                domain = "geog2"
+        h = (f"proj=helmert x={fmt(P(8605, _to_metres))} "
+             f"y={fmt(P(8606, _to_metres))} z={fmt(P(8607, _to_metres))}")
+        if family != "trans":
+            h += (f" rx={fmt(P(8608, _to_arcsec))}"
+                  f" ry={fmt(P(8609, _to_arcsec))}"
+                  f" rz={fmt(P(8610, _to_arcsec))}"
+                  f" s={fmt(P(8611, _to_ppm))}")
+            if any(c in p for c in range(1040, 1048)):
+                # time-dependent rates: SI per-year values + epoch
+                h += (f" dx={fmt(P(1040, _to_metres))}"
+                      f" dy={fmt(P(1041, _to_metres))}"
+                      f" dz={fmt(P(1042, _to_metres))}"
+                      f" drx={fmt(P(1043, _to_arcsec))}"
+                      f" dry={fmt(P(1044, _to_arcsec))}"
+                      f" drz={fmt(P(1045, _to_arcsec))}"
+                      f" ds={fmt(P(1046, _to_ppm))}"
+                      f" t_epoch={fmt(P(1047, _to_metres))}")
+            h += f" convention={family}"
+        if domain == "geocent":
+            return [h], src, tgt
+        steps = []
+        if domain == "geog2":
+            steps.append("proj=push v_3")
+        steps.append("proj=cart " + _ellps_of(src))
+        steps.append(h)
+        steps.append("inv proj=cart " + _ellps_of(tgt))
+        if domain == "geog2":
+            steps.append("proj=pop v_3")
+        return steps, src, tgt
+
+    if code in (9604, 9605) or "molodensky" in low:
+        abridged = code == 9605 or low.startswith("abridged")
+        step = (f"proj=molodensky {_ellps_of(src)} "
+                f"dx={fmt(P(8605, _to_metres))} "
+                f"dy={fmt(P(8606, _to_metres))} "
+                f"dz={fmt(P(8607, _to_metres))} "
+                f"da={fmt(P(8654, _to_metres))} "
+                f"df={fmt(P(8655, lambda v, f: v))}")
+        if abridged:
+            step += " abridged"
+        return [step], src, tgt
+
+    if code == 9601 or low == "longitude rotation":
+        return ([f"proj=geogoffset dlon={fmt(P(8602, _to_arcsec))}"],
+                src, tgt)
+    if code == 9619 or low == "geographic2d offsets":
+        return ([f"proj=geogoffset dlat={fmt(P(8601, _to_arcsec))} "
+                 f"dlon={fmt(P(8602, _to_arcsec))}"], src, tgt)
+    if code == 9660 or low == "geographic3d offsets":
+        return ([f"proj=geogoffset dlat={fmt(P(8601, _to_arcsec))} "
+                 f"dlon={fmt(P(8602, _to_arcsec))} "
+                 f"dh={fmt(P(8603, _to_metres))}"], src, tgt)
+    if code == 9616 or low == "vertical offset":
+        return ([f"proj=geogoffset dh={fmt(P(8603, _to_metres))}"],
+                src, tgt)
+
+    raise ValueError(f"unsupported coordinate-operation method {name!r}"
+                     f" (EPSG:{code})")
+
+
+def _conversion_step(conv: Node, geog_ctx: Node) -> str:
+    """A CONVERSION inside a CONCATENATEDOPERATION STEP -> one pipeline
+    step.  'Inverse of X' names / ID[\"INVERSE(EPSG)\",...] mark the
+    inverse (io.cpp buildCoordinateOperation handles the same prefix);
+    the ellipsoid comes from the running geodetic context."""
+    import copy
+
+    meth = conv.first("METHOD", "PROJECTION")
+    if meth is None:
+        raise ValueError("CONVERSION without METHOD")
+    names = [a for a in meth.args if isinstance(a, str)]
+    name = names[0] if names else ""
+    inverse = name.lower().startswith("inverse of ")
+    if inverse:
+        conv = copy.deepcopy(conv)
+        meth = conv.first("METHOD", "PROJECTION")
+        for i, a in enumerate(meth.args):
+            if isinstance(a, str):
+                meth.args[i] = a[len("inverse of "):]
+                break
+    code, prm = _conversion_params(conv)
+
+    def A(d, c, default=None):
+        return d.get(c, default)
+
+    def L(d, c, default=0.0):
+        return d.get(c, default)
+
+    def K(d, c, default=1.0):
+        return d.get(c, default)
+
+    frag = method_fragment(code, prm, A, L, K)
+    if frag is None:
+        raise ValueError(f"unsupported EPSG method {code}")
+    step = f"{frag} {_ellps_of(geog_ctx)}"
+    return ("inv " + step) if inverse else step
+
+
+def _operation_to_projstring(root: Node) -> str:
+    kw = root.kw.upper()
+    if kw == "CONVERSION":
+        meth = root.first("METHOD", "PROJECTION")
+        names = [a for a in meth.args if isinstance(a, str)] if meth else []
+        name = names[0] if names else ""
+        if name.lower().startswith("proj-based operation method:"):
+            body = name.split(":", 1)[1].strip().replace("+", "")
+            if not body.startswith("proj="):
+                raise ValueError("malformed PROJ-based operation method")
+            return body
+        raise ValueError("standalone CONVERSION needs a CRS context "
+                         "(only PROJ-based operation methods supported)")
+    if kw == "COORDINATEOPERATION":
+        core, src, tgt = _coordop_core(root)
+        steps = (_geog_io_steps(src, True) + core
+                 + _geog_io_steps(tgt, False))
+    elif kw == "CONCATENATEDOPERATION":
+        src = _inner_crs(root, "SOURCECRS")
+        tgt = _inner_crs(root, "TARGETCRS")
+        step_holders = root.all("STEP")
+        if not step_holders:
+            raise ValueError("CONCATENATEDOPERATION without STEP")
+        nodes = []
+        for st in step_holders:
+            inner = [a for a in st.args if isinstance(a, Node)]
+            if len(inner) != 1:
+                raise ValueError("STEP must contain exactly one "
+                                 "coordinate operation")
+            nodes.append(inner[0])
+        if len(nodes) < 2:
+            raise ValueError("concatenated operation must have at least "
+                             "two operations")
+        cur = src  # running CRS context for conversion ellipsoids
+        core: list[str] = []
+        for sn in nodes:
+            skw = sn.kw.upper()
+            if skw == "CONVERSION":
+                core.append(_conversion_step(sn, cur))
+            elif skw == "COORDINATEOPERATION":
+                sub, _s2, t2 = _coordop_core(sn)
+                core += sub
+                cur = t2
+            elif skw == "CONCATENATEDOPERATION":
+                raise ValueError("nested CONCATENATEDOPERATION not "
+                                 "supported")
+            else:
+                raise ValueError(f"invalid STEP content {sn.kw!r} "
+                                 "(expected CONVERSION or "
+                                 "COORDINATEOPERATION)")
+        steps = (_geog_io_steps(src, True) + core
+                 + _geog_io_steps(tgt, False))
+    else:
+        raise ValueError(f"not a coordinate-operation node: {root.kw!r}")
+    if not steps:
+        return "proj=noop"
+    return "proj=pipeline step " + " step ".join(steps)
 
 
 # ---------------------------------------------------------------------------

