@@ -831,7 +831,8 @@ def create_operation(projstring: str, emulation: bool = True) -> Operation:
                          # (io.cpp:3075 buildCoordinateOperation,
                          # :3133 buildConcatenatedOperation)
                          "COORDINATEOPERATION[",
-                         "CONCATENATEDOPERATION[", "CONVERSION[")):
+                         "CONCATENATEDOPERATION[", "CONVERSION[",
+                         "DERIVEDPROJCRS[")):
         from proj_4_spark.sources.wkt2 import wkt2_to_projstring
 
         projstring = "+" + wkt2_to_projstring(projstring).replace(" ", " +")

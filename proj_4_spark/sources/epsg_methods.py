@@ -172,4 +172,12 @@ def method_fragment(method: int, p: dict, A, L, K) -> str | None:
         return (f"proj=bonne lat_1={fmt(A(p, 8801, 0.0))} "
                 f"lon_0={fmt(A(p, 8802, 0.0))} x_0={fmt(L(p, 8806))} "
                 f"y_0={fmt(L(p, 8807))}")
+    if method == 9624:  # Affine parametric transformation
+        # exportToPROJStringGeneric, coordinateoperation.cpp:10003-10021:
+        # A0/A1/A2/B0/B1/B2 -> affine xoff/s11/s12/yoff/s21/s22 ("Do not
+        # mess with axis unit and order for that transformation")
+        return (f"proj=affine xoff={fmt(L(p, 8623))} "
+                f"s11={fmt(K(p, 8624, 1.0))} s12={fmt(K(p, 8625, 0.0))} "
+                f"yoff={fmt(L(p, 8639))} s21={fmt(K(p, 8640, 0.0))} "
+                f"s22={fmt(K(p, 8641, 1.0))}")
     return None  # unsupported method -> code dropped

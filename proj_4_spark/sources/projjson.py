@@ -232,6 +232,36 @@ def _to_node(d: dict) -> Node:
         if idn is not None:
             args.append(idn)
         return Node("PROJCRS", args)
+    if t == "DerivedProjectedCRS":
+        # io.cpp:5494 buildDerivedProjectedCRS (json_import
+        # derived_projected_crs, test_io.cpp:12577): base ProjectedCRS +
+        # deriving conversion -> the WKT DERIVEDPROJCRS Node shape
+        base = d.get("base_crs")
+        if base is None or str(base.get("type", "")) != "ProjectedCRS":
+            raise ValueError("DerivedProjectedCRS needs a ProjectedCRS "
+                             "base_crs")
+        conv = d.get("conversion")
+        if conv is None:
+            raise ValueError("DerivedProjectedCRS without conversion")
+        basegeog = base.get("base_crs")
+        baseconv = base.get("conversion")
+        if basegeog is None or baseconv is None:
+            raise ValueError("base ProjectedCRS without base_crs/"
+                             "conversion")
+        basep = Node("BASEPROJCRS",
+                     [str(base.get("name", "unknown")),
+                      Node("BASEGEOGCRS", _geog_args(basegeog)),
+                      _conversion_node(baseconv)])
+        dconv = _conversion_node(conv)
+        args = [str(d.get("name", "unknown")), basep,
+                Node("DERIVINGCONVERSION", dconv.args)]
+        un = _axis_length_unit(d)
+        if un is not None:
+            args.append(un)
+        idn = _id_node(d)
+        if idn is not None:
+            args.append(idn)
+        return Node("DERIVEDPROJCRS", args)
     if t == "CompoundCRS":
         comps = [_to_node(c) for c in d.get("components", [])]
         return Node("COMPOUNDCRS", [str(d.get("name", "unknown"))] + comps)

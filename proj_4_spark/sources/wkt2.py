@@ -27,8 +27,13 @@ vertical members), and BOUNDCRS (SOURCECRS + ABRIDGEDTRANSFORMATION
 -> +towgs84 on the source CRS, io.cpp:4406 buildBoundCRS — the shape
 gdalsrsinfo exports for any towgs84-bearing CRS).
 
-Out of scope (raise ValueError): DERIVEDPROJCRS, WKT1 (see
-sources/esri_wkt1.py for the ESRI WKT1 reader).
+Also supported: DERIVEDPROJCRS (base projection + deriving conversion
+composed as a pipeline; EPSG 9624 affine parametric and PROJ-based
+deriving methods), and coordinate-operation objects
+(COORDINATEOPERATION / CONCATENATEDOPERATION / CONVERSION).
+
+Out of scope (raise ValueError): WKT1 (see sources/esri_wkt1.py for
+the ESRI WKT1 reader).
 
 References: WKTParser grammar src/iso19111/io.cpp:1103+; test strings
 test/unit/test_io.cpp (wkt2_2019 / wkt2_2019_simplified cases).
@@ -166,6 +171,7 @@ METHOD_NAME_TO_CODE = {
     "colombia urban": 1052,
     "bonne": 9827,
     "lambert conic near-conformal": 9817,
+    "affine parametric transformation": 9624,
 }
 
 PARAM_NAME_TO_CODE = {
@@ -195,6 +201,10 @@ PARAM_NAME_TO_CODE = {
     "co-latitude of cone axis": 1036,
     "ellipsoid scaling factor": 1038,
     "projection plane origin height": 1039,
+    # Affine parametric transformation (9624) coefficients; A0/B0 are
+    # lengths, the rest unitless coefficients (proj_constants.h:622-638)
+    "a0": 8623, "a1": 8624, "a2": 8625,
+    "b0": 8639, "b1": 8640, "b2": 8641,
 }
 
 # parameter kind per code (drives default-unit handling)
@@ -532,10 +542,12 @@ def _node_to_projstring(root: Node) -> str:
     if kw in ("COORDINATEOPERATION", "CONCATENATEDOPERATION",
               "CONVERSION"):
         return _operation_to_projstring(root)
+    if kw == "DERIVEDPROJCRS":
+        return _derived_projcrs_to_projstring(root)
     if kw != "PROJCRS" and kw != "PROJECTEDCRS":
         raise ValueError(f"unsupported WKT2 root {root.kw!r} "
                          "(subset: GEOGCRS/PROJCRS/COMPOUNDCRS/"
-                         "BOUNDCRS/COORDINATEOPERATION/"
+                         "BOUNDCRS/DERIVEDPROJCRS/COORDINATEOPERATION/"
                          "CONCATENATEDOPERATION)")
     base = root.first("BASEGEOGCRS", "BASEGEODCRS")
     if base is None:
@@ -559,6 +571,75 @@ def _node_to_projstring(root: Node) -> str:
         raise ValueError(f"unsupported EPSG method {code}")
     return " ".join([frag] + _base_fragments(base)
                     + [_units_fragment_from(root), "no_defs"])
+
+
+def _derived_projcrs_to_projstring(root: Node) -> str:
+    """DERIVEDPROJCRS (io.cpp:4639 buildDerivedProjectedCRS): derived
+    coordinates = derivingConversion(baseProjection(lon, lat)), so the
+    deriving conversion composes AFTER the base projected CRS in a
+    pipeline — the same way ob_tran composes kernels.  The reference
+    parses this node but has no PROJ-string export for it (crs.cpp:5791
+    is WKT-only); the pipeline below is the ISO 19111 derivation
+    semantics over the engine's own step composer.  Deriving methods:
+    EPSG 9624 affine parametric and 'PROJ-based operation method:
+    +proj=...' (the reference's own escape hatch)."""
+    basep = root.first("BASEPROJCRS")
+    if basep is None:
+        raise ValueError("DERIVEDPROJCRS without BASEPROJCRS")
+    dconv = root.first("DERIVINGCONVERSION")
+    if dconv is None:
+        raise ValueError("DERIVEDPROJCRS without DERIVINGCONVERSION")
+    base_geog = basep.first("BASEGEOGCRS", "BASEGEODCRS")
+    if base_geog is None:
+        raise ValueError("BASEPROJCRS without BASEGEOGCRS")
+    conv = basep.first("CONVERSION")
+    if conv is None:
+        raise ValueError("BASEPROJCRS without CONVERSION")
+
+    def A(prm, c, default=None):
+        return prm.get(c, default)
+
+    def L(prm, c, default=0.0):
+        return prm.get(c, default)
+
+    def K(prm, c, default=1.0):
+        return prm.get(c, default)
+
+    code, p = _conversion_params(conv)
+    frag = method_fragment(code, p, A, L, K)
+    if frag is None:
+        raise ValueError(f"unsupported EPSG method {code}")
+    base_step = " ".join([frag] + _base_fragments(base_geog))
+
+    meth = dconv.first("METHOD", "PROJECTION")
+    names = ([a for a in meth.args if isinstance(a, str)]
+             if meth is not None else [])
+    name = names[0] if names else ""
+    if name.lower().startswith("proj-based operation method:"):
+        dstep = name.split(":", 1)[1].strip().replace("+", "")
+        if not dstep.startswith("proj="):
+            raise ValueError("malformed PROJ-based operation method")
+    else:
+        dcode, dp = _conversion_params(dconv)
+        dstep = method_fragment(dcode, dp, A, L, K)
+        if dstep is None:
+            raise ValueError(
+                f"unsupported DERIVINGCONVERSION method {dcode} "
+                "(supported: EPSG 9624 affine parametric transformation "
+                "and PROJ-based operation methods)")
+    # derived CS units apply AFTER the deriving conversion (its length
+    # parameters were already normalized to metres by the unit factors
+    # carried in the text)
+    units = _units_fragment_from(root)
+    steps = [base_step, dstep]
+    if units == "units=ft":
+        steps.append("proj=unitconvert xy_in=m xy_out=ft")
+    elif units == "units=us-ft":
+        steps.append("proj=unitconvert xy_in=m xy_out=us-ft")
+    elif units != "units=m":
+        raise ValueError(
+            f"unsupported derived-CS unit for DERIVEDPROJCRS ({units})")
+    return "proj=pipeline step " + " step ".join(steps)
 
 
 # ---------------------------------------------------------------------------

@@ -496,3 +496,75 @@ def test_projjson_operation_invalid_shapes_raise():
                 "target_crs": t["target_crs"], "steps": [t]}
     with pytest.raises(ValueError, match="at least"):
         projjson_to_projstring(json.dumps(one_step))
+
+
+def test_projjson_derived_projected_crs():
+    """json_import.derived_projected_crs (test_io.cpp:12577) with the
+    deriving conversion made concrete (EPSG 9624 affine; the reference
+    literal's 'PROJ unimplemented' method parses there but cannot
+    execute anywhere): derived = affine(utm31(lon, lat))."""
+    import math
+
+    from proj_4_spark import create_operation
+
+    base_geog = {
+        "name": "WGS 84",
+        "datum": {"type": "GeodeticReferenceFrame",
+                  "name": "World Geodetic System 1984",
+                  "ellipsoid": {"name": "WGS 84",
+                                "semi_major_axis": 6378137,
+                                "inverse_flattening": 298.257223563}},
+        "coordinate_system": {"subtype": "ellipsoidal", "axis": [
+            {"name": "Latitude", "abbreviation": "lat",
+             "direction": "north", "unit": "degree"},
+            {"name": "Longitude", "abbreviation": "lon",
+             "direction": "east", "unit": "degree"}]}}
+    j = {
+        "type": "DerivedProjectedCRS", "name": "derived projectedCRS",
+        "base_crs": {
+            "type": "ProjectedCRS", "name": "WGS 84 / UTM zone 31N",
+            "base_crs": base_geog,
+            "conversion": {
+                "name": "UTM zone 31N",
+                "method": {"name": "Transverse Mercator",
+                           "id": {"authority": "EPSG", "code": 9807}},
+                "parameters": [
+                    {"name": "Latitude of natural origin", "value": 0,
+                     "unit": "degree"},
+                    {"name": "Longitude of natural origin", "value": 3,
+                     "unit": "degree"},
+                    {"name": "Scale factor at natural origin",
+                     "value": 0.9996, "unit": "unity"},
+                    {"name": "False easting", "value": 500000,
+                     "unit": "metre"},
+                    {"name": "False northing", "value": 0,
+                     "unit": "metre"}]}},
+        "conversion": {
+            "name": "offset and flip",
+            "method": {"name": "Affine parametric transformation",
+                       "id": {"authority": "EPSG", "code": 9624}},
+            "parameters": [
+                {"name": "A0", "value": 100.0, "unit": "metre"},
+                {"name": "A1", "value": 1.0, "unit": "unity"},
+                {"name": "A2", "value": 0.0, "unit": "unity"},
+                {"name": "B0", "value": -200.0, "unit": "metre"},
+                {"name": "B1", "value": 0.0, "unit": "unity"},
+                {"name": "B2", "value": -1.0, "unit": "unity"}]},
+        "coordinate_system": {"subtype": "Cartesian", "axis": [
+            {"name": "Easting", "abbreviation": "E",
+             "direction": "east", "unit": "metre"},
+            {"name": "Northing", "abbreviation": "N",
+             "direction": "north", "unit": "metre"}]}}
+    ps = projjson_to_projstring(json.dumps(j))
+    assert ps == ("proj=pipeline step proj=utm zone=31 ellps=WGS84 "
+                  "step proj=affine xoff=100 s11=1 s12=0 yoff=-200 "
+                  "s21=0 s22=-1")
+    D = math.pi / 180.0
+    op = create_operation(json.dumps(j))
+    x, y, z, t = op.apply(np.array([12.0 * D]), np.array([56.0 * D]),
+                          np.zeros(1), np.zeros(1))
+    base = create_operation("+proj=utm +zone=31 +ellps=WGS84")
+    bx, by, _, _ = base.apply(np.array([12.0 * D]),
+                              np.array([56.0 * D]),
+                              np.zeros(1), np.zeros(1))
+    assert x[0] == bx[0] + 100.0 and y[0] == -by[0] - 200.0

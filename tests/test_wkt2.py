@@ -749,3 +749,119 @@ def test_coordop_invalid_shapes_raise():
         c('CONCATENATEDOPERATION["name",'
           f'SOURCECRS[{_NAD83_WKT}],TARGETCRS[{_WGS84_WKT}],'
           f'STEP[{_NAD83_WKT}],STEP[{_WGS84_WKT}]]')
+
+
+# ---------------------------------------------------------------------------
+# DERIVEDPROJCRS (round 7 — VERDICT r6 item 4; io.cpp:4639
+# buildDerivedProjectedCRS; literals modeled on test_io.cpp:4055
+# wkt_parse.DerivedProjectedCRS)
+# ---------------------------------------------------------------------------
+
+_BASEPROJCRS_UTM31 = (
+    'BASEPROJCRS["WGS 84 / UTM zone 31N",'
+    'BASEGEOGCRS["WGS 84",'
+    'DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],'
+    'CONVERSION["UTM zone 31N",'
+    'METHOD["Transverse Mercator",ID["EPSG",9807]],'
+    'PARAMETER["Latitude of natural origin",0,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8801]],'
+    'PARAMETER["Longitude of natural origin",3,'
+    'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",8802]],'
+    'PARAMETER["Scale factor at natural origin",0.9996,'
+    'SCALEUNIT["unity",1],ID["EPSG",8805]],'
+    'PARAMETER["False easting",500000,LENGTHUNIT["metre",1],'
+    'ID["EPSG",8806]],'
+    'PARAMETER["False northing",0,LENGTHUNIT["metre",1],'
+    'ID["EPSG",8807]]]]')
+
+_DERIVED_CS_M = ('CS[Cartesian,2],'
+                 'AXIS["(E)",east,ORDER[1],LENGTHUNIT["metre",1]],'
+                 'AXIS["(N)",north,ORDER[2],LENGTHUNIT["metre",1]]')
+
+
+def test_derivedprojcrs_affine_executes():
+    """DERIVEDPROJCRS with an EPSG 9624 affine deriving conversion:
+    derived = affine(utm(lon, lat)), matching the hand-composed
+    pipeline bit-exactly.  The reference only PARSES this node (no
+    PROJ-string export, crs.cpp:5791); execution is the ISO 19111
+    derivation semantics over the engine's pipeline composer."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    wkt = ('DERIVEDPROJCRS["derived projectedCRS",'
+           + _BASEPROJCRS_UTM31 + ','
+           'DERIVINGCONVERSION["offset and flip",'
+           'METHOD["Affine parametric transformation",ID["EPSG",9624]],'
+           'PARAMETER["A0",100.0,LENGTHUNIT["metre",1],ID["EPSG",8623]],'
+           'PARAMETER["A1",1.0,ID["EPSG",8624]],'
+           'PARAMETER["A2",0.0,ID["EPSG",8625]],'
+           'PARAMETER["B0",-200.0,LENGTHUNIT["metre",1],'
+           'ID["EPSG",8639]],'
+           'PARAMETER["B1",0.0,ID["EPSG",8640]],'
+           'PARAMETER["B2",-1.0,ID["EPSG",8641]]],'
+           + _DERIVED_CS_M + ']')
+    ps = wkt2_to_projstring(wkt)
+    assert ps == ("proj=pipeline step proj=utm zone=31 ellps=WGS84 "
+                  "step proj=affine xoff=100 s11=1 s12=0 yoff=-200 "
+                  "s21=0 s22=-1")
+
+    D = math.pi / 180.0
+    op = create_operation(wkt)
+    lam = np.array([12.0 * D, 3.5 * D])
+    phi = np.array([56.0 * D, -44.0 * D])
+    x, y, z, t = op.apply(lam, phi, np.zeros(2), np.zeros(2))
+    base = create_operation("+proj=utm +zone=31 +ellps=WGS84")
+    bx, by, _, _ = base.apply(lam, phi, np.zeros(2), np.zeros(2))
+    np.testing.assert_array_equal(x, bx + 100.0)
+    np.testing.assert_array_equal(y, -by - 200.0)
+
+
+def test_derivedprojcrs_proj_based_deriving_method():
+    """The reference's own escape hatch as the deriving conversion: a
+    PROJ-based operation method string composes after the base
+    projection."""
+    import numpy as np
+
+    from proj_4_spark import create_operation
+
+    wkt = ('DERIVEDPROJCRS["swapped",'
+           + _BASEPROJCRS_UTM31 + ','
+           'DERIVINGCONVERSION["swap",'
+           'METHOD["PROJ-based operation method: '
+           '+proj=axisswap +order=2,1"]],'
+           + _DERIVED_CS_M + ']')
+    assert wkt2_to_projstring(wkt) == (
+        "proj=pipeline step proj=utm zone=31 ellps=WGS84 "
+        "step proj=axisswap order=2,1")
+    D = math.pi / 180.0
+    op = create_operation(wkt)
+    x, y, z, t = op.apply(np.array([12.0 * D]), np.array([56.0 * D]),
+                          np.zeros(1), np.zeros(1))
+    base = create_operation("+proj=utm +zone=31 +ellps=WGS84")
+    bx, by, _, _ = base.apply(np.array([12.0 * D]),
+                              np.array([56.0 * D]),
+                              np.zeros(1), np.zeros(1))
+    assert x[0] == by[0] and y[0] == bx[0]
+
+
+def test_derivedprojcrs_invalid_shapes_raise():
+    import pytest
+
+    with pytest.raises(ValueError, match="BASEPROJCRS"):
+        wkt2_to_projstring('DERIVEDPROJCRS["d",'
+                           'DERIVINGCONVERSION["c",METHOD["m"]],'
+                           + _DERIVED_CS_M + ']')
+    with pytest.raises(ValueError, match="DERIVINGCONVERSION"):
+        wkt2_to_projstring('DERIVEDPROJCRS["d",' + _BASEPROJCRS_UTM31
+                           + ',' + _DERIVED_CS_M + ']')
+    # the reference test literal's "PROJ unimplemented" method parses
+    # there but cannot execute anywhere; here it is a clear refusal
+    with pytest.raises(ValueError, match="method"):
+        wkt2_to_projstring('DERIVEDPROJCRS["d",' + _BASEPROJCRS_UTM31
+                           + ',DERIVINGCONVERSION["unnamed",'
+                           'METHOD["PROJ unimplemented"],'
+                           'PARAMETER["foo",1.0,UNIT["metre",1]]],'
+                           + _DERIVED_CS_M + ']')
