@@ -1040,7 +1040,7 @@ def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
 _CE_LIMIT_JVM = 2.623395162778  # kernels/tmerc._CE_LIMIT (tmerc.cpp:409)
 
 
-def _etmerc_jvm_apply(df, P, x, y, zc, tc, degrees: bool,
+def _etmerc_jvm_apply(df, P, x, y, z, t, degrees: bool,
                       z_supplied: bool, out_prefix: str):
     """Staged-projection Catalyst twin of the Poder-Engsager etmerc
     forward (kernels/tmerc.exact_e_fwd, tmerc.cpp:334-415) + the
@@ -1051,116 +1051,99 @@ def _etmerc_jvm_apply(df, P, x, y, zc, tc, degrees: bool,
     intermediate twice, so inlining them into one projection would
     duplicate subtrees Fibonacci-style (Catalyst does not CSE across
     an expression tree); instead every recurrence step lands in its
-    OWN select() — CollapseProject declines to merge projections whose
+    OWN stage — CollapseProject declines to merge projections whose
     non-cheap aliases are referenced more than once, so the physical
     plan keeps the staged, linear-size form inside a single
-    whole-stage-codegen region.
+    whole-stage-codegen region.  SQL-string staged since r7
+    (_SqlStager): ONE selectExpr per stage brings plan build from
+    ~400 ms (Column-object churn) to ~20 ms.
 
     Parity with the Arrow-UDF path is pinned (exact NaN pattern,
     <=1e-6 m) in tests/test_engine.py."""
-    from pyspark.sql import functions as F
-
     Q = P.opaque["exact"]
     cbg, gtu = Q["cbg"], Q["gtu"]
     Qn, Zb = float(Q["Qn"]), float(Q["Zb"])
-    pi = math.pi
-    nan = F.lit(float("nan"))
-    T = "_jt_"  # temp-column prefix, dropped at the end
-    tmp: list[str] = []
+    L = _sql_dlit
+    NAN = "CAST('NaN' AS DOUBLE)"
+    st = _SqlStager()
+    col = st.col
+    # shared entry: radian lam/phi (null->NaN), zz/tt, global err
+    # (fwd.cpp:41-102)
+    _entry_stages(st, x, y, z, t, degrees, z_supplied)
 
-    def stage(d, **cols):
-        for name in cols:
-            tmp.append(T + name)
-        return d.select("*", *(c.alias(T + n) for n, c in cols.items()))
-
-    def col(name):
-        return F.col(T + name)
-
-    lam = F.col(x).cast("double")
-    phi = F.col(y).cast("double")
-    if degrees:
-        lam = F.radians(lam)
-        phi = F.radians(phi)
-
-    def adjlon(c):
-        return F.when(
-            F.abs(c) >= F.lit(pi + 1e-12),
-            (c + pi) - 2.0 * pi * F.floor((c + pi) / (2.0 * pi)) - pi,
-        ).otherwise(c)
-
-    # fwd prepare (fwd.cpp:41-102): error rows + lat clip + lam wrap
-    err = (
-        F.col(x).isNull() | F.isnan(F.col(x).cast("double"))
-        | F.col(y).isNull() | F.isnan(F.col(y).cast("double"))
-        | (lam > 10.0) | (lam < -10.0)
-        | (F.abs(phi) - pi / 2.0 > 1e-12)
-    )
-    if z_supplied:
-        err = err | zc.isNull() | F.isnan(zc)
-    out = stage(df, err=err,
-                lamw=adjlon(adjlon(lam) - F.lit(P.lam0)),
-                phic=F.least(F.greatest(phi, F.lit(-pi / 2.0)),
-                             F.lit(pi / 2.0)))
+    # fwd prepare lam wrap + lat clip (NaN phi passes through err)
+    st.stage(lamw1=_sql_adjlon(col("lam")))
+    st.stage(lamd=f"({col('lamw1')} - {L(P.lam0)})")
+    st.stage(lamw=_sql_adjlon(col("lamd")),
+             phic=f"least(greatest({col('phi')}, {L(-math.pi / 2.0)}), "
+                  f"{L(math.pi / 2.0)})")
 
     # gatg(cbg): real Clenshaw over cos/sin(2*phi) (tmerc.cpp:267-279)
-    out = stage(out, two=2.0 * F.cos(2.0 * col("phic")),
-                s2=F.sin(2.0 * col("phic")))
-    h1, h2 = F.lit(float(cbg[-1])), F.lit(0.0)
+    st.stage(two=f"2.0D * cos(2.0D * {col('phic')})",
+             s2=f"sin(2.0D * {col('phic')})")
+    h1, h2 = L(float(cbg[-1])), "0.0D"
     for k in range(len(cbg) - 2, -1, -1):
-        out = stage(out, **{f"g{k}": -h2 + col("two") * h1
-                            + F.lit(float(cbg[k]))})
+        st.stage(**{f"g{k}": f"-({h2}) + {col('two')} * ({h1}) "
+                            f"+ {L(float(cbg[k]))}"})
         h2, h1 = h1, col(f"g{k}")
-    out = stage(out, Cn0=col("phic") + col("g0") * col("s2"))
+    st.stage(Cn0=f"{col('phic')} + {col('g0')} * {col('s2')}")
 
     # spherical-to-complex-plane setup (tmerc.cpp:352-376)
-    out = stage(out, sCn=F.sin(col("Cn0")), cCn=F.cos(col("Cn0")),
-                sCe=F.sin(col("lamw")), cCe=F.cos(col("lamw")))
-    out = stage(out, cc=col("cCn") * col("cCe"))
-    out = stage(out, Cn1=F.atan2(col("sCn"), col("cc")),
-                invd=1.0 / F.hypot(col("sCn"), col("cc")))
-    out = stage(out, tCe=col("sCe") * col("cCn") * col("invd"),
-                twoinv=2.0 * col("invd"))
-    out = stage(out, Ce1=F.asinh(col("tCe")),
-                twoinvsq=col("twoinv") * col("invd"))
-    out = stage(out, tmpr=col("cc") * col("twoinvsq"))
-    out = stage(out, sar=col("sCn") * col("tmpr"),
-                car=col("cc") * col("tmpr") - 1.0,
-                shi=col("tCe") * col("twoinv"),
-                chi=col("twoinvsq") - 1.0)
+    st.stage(sCn=f"sin({col('Cn0')})", cCn=f"cos({col('Cn0')})",
+             sCe=f"sin({col('lamw')})", cCe=f"cos({col('lamw')})")
+    st.stage(cc=f"{col('cCn')} * {col('cCe')}")
+    st.stage(Cn1=f"atan2({col('sCn')}, {col('cc')})",
+             invd=f"1.0D / hypot({col('sCn')}, {col('cc')})")
+    st.stage(tCe=f"{col('sCe')} * {col('cCn')} * {col('invd')}",
+             twoinv=f"2.0D * {col('invd')}")
+    st.stage(Ce1=f"asinh({col('tCe')})",
+             twoinvsq=f"{col('twoinv')} * {col('invd')}")
+    st.stage(tmpr=f"{col('cc')} * {col('twoinvsq')}")
+    st.stage(sar=f"{col('sCn')} * {col('tmpr')}",
+             car=f"{col('cc')} * {col('tmpr')} - 1.0D",
+             shi=f"{col('tCe')} * {col('twoinv')}",
+             chi=f"{col('twoinvsq')} - 1.0D")
 
     # complex Clenshaw over gtu (tmerc.cpp:283-311)
-    out = stage(out, r=2.0 * col("car") * col("chi"),
-                i=-2.0 * col("sar") * col("shi"))
-    hr, hi = F.lit(float(gtu[-1])), F.lit(0.0)
-    hr1 = hi1 = F.lit(0.0)
+    st.stage(r=f"2.0D * {col('car')} * {col('chi')}",
+             i=f"-2.0D * {col('sar')} * {col('shi')}")
+    hr, hi = L(float(gtu[-1])), "0.0D"
+    hr1 = hi1 = "0.0D"
     for k in range(len(gtu) - 2, -1, -1):
-        out = stage(
-            out,
-            **{f"hr{k}": -hr1 + col("r") * hr - col("i") * hi
-               + F.lit(float(gtu[k])),
-               f"hi{k}": -hi1 + col("i") * hr + col("r") * hi})
+        st.stage(
+            **{f"hr{k}": f"-({hr1}) + {col('r')} * ({hr}) "
+                         f"- {col('i')} * ({hi}) + {L(float(gtu[k]))}",
+               f"hi{k}": f"-({hi1}) + {col('i')} * ({hr}) "
+                         f"+ {col('r')} * ({hi})"})
         hr1, hi1 = hr, hi
         hr, hi = col(f"hr{k}"), col(f"hi{k}")
-    out = stage(out, rr=col("sar") * col("chi"),
-                ii=col("car") * col("shi"))
-    out = stage(out, Cn=col("Cn1") + col("rr") * hr - col("ii") * hi,
-                Ce=col("Ce1") + col("rr") * hi + col("ii") * hr)
+    st.stage(rr=f"{col('sar')} * {col('chi')}",
+             ii=f"{col('car')} * {col('shi')}")
+    st.stage(Cn=f"{col('Cn1')} + {col('rr')} * ({hr}) "
+                f"- {col('ii')} * ({hi})",
+             Ce=f"{col('Ce1')} + {col('rr')} * ({hi}) "
+                f"+ {col('ii')} * ({hr})")
 
     # Ce bound (tmerc.cpp:409) + finalize (*a, +x0/y0, *fr_meter)
-    ok = F.abs(col("Ce")) <= F.lit(_CE_LIMIT_JVM)
-    xk = F.when(ok, F.lit(Qn) * col("Ce")).otherwise(nan)
-    yk = F.when(ok, F.lit(Qn) * col("Cn") + F.lit(Zb)).otherwise(nan)
-    xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
-    ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
-    out = (out.withColumn(f"{out_prefix}x",
-                          F.when(col("err"), nan)
-                           .otherwise(F.coalesce(xe, nan)))
-              .withColumn(f"{out_prefix}y",
-                          F.when(col("err"), nan)
-                           .otherwise(F.coalesce(ye, nan)))
-              .withColumn(f"{out_prefix}z", zc)
-              .withColumn(f"{out_prefix}t", tc))
-    return out.drop(*tmp)
+    st.stage(ok=f"abs({col('Ce')}) <= {L(_CE_LIMIT_JVM)}")
+    st.stage(xk=f"CASE WHEN {col('ok')} THEN {L(Qn)} * {col('Ce')} "
+                f"ELSE {NAN} END",
+             yk=f"CASE WHEN {col('ok')} THEN {L(Qn)} * {col('Cn')} "
+                f"+ {L(Zb)} ELSE {NAN} END")
+    st.stage(xe=f"{L(P.fr_meter)} * ({col('xk')} * {L(P.a)} "
+                f"+ {L(P.x0)})",
+             ye=f"{L(P.fr_meter)} * ({col('yk')} * {L(P.a)} "
+                f"+ {L(P.y0)})")
+    errc = col("err")
+    outs = [
+        f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({col('xe')}, {NAN})"
+        f" END AS `{out_prefix}x`",
+        f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({col('ye')}, {NAN})"
+        f" END AS `{out_prefix}y`",
+        f"{col('zz')} AS `{out_prefix}z`",
+        f"{col('tt')} AS `{out_prefix}t`",
+    ]
+    return st.apply(df, outs)
 
 
 def _datum_jvm_legs(op, direction: str):
@@ -1758,10 +1741,12 @@ def transform(
     - cart/helmert datum PIPELINES (the towgs84 expansion shape, incl.
       hub-composed catalog candidates);
     - datum-MODIFIED single ops (+towgs84/+datum emulation hooks over
-      any twin family or latlong), both directions.
-    ``"all"`` additionally enables the staged
-    etmerc/utm forward twin (opt-in: see PLANS.md for the measured JIT
-    cliff rationale).  ``False`` always uses the Arrow-UDF kernels.
+      any twin family or latlong), both directions;
+    - the staged Poder-Engsager etmerc/utm forward twin (default-on
+      since r7: the r5 JIT cliff does not reproduce with the
+      SQL-staged shape — PLANS.md "etmerc JVM expression twin").
+    ``"all"`` is accepted as an alias of ``True`` (the pre-r7 opt-in
+    spelling).  ``False`` always uses the Arrow-UDF kernels.
     Grid-backed datums (+nadgrids/+geoidgrids), +axis, +over, +geoc,
     geocentric CRS and iterative ellipsoidal inverses always use the
     UDF path.
@@ -1785,15 +1770,15 @@ def transform(
     z_supplied = z is not None
     t_supplied = t is not None
 
-    # jvm_fast_path: True (default) compiles the SMALL expression twins
-    # (webmerc/merc) to Catalyst columns; "all" additionally compiles
-    # the 22-stage Poder-Engsager etmerc/utm twin.  The etmerc twin is
-    # opt-in because its large generated method is JIT-fragile under
-    # mixed codegen load: isolated it beats the Arrow-UDF path
-    # (11.8 vs 10.8 M pts/s), but after a dozen other codegen classes
-    # have run in the same JVM it degrades ~2.5x (measured,
-    # PLANS.md "etmerc JVM expression twin") — the UDF path has no such
-    # cliff, so it stays the default.
+    # jvm_fast_path: True (default) compiles every available expression
+    # twin — including the staged Poder-Engsager etmerc/utm twin, which
+    # is DEFAULT-ON since r7: re-measured with exec-only timing after
+    # the _SqlStager rewrite, the twin shows NO JIT cliff under mixed
+    # codegen load (30.1 M pts/s dirty vs the UDF path's 11.6 at 16 M
+    # pts on local[8]; the r5 "2.5x cliff" was dominated by the old
+    # Column-object plan-build cost being re-paid per bench iteration
+    # — see PLANS.md "etmerc JVM expression twin").  "all" is kept as
+    # an accepted alias of True for backward compatibility.
     if jvm_fast_path:
         datum_legs = _datum_jvm_legs(op_probe, direction)
         if datum_legs is not None:
@@ -1836,17 +1821,19 @@ def transform(
                             & ~F.isnan(F.col(f"{out_prefix}x")))
         return out
 
-    use_etmerc_twin = (jvm_fast_path == "all"
-                       and _etmerc_jvm_fast_path_ok(op_probe, direction))
+    use_etmerc_twin = bool(jvm_fast_path) and _etmerc_jvm_fast_path_ok(
+        op_probe, direction)
     if jvm_fast_path and (_webmerc_jvm_fast_path_ok(op_probe, direction)
                           or use_etmerc_twin):
         # whole-stage-codegen twin: no Python worker in the hot path
         # (null z/t from user columns surface as NaN like the UDF path)
-        zc = (F.coalesce(F.col(z).cast("double"), F.lit(float("nan")))
-              if z else F.lit(0.0))
-        tc = (F.coalesce(F.col(t).cast("double"), F.lit(float("nan")))
-              if t else F.lit(0.0))
         if _webmerc_jvm_fast_path_ok(op_probe, direction):
+            zc = (F.coalesce(F.col(z).cast("double"),
+                             F.lit(float("nan")))
+                  if z else F.lit(0.0))
+            tc = (F.coalesce(F.col(t).cast("double"),
+                             F.lit(float("nan")))
+                  if t else F.lit(0.0))
             xo, yo = _webmerc_jvm_columns(
                 op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
             out = (df.withColumn(f"{out_prefix}x", xo)
@@ -1854,7 +1841,7 @@ def transform(
                      .withColumn(f"{out_prefix}z", zc)
                      .withColumn(f"{out_prefix}t", tc))
         else:
-            out = _etmerc_jvm_apply(df, op_probe.P, x, y, zc, tc,
+            out = _etmerc_jvm_apply(df, op_probe.P, x, y, z, t,
                                     degrees, z_supplied, out_prefix)
         if not keep_errors:
             out = out.where(F.col(f"{out_prefix}x").isNotNull()

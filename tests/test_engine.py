@@ -655,11 +655,12 @@ def test_etmerc_jvm_fast_path_parity(spark):
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-6), (
                 ps, c, np.abs(a[m] - b[m]).max())
 
-    # the etmerc twin is OPT-IN (jvm_fast_path="all"): the default
-    # keeps utm/tmerc on the UDF path (JIT-fragility, PLANS.md)
+    # DEFAULT-ON since r7 (the r5 JIT cliff does not reproduce with
+    # the SQL-staged shape, PLANS.md): plain transform() of a bare utm
+    # forward is Python-free
     dflt = transform(df, "+proj=utm +zone=32 +ellps=GRS80", x="lon",
                      y="lat")
-    assert "EvalPython" in \
+    assert "EvalPython" not in \
         dflt._jdf.queryExecution().executedPlan().toString()
 
     # guards
