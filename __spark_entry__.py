@@ -164,6 +164,100 @@ def _sql_etmerc_fwd_select(src_sql: str, projstring: str, lon0_deg: float,
     return f"select event_id, fx, fy from ({q})"
 
 
+def _sql_conic_inv_select(src_sql: str, projstring: str) -> str:
+    """Generate a DuckDB SELECT computing the lcc or aea ELLIPSOIDAL
+    INVERSE (src/projections/lcc.cpp:46-77 / aea.cpp:121-160)
+    including the same bounded, frozen-lane phi2/phi1 iterations the
+    engine's staged Catalyst twin unrolls (engine/spark.py
+    _sql_phi2_stages/_sql_phi1_stages): the convergence freeze is
+    replicated step-for-step so both sides execute the identical
+    per-lane update sequence (residual = cross-libm ulps).  Emits
+    (event_id, lam_, phi_) in radians; src must provide finite
+    (event_id, px, py) inside the convergent domain — the driver
+    queries' synthesized grids are, so the non-finite guards of the
+    engine twin are vacuous here and omitted.  One nested subselect
+    per step (the lateral-alias blowup lesson, see
+    _sql_etmerc_fwd_select)."""
+    from proj_4_spark.engine.plan import create_operation
+
+    op = create_operation(projstring)
+    P = op.P
+    Q = P.opaque
+    steps = []
+    if P.name == "lcc":
+        n, c, rho0 = Q["n"], Q["c"], Q["rho0"]
+        e, ecc = P.e, 0.5 * P.e
+        steps += [
+            f"(px / {P.a!r}) / {P.k0!r} as x1_",
+            f"{rho0!r} - (py / {P.a!r}) / {P.k0!r} as yr_",
+            "sqrt(x1_ * x1_ + yr_ * yr_) as rh_",
+            f"power(rh_ / {c!r}, {1.0 / n!r}) as ts_0_",
+            "false as dn_0_",
+        ]
+        ts, dn = "ts_0_", "dn_0_"
+        for k in range(1, 15):
+            steps += [
+                f"case when {dn} then 0.0 else {e!r} * ((1.0 - {ts} *"
+                f" {ts}) / (1.0 + {ts} * {ts})) end as cn_{k}_",
+                f"case when {dn} then {ts} else ts_0_ * power((1.0 - "
+                f"cn_{k}_) / (1.0 + cn_{k}_), {ecc!r}) end as ts_{k}_",
+                f"(not (abs(2.0 * (ts_{k}_ - {ts})) > 1e-10))"
+                f" as dn_{k}_",
+            ]
+            ts, dn = f"ts_{k}_", f"dn_{k}_"
+        steps += [
+            f"pi() / 2.0 - 2.0 * atan({ts}) as phi_",
+            f"atan2(x1_, yr_) / {n!r} + {P.lam0!r} as lamr_",
+        ]
+    else:  # aea
+        n, c, dd, rho0, ec = Q["n"], Q["c"], Q["dd"], Q["rho0"], Q["ec"]
+        Te, one_es = P.e, P.one_es
+        steps += [
+            f"px / {P.a!r} as xm_",
+            f"{rho0!r} - (py / {P.a!r}) as yy_",
+            "sqrt(xm_ * xm_ + yy_ * yy_) as rh_",
+            f"rh_ / {dd!r} as pr_",
+            f"({c!r} - pr_ * pr_) / {n!r} as pq_",
+            f"(abs({ec!r} - abs(pq_)) <= 1e-7) as al_",
+            "(abs(pq_) > 2.0 and not al_) as tb_",
+            "case when al_ or tb_ then 0.0 else pq_ end as qs_",
+            "asin(greatest(least(0.5 * qs_, 1.0), -1.0)) as ph_0_",
+            "false as dn_0_",
+        ]
+        ph, dn = "ph_0_", "dn_0_"
+        for k in range(1, 16):
+            steps += [
+                f"case when {dn} then 0.0 else sin({ph}) end as sp_{k}_",
+                f"case when {dn} then 1.0 else cos({ph}) end as cp_{k}_",
+                f"{Te!r} * sp_{k}_ as cn_{k}_",
+                f"1.0 - {Te!r} * sp_{k}_ * ({Te!r} * sp_{k}_)"
+                f" as cm_{k}_",
+                f"case when {dn} then 0.0 else 0.5 * cm_{k}_ * cm_{k}_"
+                f" / cp_{k}_ * (qs_ / {one_es!r} - sp_{k}_ / cm_{k}_ + "
+                f"{0.5 / Te!r} * ln((1.0 - cn_{k}_) / (1.0 + cn_{k}_)))"
+                f" end as dp_{k}_",
+                f"case when {dn} then {ph} else {ph} + dp_{k}_ end"
+                f" as ph_{k}_",
+                f"(not (abs(dp_{k}_) > 1e-10)) as dn_{k}_",
+            ]
+            ph, dn = f"ph_{k}_", f"dn_{k}_"
+        steps += [
+            f"case when al_ then (case when pq_ < 0.0 then -pi()/2.0 "
+            f"else pi()/2.0 end) when tb_ then 'nan'::double "
+            f"else {ph} end as phi_",
+            f"atan2(xm_, yy_) / {n!r} + {P.lam0!r} as lamr_",
+        ]
+    # inv_finalize adjlon wrap (inv.cpp:117-124)
+    steps.append(
+        "case when abs(lamr_) < pi() + 1e-12 then lamr_ else "
+        "(lamr_ + pi()) - 2.0*pi()*floor((lamr_ + pi())/(2.0*pi()))"
+        " - pi() end as lam_")
+    q = f"select event_id, px, py from ({src_sql})"
+    for s in steps:
+        q = f"select *, {s} from ({q})"
+    return f"select event_id, lam_, phi_ from ({q})"
+
+
 def _sql_fnv_shingles(text_expr: str = "t") -> str:
     """DuckDB list expression: all k=5 FNV-1a shingle hashes of a
     (space-padded) text column, as ubigint — the SQL twin of
@@ -861,6 +955,61 @@ def _q_laea_inverse(spark, sf_dir):
     )
     out = transform(pts, _LAEA_PS, x="px", y="py", direction="inv",
                     out_prefix="i_")
+    return out.select(
+        "event_id",
+        _i(F.col("i_x"), 1000000).alias("ilon"),
+        _i(F.col("i_y"), 1000000).alias("ilat"),
+    )
+
+
+_LCC_INV_PS = "+proj=lcc +ellps=GRS80 +lat_1=33 +lat_2=45 +lat_0=40 +lon_0=-96"
+_AEA_INV_PS = "+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5"
+
+
+def _conic_inv_points(spark, sf_dir):
+    """Deterministic projected-metre grid (CONUS-scale, every row in
+    the convergent domain of both conic inverses)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 6271 % 4000000) - 2000000.0).alias("px"),
+        ((F.col("event_id") * 104729 % 3000000) - 1500000.0).alias("py"),
+    )
+
+
+def _q_lcc_inverse(spark, sf_dir):
+    """Tile->lonlat through the r7 lcc INVERSE Catalyst twin: the
+    pj_phi2 iteration (src/phi2.cpp:12-83) unrolled as staged SQL with
+    frozen-lane convergence — zero Python workers.  The oracle replays
+    lcc.cpp:46-77 + the same 14 frozen phi2 updates in DuckDB from the
+    op's own setup constants."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    out = transform(_conic_inv_points(spark, sf_dir), _LCC_INV_PS,
+                    x="px", y="py", direction="inv", out_prefix="i_")
+    return out.select(
+        "event_id",
+        _i(F.col("i_x"), 1000000).alias("ilon"),
+        _i(F.col("i_y"), 1000000).alias("ilat"),
+    )
+
+
+def _q_aea_inverse(spark, sf_dir):
+    """Tile->lonlat through the r7 aea INVERSE Catalyst twin: the phi1
+    Newton iteration (src/projections/aea.cpp:48-70) unrolled as
+    staged SQL with frozen-lane convergence — zero Python workers.
+    The oracle replays aea.cpp:121-160 + the same 15 frozen Newton
+    updates in DuckDB from the op's own setup constants."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    out = transform(_conic_inv_points(spark, sf_dir), _AEA_INV_PS,
+                    x="px", y="py", direction="inv", out_prefix="i_")
     return out.select(
         "event_id",
         _i(F.col("i_x"), 1000000).alias("ilon"),
@@ -1682,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_datum_shift": _q_pipeline_composed,
         "towgs84_datum_shift": _q_towgs84_shift,
         "laea_inverse": _q_laea_inverse,
+        "lcc_inverse": _q_lcc_inverse,
+        "aea_inverse": _q_aea_inverse,
         "boundcrs_text_shift": _q_boundcrs_text_shift,
         "projjson_text_merc": _q_projjson_text_merc,
         "compound_geoid": _q_compound_geoid,
@@ -2013,6 +2164,11 @@ def oracle_sql() -> dict[str, str]:
               "(event_id * 7919 % 4000000) - 2000000.0 as px, "
               "(event_id * 104729 % 4000000) - 2000000.0 as py "
               "from events")
+    # lcc_inverse / aea_inverse source grid (mirrors _conic_inv_points)
+    conic_inv_src = ("select event_id, "
+                     "(event_id * 6271 % 4000000) - 2000000.0 as px, "
+                     "(event_id * 104729 % 3000000) - 1500000.0 as py "
+                     "from events")
     la_apa = laq["apa"]
     la_authlat = (
         "(la_beta"
@@ -2126,6 +2282,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "towgs84_datum_shift": towgs84_sql,
         "laea_inverse": laea_inv_sql,
+        "lcc_inverse": (
+            f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
+            f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat "
+            f"from ({_sql_conic_inv_select(conic_inv_src, _LCC_INV_PS)})"
+        ),
+        "aea_inverse": (
+            f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
+            f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat "
+            f"from ({_sql_conic_inv_select(conic_inv_src, _AEA_INV_PS)})"
+        ),
         "boundcrs_text_shift": boundcrs_sql,
         "projjson_text_merc": (
             f"select event_id, {merc_x} as x_cm, {merc_y} as y_cm "

@@ -21,6 +21,7 @@ no driver loops.
 from __future__ import annotations
 
 from functools import lru_cache
+import itertools
 import math
 
 import numpy as np
@@ -1010,6 +1011,317 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
     return xout, yout
 
 
+# --- iterative inverse twins: lcc / aea / leac / ellipsoidal merc -----------
+#
+# The dominant conic families' ellipsoidal inverses need the bounded
+# phi2 (src/phi2.cpp:12-83) / phi1 (src/projections/aea.cpp:48-70)
+# iterations.  Both unroll to their reference iteration bound as staged
+# SQL with a carried `done` flag that FREEZES converged lanes — the
+# per-lane update sequence is identical to the masked-lane NumPy
+# kernels, so twin/UDF parity is exact, not approximate.  Spark-SQL NaN
+# semantics differ from IEEE (NaN sorts above +Infinity in every
+# comparison), so convergence tests are phrased as
+# `abs(dphi) > TOL AND abs(v) < Infinity`: the finite guard is False
+# for NaN under Spark ordering, reproducing numpy's isfinite stop.
+
+
+def _iter_inv_sql_ok(P) -> bool:
+    """Families served by the staged iterative-inverse twin (the
+    closed-form ones live in _inv_jvm_columns)."""
+    name = getattr(P, "name", None)
+    if name in ("lcc", "aea", "leac"):
+        return True
+    return name == "merc" and P.es != 0.0
+
+
+def _iter_inv_jvm_ok(op, direction: str) -> bool:
+    """True for bare INVERSE lcc / aea / leac (sphere + ellipsoid) and
+    ellipsoidal merc with no datum/grid/axis modifiers: tile->lonlat
+    workloads for the two dominant conic families run with zero Python
+    workers."""
+    P = getattr(op, "P", None)
+    if P is None or direction != "inv":
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    if not _iter_inv_sql_ok(P):
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+_SQL_INF = "CAST('Infinity' AS DOUBLE)"
+_SQL_NAN = "CAST('NaN' AS DOUBLE)"
+
+
+def _sql_phi2_stages(st, ts0: str, e: float, tag: str) -> str:
+    """Staged-SQL twin of kernels/common.phi2 (src/phi2.cpp:12-83):
+    Snyder iteration ts <- ts0*((1-e sinφ)/(1+e sinφ))^(e/2).  Emits 14
+    frozen-lane updates; a lane still active ENTERING the 15th
+    iteration is exactly the kernel's count<=0 lane (its 15th update is
+    applied but immediately overwritten by NaN, PJD_ERR_NON_CON_INV_PHI2),
+    so the 15th update need not be emitted.  `ts0` must be a column
+    ref.  Returns the φ column name."""
+    L = _sql_dlit
+    col = st.col
+    TOL, ecc = L(1.0e-10), L(0.5 * e)
+    st.stage(**{f"{tag}dn0": f"NOT (abs({ts0}) < {_SQL_INF})"})
+    ts, done = ts0, col(f"{tag}dn0")
+    for k in range(1, 15):
+        # con = e * sinφ where sinφ = (1-ts²)/(1+ts²) (phi2.cpp:41);
+        # CASE-guarded so frozen lanes skip the arithmetic (codegen
+        # CaseWhen is lazy); 1+ts² >= 1 so no ANSI divide-by-zero
+        st.stage(**{f"{tag}cn{k}":
+                    f"CASE WHEN {done} THEN 0.0D ELSE "
+                    f"{L(e)} * ((1.0D - {ts} * {ts}) / "
+                    f"(1.0D + {ts} * {ts})) END"})
+        cn = col(f"{tag}cn{k}")
+        st.stage(**{f"{tag}ts{k}":
+                    f"CASE WHEN {done} THEN {ts} ELSE "
+                    f"{ts0} * power((1.0D - {cn}) / (1.0D + {cn}), "
+                    f"{ecc}) END"})
+        nts = col(f"{tag}ts{k}")
+        # frozen lanes have nts == ts -> dphi == 0 -> stay done (no
+        # `done OR` needed); non-finite frozen lanes give dphi = NaN,
+        # whose finite guard is False under Spark's NaN-sorts-above-
+        # Infinity ordering, so they stay done too
+        st.stage(**{f"{tag}dn{k}":
+                    f"NOT (abs(2.0D * ({nts} - {ts})) > {TOL} "
+                    f"AND abs({nts}) < {_SQL_INF})"})
+        ts, done = nts, col(f"{tag}dn{k}")
+        if k % 5 == 0:
+            st.barrier()  # keep each codegen region JIT-compilable
+    st.stage(**{f"{tag}phi":
+                f"CASE WHEN NOT {done} THEN {_SQL_NAN} "
+                f"ELSE {L(math.pi / 2.0)} - 2.0D * atan({ts}) END"})
+    return col(f"{tag}phi")
+
+
+def _sql_phi1_stages(st, qs: str, Te: float, one_es: float,
+                     tag: str) -> str:
+    """Staged-SQL twin of kernels/aea._phi1 (aea.cpp:48-70): Newton
+    iteration for the inverse authalic latitude.  Emits 15 frozen-lane
+    updates; a lane still active entering the 16th iteration is the
+    kernel's count<0 -> NaN lane (the C loop bound admits one more pass
+    than phi2's).  `qs` must be a column ref."""
+    L = _sql_dlit
+    col = st.col
+    TOL = L(1.0e-10)
+    st.stage(**{f"{tag}p0":
+                f"asin(least(greatest(0.5D * {qs}, -1.0D), 1.0D))"})
+    phi = col(f"{tag}p0")
+    if Te < 1.0e-7:
+        return phi
+    st.stage(**{f"{tag}dn0": f"NOT (abs({phi}) < {_SQL_INF})"})
+    done = col(f"{tag}dn0")
+    for k in range(1, 16):
+        # CASE-guarded: frozen lanes skip the trig (the dominant
+        # per-iteration cost — most lanes converge in <=5 of the 15)
+        st.stage(**{f"{tag}sp{k}":
+                    f"CASE WHEN {done} THEN 0.0D ELSE sin({phi}) END",
+                    f"{tag}cp{k}":
+                    f"CASE WHEN {done} THEN 1.0D ELSE cos({phi}) END"})
+        sp, cp = col(f"{tag}sp{k}"), col(f"{tag}cp{k}")
+        # con = Te*sinφ; com = 1 - con² (recomputing (Te*sp) keeps the
+        # two columns in ONE stage; the product is bit-identical)
+        st.stage(**{f"{tag}cn{k}": f"{L(Te)} * {sp}",
+                    f"{tag}cm{k}":
+                    f"1.0D - {L(Te)} * {sp} * ({L(Te)} * {sp})"})
+        cn, cm = col(f"{tag}cn{k}"), col(f"{tag}cm{k}")
+        # com > 0 and (1±con) > 0 for every active (finite-φ) lane since
+        # |con| <= e < 1, so the divisions and ln() cannot hit the
+        # ANSI-mode divide-by-zero / negative-log paths
+        st.stage(**{f"{tag}dp{k}":
+                    f"CASE WHEN {done} THEN 0.0D ELSE "
+                    f"0.5D * {cm} * {cm} / {cp} * "
+                    f"({qs} / {L(one_es)} - {sp} / {cm} + "
+                    f"{L(0.5 / Te)} * ln((1.0D - {cn}) / (1.0D + {cn})))"
+                    f" END"})
+        dp = col(f"{tag}dp{k}")
+        st.stage(**{f"{tag}ph{k}":
+                    f"CASE WHEN {done} THEN {phi} ELSE {phi} + {dp} END",
+                    f"{tag}dn{k}":
+                    f"NOT (abs({dp}) > {TOL} AND abs({dp}) < {_SQL_INF})"})
+        phi, done = col(f"{tag}ph{k}"), col(f"{tag}dn{k}")
+        if k % 4 == 0:
+            st.barrier()  # keep each codegen region JIT-compilable
+    st.stage(**{f"{tag}phi":
+                f"CASE WHEN NOT {done} THEN {_SQL_NAN} ELSE {phi} END"})
+    return col(f"{tag}phi")
+
+
+def _inv_entry_stages(st, P, x, y, z, t, z_supplied: bool):
+    """Shared INVERSE entry: null/NaN error predicate + inv_prepare
+    scaling (to_meter*v - offset) * 1/a (src/inv.cpp:42-76) —
+    the staged twin of the column-path entry in _inv_jvm_columns.
+    Returns the (xm, ym) column names."""
+    L = _sql_dlit
+    col = st.col
+    xq, yq = f"CAST(`{x}` AS DOUBLE)", f"CAST(`{y}` AS DOUBLE)"
+    zz_sql = (f"coalesce(CAST(`{z}` AS DOUBLE), {_SQL_NAN})"
+              if z is not None else "0.0D")
+    tt_sql = (f"coalesce(CAST(`{t}` AS DOUBLE), {_SQL_NAN})"
+              if t is not None else "0.0D")
+    err = (f"`{x}` IS NULL OR isnan({xq}) OR `{y}` IS NULL OR "
+           f"isnan({yq})")
+    if z_supplied:
+        err += f" OR `{z}` IS NULL OR isnan(CAST(`{z}` AS DOUBLE))"
+    # the outer coalesce makes xm/ym NON-NULLABLE (NULL -> NaN, the UDF
+    # path's na_value), which drops the isNull plumbing from every
+    # downstream codegen expression — without it the staged iterative
+    # kernels blow past HotSpot's 8000-byte JIT limit (measured 11185
+    # -> ~6k for the lcc inverse) and run interpreted, 13x slower
+    st.stage(
+        xm=f"coalesce(({L(P.to_meter)} * {xq} - {L(P.x0)}) * {L(P.ra)},"
+           f" {_SQL_NAN})",
+        ym=f"coalesce(({L(P.to_meter)} * {yq} - {L(P.y0)}) * {L(P.ra)},"
+           f" {_SQL_NAN})",
+        zz=zz_sql, tt=tt_sql, err=err)
+    return col("xm"), col("ym")
+
+
+def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
+    """Staged-SQL inverse kernels for lcc (lcc.cpp:46-77), aea/leac
+    (aea.cpp:121-160) and ellipsoidal merc (merc.cpp:46-54), plus the
+    inv_finalize lam0+wrap (src/inv.cpp:117-124).  Returns radian
+    (lam, phi) column names.  xm/ym must be column refs."""
+    L = _sql_dlit
+    col = st.col
+    Q = P.opaque
+    H = math.pi / 2.0
+    if P.name == "merc":
+        st.stage(k_ts0=f"exp(-({ym}) / {L(P.k0)})")
+        phi = _sql_phi2_stages(st, col("k_ts0"), P.e, "p2_")
+        st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
+                       f"ELSE ({xm}) / {L(P.k0)} END")
+        lam = col("k_lam")
+    elif P.name == "lcc":
+        n, c, rho0 = float(Q["n"]), float(Q["c"]), float(Q["rho0"])
+        st.stage(k_x1=f"({xm}) / {L(P.k0)}",
+                 k_yr=f"{L(rho0)} - ({ym}) / {L(P.k0)}")
+        x1, yr = col("k_x1"), col("k_yr")
+        st.stage(k_rh=f"hypot({x1}, {yr})")
+        if n < 0.0:  # cone opens south: setup-time sign flips
+            st.stage(k_rho=f"-{col('k_rh')}", k_xs=f"-{x1}",
+                     k_ys=f"-{yr}")
+            rho, xs, ys = col("k_rho"), col("k_xs"), col("k_ys")
+        else:
+            rho, xs, ys = col("k_rh"), x1, yr
+        st.stage(k_nz=f"{rho} != 0.0D")
+        nz = col("k_nz")
+        st.stage(k_rnz=f"CASE WHEN {nz} THEN {rho} ELSE 1.0D END")
+        rnz = col("k_rnz")
+        if P.es != 0.0:
+            st.stage(k_ts0=f"power({rnz} / {L(c)}, {L(1.0 / n)})")
+            phi_i = _sql_phi2_stages(st, col("k_ts0"), P.e, "p2_")
+        else:
+            st.stage(k_sph=f"2.0D * atan(power({L(c)} / {rnz}, "
+                           f"{L(1.0 / n)})) - {L(H)}")
+            phi_i = col("k_sph")
+        st.stage(k_ph=f"CASE WHEN {nz} THEN {phi_i} "
+                      f"ELSE {L(H if n > 0.0 else -H)} END")
+        phi = col("k_ph")
+        st.stage(k_la0=f"CASE WHEN {nz} THEN "
+                       f"{_sql_atan2_ieee(xs, ys)} / {L(n)} "
+                       f"ELSE 0.0D END")
+        st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
+                       f"ELSE {col('k_la0')} END")
+        lam = col("k_lam")
+    else:  # aea / leac
+        n, c = float(Q["n"]), float(Q["c"])
+        dd, rho0 = float(Q["dd"]), float(Q["rho0"])
+        st.stage(k_yy=f"{L(rho0)} - ({ym})")
+        yy = col("k_yy")
+        st.stage(k_rh=f"hypot({xm}, {yy})")
+        if n < 0.0:
+            st.stage(k_rho=f"-{col('k_rh')}", k_xs=f"-({xm})",
+                     k_ys=f"-{yy}")
+            rho, xs, ys = col("k_rho"), col("k_xs"), col("k_ys")
+        else:
+            rho, xs, ys = col("k_rh"), xm, yy
+        st.stage(k_nz=f"{rho} != 0.0D")
+        nz = col("k_nz")
+        st.stage(k_pr=f"{rho} / {L(dd)}")
+        pr = col("k_pr")
+        if Q["ellips"]:
+            ec = float(Q["ec"])
+            st.stage(k_pq=f"({L(c)} - {pr} * {pr}) / {L(n)}")
+            pq = col("k_pq")
+            st.stage(k_al=f"abs({L(ec)} - abs({pq})) <= {L(1.0e-7)}")
+            al = col("k_al")
+            # Spark's NaN>2 is TRUE (numpy: False), so a NaN pq lands
+            # in the too-big lane here; both paths end at NaN, see the
+            # al/tb CASE below
+            st.stage(k_tb=f"abs({pq}) > 2.0D AND NOT {al}")
+            tb = col("k_tb")
+            st.stage(k_qs=f"CASE WHEN {al} OR {tb} THEN 0.0D "
+                          f"ELSE {pq} END")
+            phi_it = _sql_phi1_stages(st, col("k_qs"), P.e,
+                                      P.one_es, "p1_")
+            st.stage(k_ph0=f"CASE WHEN {al} THEN "
+                           f"(CASE WHEN {pq} < 0.0D THEN {L(-H)} "
+                           f"ELSE {L(H)} END) "
+                           f"WHEN {tb} THEN {_SQL_NAN} "
+                           f"ELSE {phi_it} END")
+        else:
+            n2 = float(Q["n2"])
+            st.stage(k_pq=f"({L(c)} - {pr} * {pr}) / {L(n2)}")
+            pq = col("k_pq")
+            st.stage(k_ph0=f"CASE WHEN abs({pq}) <= 1.0D THEN "
+                           f"asin(least(greatest({pq}, -1.0D), 1.0D)) "
+                           f"ELSE (CASE WHEN {pq} < 0.0D THEN {L(-H)} "
+                           f"ELSE {L(H)} END) END")
+        phi_i = col("k_ph0")
+        st.stage(k_ph=f"CASE WHEN {nz} THEN {phi_i} "
+                      f"ELSE {L(H if n > 0.0 else -H)} END")
+        phi = col("k_ph")
+        st.stage(k_la0=f"CASE WHEN {nz} THEN "
+                       f"{_sql_atan2_ieee(xs, ys)} / {L(n)} "
+                       f"ELSE 0.0D END")
+        st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
+                       f"ELSE {col('k_la0')} END")
+        lam = col("k_lam")
+    # inv_finalize: lam0 + wrap (inv.cpp:117-124)
+    st.stage(k_lf=f"{lam} + {L(P.lam0)}")
+    st.stage(k_lw=_sql_adjlon(col("k_lf")))
+    return col("k_lw"), phi
+
+
+def _iter_inv_apply(df, P, x, y, z, t, degrees: bool,
+                    z_supplied: bool, out_prefix: str):
+    """Staged-projection Catalyst twin of the ITERATIVE inverses (lcc /
+    aea / leac, both variants, and ellipsoidal merc): tile->lonlat
+    workloads for the dominant conic families run with ZERO Python
+    workers.  Parity with the Arrow-UDF path is pinned (exact NaN
+    pattern, frozen-lane iteration) in
+    tests/test_engine.py::test_iter_inverse_jvm_fast_path_parity."""
+    st = _SqlStager()
+    xm, ym = _inv_entry_stages(st, P, x, y, z, t, z_supplied)
+    lam, phi = _emit_iter_inv_kernel(st, P, xm, ym)
+    if degrees:
+        lam = f"{lam} * {_sql_dlit(C.RAD_TO_DEG)}"
+        phi = f"{phi} * {_sql_dlit(C.RAD_TO_DEG)}"
+    errc = st.col("err")
+    outs = [
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({lam}, {_SQL_NAN}) END AS `{out_prefix}x`",
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({phi}, {_SQL_NAN}) END AS `{out_prefix}y`",
+        f"{st.col('zz')} AS `{out_prefix}z`",
+        f"{st.col('tt')} AS `{out_prefix}t`",
+    ]
+    return st.apply(df, outs)
+
+
 def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     """True when the operation is a bare Poder-Engsager tmerc/etmerc/utm
     forward (the DEFAULT tmerc algorithm) with no datum/grid/axis
@@ -1240,10 +1552,12 @@ class _SqlStager:
     expression duplication (the DuckDB lateral-alias lesson)."""
 
     PREFIX = "_jd_"
+    _split_seq = itertools.count()
 
     def __init__(self):
         self.tmp: list[str] = []
         self.stages: list[list[str]] = []
+        self._barriers: set[int] = set()
 
     def stage(self, **cols):
         exprs = []
@@ -1251,6 +1565,18 @@ class _SqlStager:
             self.tmp.append(self.PREFIX + name)
             exprs.append(f"({sql}) AS {self.PREFIX}{name}")
         self.stages.append(exprs)
+
+    def barrier(self):
+        """Close the current whole-stage-codegen region: apply() will
+        insert a CollectMetrics (observe) node here, which Spark does
+        not fuse.  HotSpot refuses to JIT methods over 8000 bytecodes
+        (-XX:DontCompileHugeMethods), so a staged chain whose single
+        fused consume() exceeds that runs INTERPRETED — measured 13x
+        slower on the lcc inverse twin.  Splitting into sub-8000
+        regions costs one row-count accumulator per region boundary
+        and keeps every region JIT-compiled."""
+        if self.stages:
+            self._barriers.add(len(self.stages) - 1)
 
     def col(self, name: str) -> str:
         return self.PREFIX + name
@@ -1267,12 +1593,45 @@ class _SqlStager:
             raise ValueError(
                 f"input columns collide with the staging prefix "
                 f"{self.PREFIX!r}: {clash}; rename them before transform()")
+        from pyspark.sql import functions as F
+
+        # Batch consecutive stages into ONE selectExpr via lateral
+        # column aliases (Spark >= 3.4): the analyzer rewrites them
+        # into exactly the nested-Project chain that one-selectExpr-
+        # per-stage builds, but at one py4j/parse round-trip per
+        # codegen region instead of per stage (~14 ms each; the 60+
+        # stage iterative-inverse twins dropped from ~2.5 s to ~0.2 s
+        # plan build).  Aliases referenced more than once stay column
+        # refs in the rewrite — no subtree duplication.
         out = df
-        for exprs in self.stages:
-            out = out.selectExpr("*", *exprs)
+        pending: list[str] = []
+        emitted: list[str] = list(
+            c for c in df.columns if c in self.tmp)  # pre-seeded cols
+        for i, exprs in enumerate(self.stages):
+            pending.extend(exprs)
+            if i in self._barriers:
+                out = out.selectExpr("*", *pending)
+                emitted.extend(
+                    e.rsplit(" AS ", 1)[1] for e in pending)
+                pending = []
+                # rows materialize as UnsafeRows at the region
+                # boundary: drop temp columns no later stage reads so
+                # the copy stays narrow (substring match can only
+                # over-retain, never over-drop)
+                later = " ".join(
+                    e for st_ in self.stages[i + 1:] for e in st_)
+                later += " " + " ".join(final_exprs or ())
+                dead = [c for c in emitted if c not in later]
+                if dead:
+                    out = out.drop(*dead)
+                out = out.observe(
+                    f"{self.PREFIX}cgsplit_{next(self._split_seq)}",
+                    F.count(F.lit(1)).alias("rows"))
+        if pending:
+            out = out.selectExpr("*", *pending)
         if final_exprs:
             out = out.selectExpr("*", *final_exprs)
-        return out.drop(*self.tmp)
+        return out.drop(*[c for c in self.tmp if c in out.columns])
 
 
 def _sql_atan2_ieee(yc: str, xc: str) -> str:
@@ -1738,6 +2097,10 @@ def transform(
       ortho/gnom (19 families);
     - closed-form INVERSES of webmerc/merc(sphere)/eqc/cea/laea and
       spherical stere/ups/sinu/eqdc/cass/ortho/gnom;
+    - ITERATIVE inverses of lcc/aea/leac (sphere + ellipsoid) and
+      ellipsoidal merc: the bounded phi2/phi1 iterations
+      (src/phi2.cpp, src/projections/aea.cpp:48-70) unroll to staged
+      SQL with per-lane convergence freezing (new in r7);
     - cart/helmert datum PIPELINES (the towgs84 expansion shape, incl.
       hub-composed catalog candidates);
     - datum-MODIFIED single ops (+towgs84/+datum emulation hooks over
@@ -1748,8 +2111,8 @@ def transform(
     ``"all"`` is accepted as an alias of ``True`` (the pre-r7 opt-in
     spelling).  ``False`` always uses the Arrow-UDF kernels.
     Grid-backed datums (+nadgrids/+geoidgrids), +axis, +over, +geoc,
-    geocentric CRS and iterative ellipsoidal inverses always use the
-    UDF path.
+    geocentric CRS and the remaining iterative ellipsoidal inverses
+    (etmerc/stere/sterea/...) always use the UDF path.
 
     Returns ``df`` with four new columns ``{out_prefix}{x,y,z,t}``.
     """
@@ -1816,6 +2179,16 @@ def transform(
                  .withColumn(f"{out_prefix}y", yo)
                  .withColumn(f"{out_prefix}z", zc)
                  .withColumn(f"{out_prefix}t", tc))
+        if not keep_errors:
+            out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                            & ~F.isnan(F.col(f"{out_prefix}x")))
+        return out
+
+    if jvm_fast_path and _iter_inv_jvm_ok(op_probe, direction):
+        # staged iterative-inverse twin: lcc/aea/leac and ellipsoidal
+        # merc inverses (bounded phi2/phi1 unroll with frozen lanes)
+        out = _iter_inv_apply(df, op_probe.P, x, y, z, t, degrees,
+                              z_supplied, out_prefix)
         if not keep_errors:
             out = out.where(F.col(f"{out_prefix}x").isNotNull()
                             & ~F.isnan(F.col(f"{out_prefix}x")))

@@ -605,10 +605,10 @@ def test_merc_jvm_fast_path_parity(spark):
     hub = transform(df, "+proj=merc +datum=NAD83", x="lon", y="lat")
     assert "EvalPython" not in \
         hub._jdf.queryExecution().executedPlan().toString()
-    # ellipsoidal merc inverse needs the phi2 iteration: UDF path
+    # ellipsoidal merc inverse compiles to the r7 staged phi2 twin
     inv = transform(df, "+proj=merc +ellps=GRS80", x="lon", y="lat",
                     direction="inv")
-    assert "EvalPython" in \
+    assert "EvalPython" not in \
         inv._jdf.queryExecution().executedPlan().toString()
 
 
@@ -918,7 +918,8 @@ def test_sterea_jvm_fast_path_parity(spark):
 def test_inverse_jvm_fast_path_parity(spark):
     """The INVERSE Catalyst twins (webmerc / spherical merc / eqc:
     tile->lon/lat style workloads) match the UDF path; ellipsoidal
-    merc inverse (phi2 iteration) stays on the UDF path."""
+    merc inverse compiles to the r7 staged phi2 twin (parity pinned in
+    test_iter_inverse_jvm_fast_path_parity)."""
     import numpy as np
     import pandas as pd
 
@@ -949,10 +950,10 @@ def test_inverse_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=0, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # ellipsoidal merc inverse keeps the UDF path (phi2 iteration)
+    # ellipsoidal merc inverse is a twin since r7 (staged phi2 unroll)
     p = transform(df, "+proj=merc +ellps=GRS80", x="px", y="py",
                   direction="inv")
-    assert "EvalPython" in \
+    assert "EvalPython" not in \
         p._jdf.queryExecution().executedPlan().toString()
 
 
@@ -1215,6 +1216,78 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
         p = transform(df, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
+
+
+def test_iter_inverse_jvm_fast_path_parity(spark):
+    """r7 iterative inverse twins: lcc / aea / leac (sphere AND
+    ellipsoid) and ellipsoidal merc plan with zero Python workers and
+    match the UDF path — the bounded phi2/phi1 iterations unroll to
+    staged SQL whose carried `done` flag freezes converged lanes, so
+    the per-lane update sequence is identical to the masked NumPy
+    kernels (exact NaN pattern; values agree to cross-libm ulps,
+    measured <=1.2e-13 deg on this grid)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    xs = [-3.3e7, -2.5e6, -1e6, -1e4, 0.0, 1.5e5, 2.0e6, 3.3e7,
+          None, float("nan")]
+    ys = [-4.5e7, -3e6, -1e6, 0.0, 1e5, 2.3e6, 5e6, 4.5e7, None]
+    pdf = pd.DataFrame({"px": xs * len(ys), "py": np.repeat(ys, len(xs))})
+    df = spark.createDataFrame(pdf)
+    twins = (
+        # 2SP / 1SP+k_0 / south-opening sphere lcc, offsets + units
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+        "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +k_0=0.9998 +ellps=clrk66",
+        "+proj=lcc +lat_1=-33 +lat_2=-45 +lat_0=-23 +lon_0=140 +R=6371000",
+        "+proj=lcc +lat_1=40 +lat_2=43 +lat_0=39.3 +lon_0=-77 "
+        "+x_0=400000 +y_0=0 +ellps=GRS80 +units=us-ft",
+        # aea ellips/sphere, north- and south-opening; leac
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +R=6371000",
+        "+proj=aea +lat_1=-29.5 +lat_2=-45.5 +lat_0=-20 +ellps=WGS84",
+        "+proj=leac +lat_1=45 +ellps=WGS84",
+        # ellipsoidal merc (spherical merc is a closed-form r5 twin)
+        "+proj=merc +lat_ts=30 +ellps=WGS84",
+    )
+    for ps in twins:
+        fast = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="px", y="py", direction="inv",
+                         out_prefix="s_", jvm_fast_path=False)
+        fp = fast.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        sp = slow.toPandas().sort_values(["px", "py"]).reset_index(
+            drop=True)
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (
+                ps, c, fp[np.isnan(a) != np.isnan(b)][["px", "py"]])
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
+                ps, c, np.abs(a[m] - b[m]).max())
+    # twin-fwd -> twin-inv roundtrip holds at the reference tolerance
+    lons = [-150.0, -96.0, -20.0, 0.0, 45.0, 140.0, 179.0]
+    lats = [-60.0, -33.0, 0.0, 23.0, 45.5, 70.0]
+    gdf = spark.createDataFrame(pd.DataFrame(
+        {"lon": lons * len(lats), "lat": np.repeat(lats, len(lons))}))
+    for ps in ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 "
+               "+ellps=GRS80",
+               "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+               "+ellps=GRS80",
+               "+proj=merc +ellps=WGS84"):
+        rt = transform(
+            transform(gdf, ps, x="lon", y="lat", out_prefix="p_"),
+            ps, x="p_x", y="p_y", direction="inv", out_prefix="r_")
+        assert "EvalPython" not in \
+            rt._jdf.queryExecution().executedPlan().toString(), ps
+        rp = rt.toPandas()
+        assert np.allclose(rp["r_x"], rp["lon"], atol=1e-9), ps
+        assert np.allclose(rp["r_y"], rp["lat"], atol=1e-9), ps
 
 
 def test_datum_modified_jvm_fast_path_parity(spark):

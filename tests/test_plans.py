@@ -281,8 +281,8 @@ def test_expression_twin_queries_have_no_python_workers(spark):
     for name in ("merc_fwd", "eqc_fwd", "aea_fwd", "esri_usa_albers",
                  "webmerc_tiles", "docs_geo_pipeline", "lcc_fwd",
                  "pipeline_datum_shift", "towgs84_datum_shift",
-                 "laea_inverse", "boundcrs_text_shift",
-                 "projjson_text_merc"):
+                 "laea_inverse", "lcc_inverse", "aea_inverse",
+                 "boundcrs_text_shift", "projjson_text_merc"):
         df = E.queries()[name](spark, SF)
         txt = formatted(df)
         assert "EvalPython" not in txt, (name, txt[-1200:])

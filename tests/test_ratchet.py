@@ -12,7 +12,7 @@ def test_driver_query_count_monotone():
 
     qs = E.queries()
     os_ = E.oracle_sql()
-    assert len(qs) >= 43, len(qs)
+    assert len(qs) >= 45, len(qs)
     # EVERY query is value-verified: r4 closed the last no_oracle rows
     assert set(os_) == set(qs), set(qs) ^ set(os_)
 
@@ -116,3 +116,26 @@ def test_r6_twin_roster_and_text_formats():
         'PARAMETER["Y-axis translation",2],'
         'PARAMETER["Z-axis translation",3]]]'
     ).P.params.get("towgs84") == "1,2,3,0,0,0,0"
+
+
+def test_r7_iterative_inverse_twins_stay_wired():
+    """r7 ratchet: the staged iterative-inverse twins (bounded phi2 /
+    phi1 unroll with frozen-lane convergence) keep compiling for
+    lcc / aea / leac (sphere + ellipsoid) and ellipsoidal merc; the
+    remaining iterative families keep refusing (UDF path)."""
+    from proj_4_spark.engine.plan import create_operation
+    from proj_4_spark.engine.spark import _iter_inv_jvm_ok
+
+    for ps in (
+        "+proj=lcc +ellps=GRS80 +lat_1=33 +lat_2=45",
+        "+proj=lcc +R=6371000 +lat_1=-33 +lat_2=-45",
+        "+proj=aea +ellps=GRS80 +lat_1=29.5 +lat_2=45.5",
+        "+proj=aea +R=6371000 +lat_1=29.5 +lat_2=45.5",
+        "+proj=leac +ellps=WGS84 +lat_1=45",
+        "+proj=merc +ellps=WGS84",
+    ):
+        assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
+    for ps in ("+proj=merc +R=6371000",          # closed-form r5 twin
+               "+proj=stere +ellps=WGS84 +lat_0=90",
+               "+proj=utm +zone=32 +ellps=GRS80"):
+        assert not _iter_inv_jvm_ok(create_operation(ps), "inv"), ps

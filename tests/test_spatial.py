@@ -58,14 +58,16 @@ def test_media_extraction_roundtrips_encoding(spark, docs):
 
 def test_spark_transform_matches_local(spark, media_pts):
     """The Spark UDF path must produce bit-identical results to the
-    driver-side NumPy path (same kernels, same batches)."""
+    driver-side NumPy path (same kernels, same batches); the default
+    path (the staged etmerc/utm Catalyst twin, default-on since r7)
+    must agree within the pinned twin-parity tolerance."""
     from proj_4_spark.engine.plan import create_operation
     from proj_4_spark.kernels.common import DEG_TO_RAD
 
     sample = media_pts.where("abs(lat) < 84 and abs(lon) <= 180").limit(100).toPandas()
     out = transform(
         spark.createDataFrame(sample), "+proj=utm +zone=32 +ellps=GRS80",
-        x="lon", y="lat", out_prefix="u_",
+        x="lon", y="lat", out_prefix="u_", jvm_fast_path=False,
     ).toPandas().sort_values(["doc_id", "span_offset"])
     op = create_operation("+proj=utm +zone=32 +ellps=GRS80")
     s = sample.sort_values(["doc_id", "span_offset"])
@@ -75,6 +77,12 @@ def test_spark_transform_matches_local(spark, media_pts):
     )
     assert np.array_equal(out["u_x"].to_numpy(), x, equal_nan=True)
     assert np.array_equal(out["u_y"].to_numpy(), y, equal_nan=True)
+    twin = transform(
+        spark.createDataFrame(sample), "+proj=utm +zone=32 +ellps=GRS80",
+        x="lon", y="lat", out_prefix="u_",
+    ).toPandas().sort_values(["doc_id", "span_offset"])
+    assert np.allclose(twin["u_x"].to_numpy(), x, rtol=1e-9, atol=1e-6)
+    assert np.allclose(twin["u_y"].to_numpy(), y, rtol=1e-9, atol=1e-6)
 
 
 def test_tile_assignment_exact(spark, media_pts):
