@@ -1922,7 +1922,7 @@ def _datum_modified_jvm_ok(op, direction: str) -> bool:
         return True
     if direction == "fwd":
         return P.name in _FWD_TWIN_NAMES
-    return _inv_twin_name_ok(P)
+    return _inv_twin_name_ok(P) or _iter_inv_sql_ok(P)
 
 
 def _emulation_legs(P, direction: str):
@@ -2011,12 +2011,44 @@ def _datum_modified_inv_apply(df, op, x, y, z, t, degrees: bool,
     """Composed inverse twin: the projection's inverse Column twin
     (which bakes inv_prepare scaling and the inv_finalize lam0+adjlon),
     then the SQL-staged datum legs (local datum -> WGS84, inv_finalize
-    order, src/inv.cpp:117-124)."""
+    order, src/inv.cpp:117-124).  Iterative families (lcc/aea/leac,
+    ellipsoidal merc) route through the staged phi2/phi1 kernels
+    instead, feeding the same datum legs — e.g. a +towgs84 lcc zone
+    inverse runs Python-free end to end (r7)."""
     from pyspark.sql import functions as F
 
     P = op.P
     NAN = "CAST('NaN' AS DOUBLE)"
     nan = F.lit(float("nan"))
+    if _iter_inv_sql_ok(P):
+        st = _SqlStager()
+        xm, ym = _inv_entry_stages(st, P, x, y, z, t, z_supplied)
+        lam, phi = _emit_iter_inv_kernel(st, P, xm, ym)
+        zz = st.col("zz")
+        if P.vto_meter != 1.0:
+            st.stage(zs=f"{zz} * {_sql_dlit(P.vto_meter)}")
+            zz = st.col("zs")
+        errc = st.col("err")
+        st.stage(
+            plam=f"CASE WHEN {errc} THEN {NAN} "
+                 f"ELSE coalesce({lam}, {NAN}) END",
+            pphi=f"CASE WHEN {errc} THEN {NAN} "
+                 f"ELSE coalesce({phi}, {NAN}) END")
+        st.barrier()  # datum legs get their own codegen region
+        cx, cy, cz = _emit_datum_legs(
+            st, _emulation_legs(P, "inv"),
+            st.col("plam"), st.col("pphi"), zz,
+            first_cart_prepare=False)
+        if degrees:
+            cx = f"{cx} * {_sql_dlit(C.RAD_TO_DEG)}"
+            cy = f"{cy} * {_sql_dlit(C.RAD_TO_DEG)}"
+        outs = [
+            f"coalesce({cx}, {NAN}) AS `{out_prefix}x`",
+            f"coalesce({cy}, {NAN}) AS `{out_prefix}y`",
+            f"coalesce({cz}, {NAN}) AS `{out_prefix}z`",
+            f"{st.col('tt')} AS `{out_prefix}t`",
+        ]
+        return st.apply(df, outs)
     zc = (F.coalesce(F.col(z).cast("double"), nan) if z else F.lit(0.0))
     tc = (F.coalesce(F.col(t).cast("double"), nan) if t else F.lit(0.0))
     # inv_prepare vertical scaling: z = vto_meter * z - z0, z0 == 0 by
@@ -2104,7 +2136,9 @@ def transform(
     - cart/helmert datum PIPELINES (the towgs84 expansion shape, incl.
       hub-composed catalog candidates);
     - datum-MODIFIED single ops (+towgs84/+datum emulation hooks over
-      any twin family or latlong), both directions;
+      any twin family or latlong), both directions — including the
+      iterative inverse families (a +towgs84 lcc/aea zone inverse
+      runs Python-free end to end, r7);
     - the staged Poder-Engsager etmerc/utm forward twin (default-on
       since r7: the r5 JIT cliff does not reproduce with the
       SQL-staged shape — PLANS.md "etmerc JVM expression twin").

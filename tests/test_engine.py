@@ -1336,6 +1336,16 @@ def test_datum_modified_jvm_fast_path_parity(spark):
         # vto_meter scaling through the composed INVERSE chain
         ("+proj=webmerc +units=km +ellps=WGS84 +towgs84=1,2,3",
          "inv", True),
+        # r7: composed ITERATIVE inverses (staged phi2/phi1 kernels
+        # feeding the datum legs) — +towgs84 conic zones Python-free
+        ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
+         "+ellps=clrk66 +towgs84=-10,158,187", "inv", True),
+        ("+proj=aea +lat_1=29.5 +lat_2=45.5 +ellps=clrk66 "
+         "+towgs84=-8,160,176", "inv", True),
+        ("+proj=merc +ellps=GRS80 +towgs84=1,2,3", "inv", True),
+        ("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46 +lon_0=3 "
+         "+x_0=700000 +y_0=6600000 +units=km +ellps=clrk80ign "
+         "+towgs84=-168,-60,320", "inv", True),
     ]
     for ps, direc, with_z in cases:
         kw = dict(x="lon", y="lat", direction=direc, out_prefix="f_")
@@ -1364,7 +1374,8 @@ def test_datum_modified_jvm_fast_path_parity(spark):
     guards = [
         ("+proj=webmerc +datum=NAD27", "fwd"),          # nadgrids
         ("+proj=merc +towgs84=1,2,3 +axis=wsu", "fwd"),
-        ("+proj=merc +ellps=GRS80 +towgs84=1,2,3", "inv"),  # phi2 iter
+        ("+proj=stere +ellps=WGS84 +lat_0=90 +towgs84=1,2,3",
+         "inv"),                                 # still-iterative fam
         ("+proj=longlat +ellps=bessel +towgs84=1,2,3 +geoidgrids="
          "@egm96_15.gtx", "fwd"),
     ]

@@ -139,3 +139,13 @@ def test_r7_iterative_inverse_twins_stay_wired():
                "+proj=stere +ellps=WGS84 +lat_0=90",
                "+proj=utm +zone=32 +ellps=GRS80"):
         assert not _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
+
+    # the COMPOSED datum-modified inverse accepts the iterative
+    # families too (+towgs84 conic zone inverses run Python-free)
+    from proj_4_spark.engine.spark import _datum_modified_jvm_ok
+
+    assert _datum_modified_jvm_ok(create_operation(
+        "+proj=lcc +lat_1=49 +lat_2=77 +ellps=clrk66 "
+        "+towgs84=-10,158,187"), "inv")
+    assert _datum_modified_jvm_ok(create_operation(
+        "+proj=merc +ellps=GRS80 +towgs84=1,2,3"), "inv")

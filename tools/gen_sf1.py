@@ -10,7 +10,10 @@ is preserved rather than exact-duplicated.  documents are replicated
 verbatim (the dedup queries then see a 10x-duplicated corpus — realistic
 for web-scale crawls and documented next to the sf1 numbers).
 
-Usage: python tools/gen_sf1.py [--out benchdata/sf1]
+Usage: python tools/gen_sf1.py [--out benchdata/sf1] [--k 10]
+       python tools/gen_sf1.py --out benchdata/sf10 --k 100   # sf10
+(--k copies of the sf0.1 rows: 10 -> sf1, 100 -> sf10; the key-offset
+arithmetic is K-independent, so joins stay consistent at any scale)
 """
 
 from __future__ import annotations
@@ -21,7 +24,6 @@ import os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-K = 10  # scale factor multiplier
 
 N_EVENTS = 100_000
 N_ORDERS = 150_000
@@ -35,10 +37,13 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchdata", "sf1"))
+    ap.add_argument("--k", type=int, default=10,
+                    help="scale multiplier over sf0.1 (10=sf1, 100=sf10)")
     args = ap.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
-    con.execute("create table copies as select unnest(range(%d)) as k" % K)
+    con.execute(
+        "create table copies as select unnest(range(%d)) as k" % args.k)
 
     def write(name: str, sql: str) -> None:
         out = os.path.join(args.out, f"{name}.parquet")
