@@ -1027,11 +1027,14 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
 
 def _iter_inv_sql_ok(P) -> bool:
     """Families served by the staged iterative-inverse twin (the
-    closed-form ones live in _inv_jvm_columns)."""
+    closed-form ones live in _inv_jvm_columns): phi2 for lcc/merc,
+    phi1 for aea/leac, inv_mlfn for ellipsoidal eqdc/sinu/cass."""
     name = getattr(P, "name", None)
     if name in ("lcc", "aea", "leac"):
         return True
-    return name == "merc" and P.es != 0.0
+    if name in ("merc", "sinu", "cass") and P.es != 0.0:
+        return True
+    return name == "eqdc" and bool(P.opaque.get("ellips"))
 
 
 def _iter_inv_jvm_ok(op, direction: str) -> bool:
@@ -1159,6 +1162,49 @@ def _sql_phi1_stages(st, qs: str, Te: float, one_es: float,
     return col(f"{tag}phi")
 
 
+def _sql_invmlfn_stages(st, arg: str, es: float, en, tag: str) -> str:
+    """Staged-SQL twin of kernels/common.inv_mlfn (src/mlfn.hpp
+    inline_pj_inv_mlfn): Newton for the inverse meridional distance,
+    EPS 1e-11, 10 frozen-lane updates.  Non-convergent lanes keep the
+    last estimate (the reference logs but returns it) — no NaN wrap.
+    NaN lanes keep iterating like the NumPy kernel (abs(NaN) >= EPS is
+    True under both Spark's ordering and numpy's, and the updates stay
+    NaN).  `arg` must be a column ref."""
+    L = _sql_dlit
+    col = st.col
+    k = 1.0 / (1.0 - es)
+    e0, e1, e2, e3, e4 = (float(v) for v in en)
+    st.stage(**{f"{tag}dn0": f"NOT (abs({arg}) < {_SQL_INF})"})
+    ph, done = arg, col(f"{tag}dn0")
+    for i in range(1, 11):
+        st.stage(**{f"{tag}sp{i}":
+                    f"CASE WHEN {done} THEN 0.0D ELSE sin({ph}) END",
+                    f"{tag}cp{i}":
+                    f"CASE WHEN {done} THEN 1.0D ELSE cos({ph}) END"})
+        sp, cp = col(f"{tag}sp{i}"), col(f"{tag}cp{i}")
+        st.stage(**{f"{tag}s2{i}": f"{sp} * {sp}",
+                    f"{tag}cs{i}": f"{cp} * {sp}"})
+        s2, cs = col(f"{tag}s2{i}"), col(f"{tag}cs{i}")
+        st.stage(**{f"{tag}t{i}": f"1.0D - {L(es)} * {s2}"})
+        tq = col(f"{tag}t{i}")
+        # dphi = (mlfn(p) - arg) * t*sqrt(t) * 1/(1-es); t >= 1-es > 0
+        # for active lanes so sqrt/div never hit the ANSI error paths
+        st.stage(**{f"{tag}dp{i}":
+                    f"CASE WHEN {done} THEN 0.0D ELSE "
+                    f"(({L(e0)} * {ph} - {cs} * ({L(e1)} + {s2} * "
+                    f"({L(e2)} + {s2} * ({L(e3)} + {s2} * {L(e4)})))) "
+                    f"- {arg}) * ({tq} * sqrt({tq})) * {L(k)} END"})
+        dp = col(f"{tag}dp{i}")
+        st.stage(**{f"{tag}ph{i}":
+                    f"CASE WHEN {done} THEN {ph} ELSE {ph} - {dp} END",
+                    f"{tag}dn{i}":
+                    f"NOT (abs({dp}) >= {L(1.0e-11)})"})
+        ph, done = col(f"{tag}ph{i}"), col(f"{tag}dn{i}")
+        if i % 4 == 0:
+            st.barrier()  # keep each codegen region JIT-compilable
+    return ph
+
+
 def _inv_entry_stages(st, P, x, y, z, t, z_supplied: bool):
     """Shared INVERSE entry: null/NaN error predicate + inv_prepare
     scaling (to_meter*v - offset) * 1/a (src/inv.cpp:42-76) —
@@ -1236,6 +1282,80 @@ def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
         st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
                        f"ELSE {col('k_la0')} END")
         lam = col("k_lam")
+    elif P.name == "eqdc":
+        # eqdc.cpp ellipsoidal inverse: conic geometry + inv_mlfn
+        # (the spherical branch is a closed-form r5 column twin)
+        n, c, rho0 = float(Q["n"]), float(Q["c"]), float(Q["rho0"])
+        st.stage(k_yy=f"{L(rho0)} - ({ym})")
+        yy = col("k_yy")
+        st.stage(k_rh=f"hypot({xm}, {yy})")
+        if n < 0.0:
+            st.stage(k_rho=f"-{col('k_rh')}", k_xs=f"-({xm})",
+                     k_ys=f"-{yy}")
+            rho, xs, ys = col("k_rho"), col("k_xs"), col("k_ys")
+        else:
+            rho, xs, ys = col("k_rh"), xm, yy
+        st.stage(k_nz=f"{rho} != 0.0D")
+        nz = col("k_nz")
+        st.stage(k_pa=f"{L(c)} - {rho}")
+        phi_i = _sql_invmlfn_stages(st, col("k_pa"), P.es, Q["en"],
+                                    "im_")
+        st.stage(k_ph=f"CASE WHEN {nz} THEN {phi_i} "
+                      f"ELSE {L(H if n > 0.0 else -H)} END")
+        phi = col("k_ph")
+        # (the eqdc kernel has no isnan(phi) lam masking — mirror it)
+        st.stage(k_lam=f"CASE WHEN {nz} THEN "
+                       f"{_sql_atan2_ieee(xs, ys)} / {L(n)} "
+                       f"ELSE 0.0D END")
+        lam = col("k_lam")
+    elif P.name == "sinu":
+        # gn_sinu.cpp:38-54 ellipsoidal inverse
+        phi_i = _sql_invmlfn_stages(st, ym, P.es, Q["en"], "im_")
+        st.stage(k_sa=f"abs({phi_i})")
+        sa = col("k_sa")
+        st.stage(k_int=f"{sa} < {L(H)}",
+                 k_pol=f"({sa} - {L(1e-10)}) < {L(H)}")
+        inter, pol = col("k_int"), col("k_pol")
+        st.stage(k_sp=f"sin({phi_i})")
+        sp = col("k_sp")
+        st.stage(k_lam=f"CASE WHEN {inter} THEN ({xm}) * "
+                       f"sqrt(1.0D - {L(P.es)} * {sp} * {sp}) / "
+                       f"cos({phi_i}) WHEN {pol} THEN 0.0D "
+                       f"ELSE {_SQL_NAN} END",
+                 k_ph=f"CASE WHEN {inter} OR {pol} THEN {phi_i} "
+                      f"ELSE {_SQL_NAN} END")
+        lam, phi = col("k_lam"), col("k_ph")
+    elif P.name == "cass":
+        # cass.cpp ellipsoidal inverse: inv_mlfn + closed series;
+        # en/m0 recomputed at plan time like the forward twin
+        C3_, C4_, C5_ = (0.04166666666666666666,
+                         0.33333333333333333333,
+                         0.06666666666666666666)
+        en = C.enfn(P.es)
+        m0 = float(C.mlfn(np.float64(P.phi0),
+                          np.float64(math.sin(P.phi0)),
+                          np.float64(math.cos(P.phi0)), en))
+        st.stage(k_my=f"{L(m0)} + ({ym})")
+        ph1 = _sql_invmlfn_stages(st, col("k_my"), P.es, en, "im_")
+        st.stage(k_tn=f"tan({ph1})", k_sn=f"sin({ph1})")
+        tn, sn = col("k_tn"), col("k_sn")
+        st.stage(k_tt=f"{tn} * {tn}",
+                 k_r1=f"1.0D / (1.0D - {L(P.es)} * {sn} * {sn})")
+        tt, r1 = col("k_tt"), col("k_r1")
+        st.stage(k_nq=f"sqrt({r1})")
+        nq = col("k_nq")
+        st.stage(k_r2=f"{r1} * {L(1.0 - P.es)} * {nq}",
+                 k_dd=f"({xm}) / {nq}")
+        r2, ddc = col("k_r2"), col("k_dd")
+        st.stage(k_d2=f"{ddc} * {ddc}")
+        d2 = col("k_d2")
+        st.stage(k_ph=f"{ph1} - ({nq} * {tn} / {r2}) * {d2} * "
+                      f"(0.5D - (1.0D + 3.0D * {tt}) * {d2} * "
+                      f"{L(C3_)})",
+                 k_lam=f"{ddc} * (1.0D + {tt} * {d2} * "
+                       f"(-{L(C4_)} + (1.0D + 3.0D * {tt}) * {d2} * "
+                       f"{L(C5_)})) / cos({ph1})")
+        phi, lam = col("k_ph"), col("k_lam")
     else:  # aea / leac
         n, c = float(Q["n"]), float(Q["c"])
         dd, rho0 = float(Q["dd"]), float(Q["rho0"])
@@ -2130,9 +2250,10 @@ def transform(
     - closed-form INVERSES of webmerc/merc(sphere)/eqc/cea/laea and
       spherical stere/ups/sinu/eqdc/cass/ortho/gnom;
     - ITERATIVE inverses of lcc/aea/leac (sphere + ellipsoid) and
-      ellipsoidal merc: the bounded phi2/phi1 iterations
-      (src/phi2.cpp, src/projections/aea.cpp:48-70) unroll to staged
-      SQL with per-lane convergence freezing (new in r7);
+      ellipsoidal merc/eqdc/sinu/cass: the bounded phi2/phi1/inv_mlfn
+      iterations (src/phi2.cpp, src/projections/aea.cpp:48-70,
+      src/mlfn.hpp) unroll to staged SQL with per-lane convergence
+      freezing (new in r7);
     - cart/helmert datum PIPELINES (the towgs84 expansion shape, incl.
       hub-composed catalog candidates);
     - datum-MODIFIED single ops (+towgs84/+datum emulation hooks over
@@ -2146,7 +2267,7 @@ def transform(
     spelling).  ``False`` always uses the Arrow-UDF kernels.
     Grid-backed datums (+nadgrids/+geoidgrids), +axis, +over, +geoc,
     geocentric CRS and the remaining iterative ellipsoidal inverses
-    (etmerc/stere/sterea/...) always use the UDF path.
+    (etmerc/stere/sterea/omerc/...) always use the UDF path.
 
     Returns ``df`` with four new columns ``{out_prefix}{x,y,z,t}``.
     """

@@ -1209,13 +1209,13 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # iterative ellipsoidal inverses keep the UDF path
-    for ps in ("+proj=stere +ellps=WGS84 +lat_0=90",
-               "+proj=sinu +ellps=WGS84",
-               "+proj=eqdc +ellps=GRS80 +lat_1=20 +lat_2=60"):
-        p = transform(df, ps, x="px", y="py", direction="inv")
-        assert "EvalPython" in \
-            p._jdf.queryExecution().executedPlan().toString(), ps
+    # ellipsoidal stere inverse (2-var Newton) keeps the UDF path;
+    # sinu/eqdc ellipsoidal inverses moved to the r7 inv_mlfn twins
+    # (test_iter_inverse_jvm_fast_path_parity)
+    p = transform(df, "+proj=stere +ellps=WGS84 +lat_0=90",
+                  x="px", y="py", direction="inv")
+    assert "EvalPython" in \
+        p._jdf.queryExecution().executedPlan().toString()
 
 
 def test_iter_inverse_jvm_fast_path_parity(spark):
@@ -1250,6 +1250,12 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         "+proj=leac +lat_1=45 +ellps=WGS84",
         # ellipsoidal merc (spherical merc is a closed-form r5 twin)
         "+proj=merc +lat_ts=30 +ellps=WGS84",
+        # inv_mlfn families (ellipsoidal; spherical are column twins)
+        "+proj=eqdc +ellps=GRS80 +lat_1=20 +lat_2=60 +lat_0=40 "
+        "+lon_0=-96",
+        "+proj=eqdc +ellps=WGS84 +lat_1=-20 +lat_2=-60",   # n < 0
+        "+proj=sinu +ellps=WGS84 +lon_0=20",
+        "+proj=cass +ellps=GRS80 +lat_0=5 +lon_0=10 +x_0=100000",
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
@@ -1460,9 +1466,9 @@ def test_eqearth_cass_ortho_gnom_jvm_fast_path_parity(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # iterative ellipsoidal inverses refuse
-    for ps in ("+proj=cass +ellps=GRS80",
-               "+proj=ortho +ellps=WGS84 +lat_0=40",
+    # iterative ellipsoidal inverses refuse (cass-e moved to the r7
+    # inv_mlfn twin, test_iter_inverse_jvm_fast_path_parity)
+    for ps in ("+proj=ortho +ellps=WGS84 +lat_0=40",
                "+proj=gnom +ellps=WGS84"):
         g = transform(df2, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \

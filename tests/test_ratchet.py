@@ -149,3 +149,9 @@ def test_r7_iterative_inverse_twins_stay_wired():
         "+towgs84=-10,158,187"), "inv")
     assert _datum_modified_jvm_ok(create_operation(
         "+proj=merc +ellps=GRS80 +towgs84=1,2,3"), "inv")
+
+    # r7 late roster: inv_mlfn twins (ellipsoidal eqdc/sinu/cass)
+    for ps in ("+proj=eqdc +ellps=GRS80 +lat_1=20 +lat_2=60",
+               "+proj=sinu +ellps=WGS84",
+               "+proj=cass +ellps=GRS80"):
+        assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
