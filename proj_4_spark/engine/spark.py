@@ -1029,11 +1029,16 @@ def _iter_inv_sql_ok(P) -> bool:
     """Families served by the staged iterative-inverse twin (the
     closed-form ones live in _inv_jvm_columns): phi2 for lcc/merc,
     phi1 for aea/leac, inv_mlfn for ellipsoidal eqdc/sinu/cass."""
+    from proj_4_spark.kernels.tmerc import exact_e_inv
+
     name = getattr(P, "name", None)
     if name in ("lcc", "aea", "leac"):
         return True
     if name in ("merc", "sinu", "cass") and P.es != 0.0:
         return True
+    if getattr(P, "inv", None) is exact_e_inv:
+        return True  # Poder-Engsager etmerc/tmerc/utm (non-iterative
+        # fixed Clenshaw recurrences, tmerc.cpp:419-489)
     return name == "eqdc" and bool(P.opaque.get("ellips"))
 
 
@@ -1240,11 +1245,80 @@ def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
     (aea.cpp:121-160) and ellipsoidal merc (merc.cpp:46-54), plus the
     inv_finalize lam0+wrap (src/inv.cpp:117-124).  Returns radian
     (lam, phi) column names.  xm/ym must be column refs."""
+    from proj_4_spark.kernels.tmerc import exact_e_inv
+
     L = _sql_dlit
     col = st.col
     Q = P.opaque
     H = math.pi / 2.0
-    if P.name == "merc":
+    if getattr(P, "inv", None) is exact_e_inv:
+        # Poder-Engsager etmerc/utm INVERSE (tmerc.cpp:419-489): the
+        # mirror of the r7 forward twin — complex Clenshaw over utg,
+        # spherical de-projection, real Clenshaw (gatg) over cgb.
+        # Non-iterative; staged like _etmerc_jvm_apply.
+        QE = Q["exact"]
+        utg, cgb = QE["utg"], QE["cgb"]
+        Qn, Zb = float(QE["Qn"]), float(QE["Zb"])
+        st.stage(k_cn0=f"(({ym}) - {L(Zb)}) / {L(Qn)}",
+                 k_ce0=f"({xm}) / {L(Qn)}")
+        cn0, ce0 = col("k_cn0"), col("k_ce0")
+        st.stage(k_ok=f"abs({ce0}) <= {L(_CE_LIMIT_JVM)}")
+        ok = col("k_ok")
+        st.stage(k_sar=f"sin(2.0D * {cn0})",
+                 k_car=f"cos(2.0D * {cn0})",
+                 k_e2c=f"exp(2.0D * (CASE WHEN {ok} THEN {ce0} "
+                       f"ELSE 0.0D END))")
+        sar, car, e2c = col("k_sar"), col("k_car"), col("k_e2c")
+        st.stage(k_shi=f"0.5D * {e2c} - 0.5D / {e2c}",
+                 k_chi=f"0.5D * {e2c} + 0.5D / {e2c}")
+        shi, chi = col("k_shi"), col("k_chi")
+        # clenS(utg): complex Clenshaw (tmerc.cpp:283-311)
+        st.stage(k_r=f"2.0D * {car} * {chi}",
+                 k_i=f"-2.0D * {sar} * {shi}")
+        r, i = col("k_r"), col("k_i")
+        hr, hi = L(float(utg[-1])), "0.0D"
+        hr1 = hi1 = "0.0D"
+        for k in range(len(utg) - 2, -1, -1):
+            st.stage(
+                **{f"k_hr{k}": f"-({hr1}) + {r} * ({hr}) "
+                               f"- {i} * ({hi}) + {L(float(utg[k]))}",
+                   f"k_hi{k}": f"-({hi1}) + {i} * ({hr}) "
+                               f"+ {r} * ({hi})"})
+            hr1, hi1 = hr, hi
+            hr, hi = col(f"k_hr{k}"), col(f"k_hi{k}")
+        st.stage(k_rr=f"{sar} * {chi}", k_ii=f"{car} * {shi}")
+        rr, ii = col("k_rr"), col("k_ii")
+        st.stage(k_cn1=f"{cn0} + {rr} * ({hr}) - {ii} * ({hi})",
+                 k_ce1=f"{ce0} + {rr} * ({hi}) + {ii} * ({hr})")
+        cn1, ce1 = col("k_cn1"), col("k_ce1")
+        st.barrier()  # keep each codegen region JIT-compilable
+        # spherical de-projection (tmerc.cpp:452-470)
+        st.stage(k_scn=f"sin({cn1})", k_ccn=f"cos({cn1})",
+                 k_she=f"sinh({ce1})")
+        scn, ccn, she = col("k_scn"), col("k_ccn"), col("k_she")
+        st.stage(k_ce2=_sql_atan2_ieee(she, ccn),
+                 k_mod=f"hypot({she}, {ccn})")
+        ce2, mod = col("k_ce2"), col("k_mod")
+        st.stage(k_cn2=_sql_atan2_ieee(scn, mod),
+                 k_tmp=f"2.0D * {mod} / ({she} * {she} + 1.0D)")
+        cn2, tmp = col("k_cn2"), col("k_tmp")
+        st.stage(k_s2c=f"{scn} * {tmp}",
+                 k_c2c=f"{tmp} * {mod} - 1.0D")
+        s2c, c2c = col("k_s2c"), col("k_c2c")
+        # gatg(cgb): real Clenshaw (tmerc.cpp:267-279)
+        st.stage(k_two=f"2.0D * {c2c}")
+        two = col("k_two")
+        h1, h2 = L(float(cgb[-1])), "0.0D"
+        for k in range(len(cgb) - 2, -1, -1):
+            st.stage(**{f"k_g{k}": f"-({h2}) + {two} * ({h1}) "
+                                   f"+ {L(float(cgb[k]))}"})
+            h2, h1 = h1, col(f"k_g{k}")
+        st.stage(k_ph=f"CASE WHEN {ok} THEN {cn2} + {col('k_g0')} * "
+                      f"{s2c} ELSE {_SQL_NAN} END",
+                 k_lam=f"CASE WHEN {ok} THEN {ce2} "
+                       f"ELSE {_SQL_NAN} END")
+        phi, lam = col("k_ph"), col("k_lam")
+    elif P.name == "merc":
         st.stage(k_ts0=f"exp(-({ym}) / {L(P.k0)})")
         phi = _sql_phi2_stages(st, col("k_ts0"), P.e, "p2_")
         st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "

@@ -670,9 +670,11 @@ def test_etmerc_jvm_fast_path_parity(spark):
         p = transform(df, ps, x="lon", y="lat", jvm_fast_path="all")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
+    # the Poder-Engsager INVERSE is a staged twin since late r7
+    # (parity pinned in test_iter_inverse_jvm_fast_path_parity)
     inv = transform(df, "+proj=utm +zone=32 +ellps=GRS80", x="lon",
                     y="lat", direction="inv", jvm_fast_path="all")
-    assert "EvalPython" in \
+    assert "EvalPython" not in \
         inv._jdf.queryExecution().executedPlan().toString()
 
 
@@ -1256,6 +1258,11 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         "+proj=eqdc +ellps=WGS84 +lat_1=-20 +lat_2=-60",   # n < 0
         "+proj=sinu +ellps=WGS84 +lon_0=20",
         "+proj=cass +ellps=GRS80 +lat_0=5 +lon_0=10 +x_0=100000",
+        # Poder-Engsager inverse (non-iterative Clenshaw; late r7)
+        "+proj=utm +zone=32 +ellps=GRS80",
+        "+proj=utm +zone=33 +south +ellps=WGS84",
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy",            # OSGB36
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
