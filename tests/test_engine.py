@@ -1211,13 +1211,14 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # ellipsoidal stere inverse (2-var Newton) keeps the UDF path;
-    # sinu/eqdc ellipsoidal inverses moved to the r7 inv_mlfn twins
+    # eqearth/omerc ellipsoidal inverses (Newton / oblique chain) keep
+    # the UDF path; stere-e/sinu-e/eqdc-e moved to the r7 staged twins
     # (test_iter_inverse_jvm_fast_path_parity)
-    p = transform(df, "+proj=stere +ellps=WGS84 +lat_0=90",
-                  x="px", y="py", direction="inv")
-    assert "EvalPython" in \
-        p._jdf.queryExecution().executedPlan().toString()
+    for ps in ("+proj=eqearth +ellps=WGS84",
+               "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=evrst69"):
+        p = transform(df, ps, x="px", y="py", direction="inv")
+        assert "EvalPython" in \
+            p._jdf.queryExecution().executedPlan().toString(), ps
 
 
 def test_iter_inverse_jvm_fast_path_parity(spark):
@@ -1263,6 +1264,14 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         "+proj=utm +zone=33 +south +ellps=WGS84",
         "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
         "+x_0=400000 +y_0=-100000 +ellps=airy",            # OSGB36
+        # ellipsoidal stere/ups (8-iter conformal-lat), all aspect
+        # modes (late r7; sterea's 20-iter Gauss inversion measured
+        # out — see _iter_inv_sql_ok)
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +ellps=WGS84",
+        "+proj=ups +ellps=WGS84",
+        "+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel",    # obliq
+        "+proj=stere +lat_0=0 +lon_0=170 +ellps=WGS84",    # equit
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
@@ -1387,7 +1396,7 @@ def test_datum_modified_jvm_fast_path_parity(spark):
     guards = [
         ("+proj=webmerc +datum=NAD27", "fwd"),          # nadgrids
         ("+proj=merc +towgs84=1,2,3 +axis=wsu", "fwd"),
-        ("+proj=stere +ellps=WGS84 +lat_0=90 +towgs84=1,2,3",
+        ("+proj=eqearth +ellps=WGS84 +towgs84=1,2,3",
          "inv"),                                 # still-iterative fam
         ("+proj=longlat +ellps=bessel +towgs84=1,2,3 +geoidgrids="
          "@egm96_15.gtx", "fwd"),

@@ -136,12 +136,20 @@ def test_r7_iterative_inverse_twins_stay_wired():
     ):
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
     for ps in ("+proj=merc +R=6371000",          # closed-form r5 twin
-               "+proj=stere +ellps=WGS84 +lat_0=90"):
+               "+proj=eqearth +ellps=WGS84",     # Newton, still UDF
+               "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 "
+               "+ellps=evrst69",
+               # sterea measured out (0.64x the UDF path; see
+               # _iter_inv_sql_ok)
+               "+proj=sterea +lat_0=52.2 +lon_0=5.4 +k=0.9999079 "
+               "+x_0=155000 +y_0=463000 +ellps=bessel"):
         assert not _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
-    # late r7: the Poder-Engsager INVERSE joins (utm roundtrips are
-    # Python-free end to end)
-    assert _iter_inv_jvm_ok(
-        create_operation("+proj=utm +zone=32 +ellps=GRS80"), "inv")
+    # late r7: Poder-Engsager (utm roundtrips Python-free end to end)
+    # and ellipsoidal stere/ups join too
+    for ps in ("+proj=utm +zone=32 +ellps=GRS80",
+               "+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=70",
+               "+proj=ups +ellps=WGS84"):
+        assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
 
     # the COMPOSED datum-modified inverse accepts the iterative
     # families too (+towgs84 conic zone inverses run Python-free)
