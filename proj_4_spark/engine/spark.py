@@ -48,7 +48,7 @@ def _cached_operation(projstring: str):
 _FWD_TWIN_NAMES = ("webmerc", "merc", "eqc", "cea", "lcc", "aea",
                    "leac", "stere", "ups", "laea", "sterea", "somerc",
                    "krovak", "sinu", "eqdc", "eqearth", "cass",
-                   "ortho", "gnom")
+                   "ortho", "gnom", "geos")
 
 
 def _inv_twin_name_ok(P) -> bool:
@@ -66,7 +66,7 @@ def _inv_twin_name_ok(P) -> bool:
         return False
     return name in ("webmerc", "merc", "eqc", "cea", "laea",
                     "stere", "ups", "sinu", "eqdc", "cass", "ortho",
-                    "gnom")
+                    "gnom", "geos")
 
 
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
@@ -263,6 +263,47 @@ def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
                            * (C1_ - (8.0 - tt + 8.0 * cc) * a2 * C2_))
             yk = yml - (F.lit(m0) - n * tn * a2
                         * (0.5 + (5.0 - tt + 6.0 * cc) * a2 * C3_))
+        xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
+        ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
+        xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
+        yout = F.when(err, nan).otherwise(F.coalesce(ye, nan))
+        return xout, yout
+    if P.name == "geos":
+        # geos.cpp forward (geostationary satellite view): closed form;
+        # the kernel's closure constants are recomputed here at plan
+        # time from the op's own params (kernels/misc6.py setup_geos)
+        h = P.param_f("h")
+        flip = P.params.get("sweep") == "x"
+        rg1 = h / P.a
+        rg = 1.0 + rg1
+        ell = P.es != 0.0
+        if ell:
+            rp = math.sqrt(P.one_es)
+            rp2, rp_inv2 = P.one_es, P.rone_es
+            phig = F.atan(F.lit(rp2) * F.tan(phic))
+            r = F.lit(rp) / F.hypot(F.lit(rp) * F.cos(phig),
+                                    F.sin(phig))
+        else:
+            rp_inv2 = 1.0
+            phig = phic
+            r = F.lit(1.0)
+        Vx = r * F.cos(lamw) * F.cos(phig)
+        Vy = r * F.sin(lamw) * F.cos(phig)
+        Vz = r * F.sin(phig)
+        tmp = F.lit(rg) - Vx
+        if flip:
+            xk = F.lit(rg1) * F.atan(Vy / F.hypot(Vz, tmp))
+            yk = F.lit(rg1) * F.atan(Vz / tmp)
+        else:
+            xk = F.lit(rg1) * F.atan(Vy / tmp)
+            yk = F.lit(rg1) * F.atan(Vz / F.hypot(Vy, tmp))
+        if ell:
+            # visibility check (the sphere path skips it, like the
+            # kernel)
+            bad = ((F.lit(rg) - Vx) * Vx - Vy * Vy
+                   - Vz * Vz * F.lit(rp_inv2)) < 0.0
+            xk = F.when(bad, nan).otherwise(xk)
+            yk = F.when(bad, nan).otherwise(yk)
         xe = F.lit(P.fr_meter) * (xk * P.a + F.lit(P.x0))
         ye = F.lit(P.fr_meter) * (yk * P.a + F.lit(P.y0))
         xout = F.when(err, nan).otherwise(F.coalesce(xe, nan))
@@ -979,6 +1020,46 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
         lam = atan2_ieee(xx, yy)
         phi = F.when(center, F.lit(P.phi0)).otherwise(phi)
         lam = F.when(center, F.lit(0.0)).otherwise(lam)
+    elif P.name == "geos":
+        # geos.cpp inverse (closed-form ray/ellipsoid intersection);
+        # closure constants recomputed at plan time like the forward
+        h = P.param_f("h")
+        flip = P.params.get("sweep") == "x"
+        rg1 = h / P.a
+        rg = 1.0 + rg1
+        Cq = rg * rg - 1.0
+        ell = P.es != 0.0
+        rp = math.sqrt(P.one_es) if ell else 1.0
+        rp_inv2 = P.rone_es if ell else 1.0
+        if flip:
+            Vz = F.tan(ym / rg1)
+            Vy = F.tan(xm / rg1) * (F.hypot(F.lit(1.0), Vz) if ell
+                                    else F.sqrt(1.0 + Vz * Vz))
+        else:
+            Vy = F.tan(xm / rg1)
+            Vz = F.tan(ym / rg1) * (F.hypot(F.lit(1.0), Vy) if ell
+                                    else F.sqrt(1.0 + Vy * Vy))
+        if ell:
+            azp = Vz / rp
+            aa = Vy * Vy + azp * azp + 1.0
+        else:
+            aa = Vy * Vy + Vz * Vz + 1.0
+        bb = 2.0 * rg * -1.0  # Vx = -1 (geos.cpp)
+        det = F.lit(bb * bb) - 4.0 * aa * Cq
+        bad = det < 0.0
+        kq = (F.lit(-bb) - F.sqrt(F.greatest(det, F.lit(0.0)))) \
+            / (2.0 * aa)
+        Vx2 = F.lit(rg) + kq * F.lit(-1.0)
+        Vy2 = Vy * kq
+        Vz2 = Vz * kq
+        lam = atan2_ieee(Vy2, Vx2)
+        # Vx2 > 0 for every det>=0 lane (k <= rg/aa < rg), so the
+        # division cannot hit the ANSI divide-by-zero path
+        phi = F.atan(Vz2 * F.cos(lam) / Vx2)
+        if ell:
+            phi = F.atan(F.lit(rp_inv2) * F.tan(phi))
+        lam = F.when(bad, nan).otherwise(lam)
+        phi = F.when(bad, nan).otherwise(phi)
     elif P.name == "eqdc":
         # eqdc.cpp inverse, spherical branch (phi = c - rho)
         n, c, rho0 = float(Qo["n"]), float(Qo["c"]), float(Qo["rho0"])
@@ -1038,6 +1119,8 @@ def _iter_inv_sql_ok(P) -> bool:
         return True
     if name in ("stere", "ups") and P.es != 0.0:
         return True  # 8-iteration conformal-lat inversion
+    if name == "eqearth":
+        return True  # 12-iteration Newton (both ellipsoid classes)
     # sterea measured OUT: its 20-iteration Gauss inversion unrolls to
     # a twin that runs 0.64x the Arrow-UDF path (4.0 vs 6.2 M pts/s at
     # 16 M pts, local[8] pinned — the per-iteration frozen-lane branch
@@ -1395,6 +1478,72 @@ def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
         st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
                        f"ELSE {col('k_la0')} END")
         lam = col("k_lam")
+    elif P.name == "eqearth":
+        # eqearth.cpp:77-131 inverse: 12-iteration Newton on the
+        # parametric latitude, then the closed de-projection (+ the
+        # authalic-latitude series for the ellipsoid class)
+        from proj_4_spark.kernels.pseudocyl import (
+            _A1, _A2, _A3, _A4, _M, _MAX_Y)
+
+        rqda = float(Q["rqda"])
+        st.stage(k_x1=f"({xm}) / {L(rqda)}",
+                 k_yt=f"least(greatest(({ym}) / {L(rqda)}, "
+                      f"{L(-_MAX_Y)}), {L(_MAX_Y)})")
+        x1, yt = col("k_x1"), col("k_yt")
+        cur, done = yt, "false"
+        for k in range(1, 13):
+            st.stage(**{f"n_y2{k}":
+                        f"CASE WHEN {done} THEN 0.0D "
+                        f"ELSE {cur} * {cur} END"})
+            y2 = col(f"n_y2{k}")
+            st.stage(**{f"n_y6{k}": f"{y2} * {y2} * {y2}"})
+            y6 = col(f"n_y6{k}")
+            st.stage(**{f"n_f{k}":
+                        f"CASE WHEN {done} THEN 0.0D ELSE "
+                        f"{cur} * ({L(_A1)} + {L(_A2)} * {y2} + {y6} *"
+                        f" ({L(_A3)} + {L(_A4)} * {y2})) - {yt} END",
+                        f"n_fd{k}":
+                        f"{L(_A1)} + {L(3 * _A2)} * {y2} + {y6} * "
+                        f"({L(7 * _A3)} + {L(9 * _A4)} * {y2})"})
+            fn, fd = col(f"n_f{k}"), col(f"n_fd{k}")
+            # numpy's f/0 gives a silent ±inf; ANSI Spark would error,
+            # so the exact-zero denominator is routed through f * inf
+            st.stage(**{f"n_tl{k}":
+                        f"CASE WHEN {done} THEN 0.0D "
+                        f"WHEN {fd} = 0.0D THEN {fn} * {_SQL_INF} "
+                        f"ELSE {fn} / {fd} END"})
+            tl = col(f"n_tl{k}")
+            st.stage(**{f"n_yc{k}":
+                        f"CASE WHEN {done} THEN {cur} "
+                        f"ELSE {cur} - {tl} END",
+                        f"n_dn{k}": f"abs({tl}) < {L(1.0e-11)}"})
+            cur, done = col(f"n_yc{k}"), col(f"n_dn{k}")
+            if k % 5 == 0:
+                st.barrier()
+        st.stage(k_fy2=f"{cur} * {cur}")
+        fy2 = col("k_fy2")
+        st.stage(k_fy6=f"{fy2} * {fy2} * {fy2}")
+        fy6 = col("k_fy6")
+        st.stage(k_la0=f"{L(_M)} * {x1} * ({L(_A1)} + {L(3 * _A2)} * "
+                       f"{fy2} + {fy6} * ({L(7 * _A3)} + {L(9 * _A4)}"
+                       f" * {fy2})) / cos({cur})",
+                 k_ph0=f"asin(least(greatest(sin({cur}) / {L(_M)}, "
+                       f"-1.0D), 1.0D))")
+        ph0 = col("k_ph0")
+        if P.es != 0.0:
+            apa = Q["apa"]
+            st.stage(k_t2=f"{ph0} + {ph0}")
+            t2 = col("k_t2")
+            st.stage(k_pha=f"{ph0} + {L(float(apa[0]))} * sin({t2}) "
+                           f"+ {L(float(apa[1]))} * sin({t2} + {t2}) "
+                           f"+ {L(float(apa[2]))} * "
+                           f"sin({t2} + {t2} + {t2})")
+            ph0 = col("k_pha")
+        st.stage(k_ph=f"CASE WHEN {done} THEN {ph0} "
+                      f"ELSE {_SQL_NAN} END",
+                 k_lam=f"CASE WHEN {done} THEN {col('k_la0')} "
+                       f"ELSE {_SQL_NAN} END")
+        phi, lam = col("k_ph"), col("k_lam")
     elif P.name == "sterea":
         # sterea.cpp:70-88: oblique-stereographic de-projection on the
         # Gauss sphere, then the 20-iteration gauss.cpp:96-113

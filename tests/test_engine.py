@@ -1211,10 +1211,10 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # eqearth/omerc ellipsoidal inverses (Newton / oblique chain) keep
-    # the UDF path; stere-e/sinu-e/eqdc-e moved to the r7 staged twins
+    # moll/omerc inverses keep the UDF path; stere-e/sinu-e/eqdc-e/
+    # eqearth moved to the r7 staged twins
     # (test_iter_inverse_jvm_fast_path_parity)
-    for ps in ("+proj=eqearth +ellps=WGS84",
+    for ps in ("+proj=moll +R=6371000",
                "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=evrst69"):
         p = transform(df, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
@@ -1272,6 +1272,9 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         "+proj=ups +ellps=WGS84",
         "+proj=stere +lat_0=52 +lon_0=5 +ellps=bessel",    # obliq
         "+proj=stere +lat_0=0 +lon_0=170 +ellps=WGS84",    # equit
+        # eqearth 12-iteration Newton inverse (late r7)
+        "+proj=eqearth +ellps=WGS84",
+        "+proj=eqearth +R=6371000 +lon_0=150",
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
@@ -1310,6 +1313,55 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         rp = rt.toPandas()
         assert np.allclose(rp["r_x"], rp["lon"], atol=1e-9), ps
         assert np.allclose(rp["r_y"], rp["lat"], atol=1e-9), ps
+
+
+def test_geos_jvm_fast_path_parity(spark):
+    """late-r7 geos (geostationary satellite view) twins: BOTH
+    directions closed-form, sphere + ellipsoid, sweep x/y, plan with
+    zero Python workers and match the UDF path (exact NaN pattern
+    incl. the ellipsoidal visibility check and the det<0 horizon)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -100.0, -75.0, 0.0, 45.0, 100.0, 200.0,
+            None, float("nan")]
+    lats = [-90.1, -90.0, -60.0, -30.0, 0.0, 30.0, 60.0, 81.0, 90.0,
+            None]
+    fdf = spark.createDataFrame(pd.DataFrame(
+        {"lon": lons * len(lats), "lat": np.repeat(lats, len(lons))}))
+    xs = [-5.5e6, -3e6, -1e6, 0.0, 1e6, 3e6, 5.5e6, 6e6, None,
+          float("nan")]
+    ys = [-6e6, -5.5e6, -2e6, 0.0, 2e6, 5.5e6, 6e6, None]
+    idf = spark.createDataFrame(pd.DataFrame(
+        {"px": xs * len(ys), "py": np.repeat(ys, len(xs))}))
+    for ps in ("+proj=geos +h=35785831.0 +lon_0=-75 +sweep=x "
+               "+ellps=GRS80",                        # GOES-East style
+               "+proj=geos +h=35785831.0 +lon_0=0 +ellps=WGS84",
+               "+proj=geos +h=35785831.0 +R=6371000"):
+        for direc, df, cols in (("fwd", fdf, ("lon", "lat")),
+                                ("inv", idf, ("px", "py"))):
+            fast = transform(df, ps, x=cols[0], y=cols[1],
+                             direction=direc, out_prefix="f_")
+            assert "EvalPython" not in \
+                fast._jdf.queryExecution().executedPlan().toString(), (
+                    ps, direc)
+            slow = transform(df, ps, x=cols[0], y=cols[1],
+                             direction=direc, out_prefix="s_",
+                             jvm_fast_path=False)
+            fp = fast.toPandas()
+            sp = slow.toPandas()
+            for c in ("x", "y"):
+                a = fp[f"f_{c}"].to_numpy(dtype=np.float64,
+                                          na_value=np.nan)
+                b = sp[f"s_{c}"].to_numpy(dtype=np.float64,
+                                          na_value=np.nan)
+                assert (np.isnan(a) == np.isnan(b)).all(), (ps, direc,
+                                                            c)
+                m = ~np.isnan(a)
+                assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                    ps, direc, c, np.abs(a[m] - b[m]).max())
 
 
 def test_datum_modified_jvm_fast_path_parity(spark):
@@ -1396,8 +1448,8 @@ def test_datum_modified_jvm_fast_path_parity(spark):
     guards = [
         ("+proj=webmerc +datum=NAD27", "fwd"),          # nadgrids
         ("+proj=merc +towgs84=1,2,3 +axis=wsu", "fwd"),
-        ("+proj=eqearth +ellps=WGS84 +towgs84=1,2,3",
-         "inv"),                                 # still-iterative fam
+        ("+proj=moll +R=6371000 +towgs84=1,2,3",
+         "inv"),                                 # off-roster family
         ("+proj=longlat +ellps=bessel +towgs84=1,2,3 +geoidgrids="
          "@egm96_15.gtx", "fwd"),
     ]

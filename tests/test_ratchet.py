@@ -136,7 +136,7 @@ def test_r7_iterative_inverse_twins_stay_wired():
     ):
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
     for ps in ("+proj=merc +R=6371000",          # closed-form r5 twin
-               "+proj=eqearth +ellps=WGS84",     # Newton, still UDF
+               "+proj=moll +R=6371000",          # off-roster family
                "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 "
                "+ellps=evrst69",
                # sterea measured out (0.64x the UDF path; see
@@ -144,12 +144,22 @@ def test_r7_iterative_inverse_twins_stay_wired():
                "+proj=sterea +lat_0=52.2 +lon_0=5.4 +k=0.9999079 "
                "+x_0=155000 +y_0=463000 +ellps=bessel"):
         assert not _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
-    # late r7: Poder-Engsager (utm roundtrips Python-free end to end)
-    # and ellipsoidal stere/ups join too
+    # late r7: Poder-Engsager (utm roundtrips Python-free end to end),
+    # ellipsoidal stere/ups and the eqearth Newton inverse join too
     for ps in ("+proj=utm +zone=32 +ellps=GRS80",
                "+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=70",
-               "+proj=ups +ellps=WGS84"):
+               "+proj=ups +ellps=WGS84",
+               "+proj=eqearth +ellps=WGS84"):
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
+    # geos joined the closed-form column twins, both directions
+    from proj_4_spark.engine.spark import (
+        _inv_jvm_fast_path_ok,
+        _webmerc_jvm_fast_path_ok as _fwd_ok,
+    )
+
+    geos = create_operation("+proj=geos +h=35785831.0 +ellps=GRS80")
+    assert _fwd_ok(geos, "fwd")
+    assert _inv_jvm_fast_path_ok(geos, "inv")
 
     # the COMPOSED datum-modified inverse accepts the iterative
     # families too (+towgs84 conic zone inverses run Python-free)
