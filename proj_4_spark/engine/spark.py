@@ -1121,6 +1121,8 @@ def _iter_inv_sql_ok(P) -> bool:
         return True  # 8-iteration conformal-lat inversion
     if name == "eqearth":
         return True  # 12-iteration Newton (both ellipsoid classes)
+    if name == "omerc":
+        return True  # closed prep + the phi2 iteration
     # sterea measured OUT: its 20-iteration Gauss inversion unrolls to
     # a twin that runs 0.64x the Arrow-UDF path (4.0 vs 6.2 M pts/s at
     # 16 M pts, local[8] pinned — the per-iteration frozen-lane branch
@@ -1478,6 +1480,59 @@ def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
         st.stage(k_lam=f"CASE WHEN isnan({phi}) THEN {_SQL_NAN} "
                        f"ELSE {col('k_la0')} END")
         lam = col("k_lam")
+    elif P.name == "omerc":
+        # omerc.cpp inverse (Hotine oblique Mercator): de-rotation,
+        # hyperbolic de-projection, then phi2; closure scalars come
+        # from the setup's opaque export (kernels/misc5.py)
+        EPS_O = 1.0e-10
+        sg, cg = float(Q["singam"]), float(Q["cosgam"])
+        if Q["no_rot"]:
+            vq, uq = ym, xm
+        else:
+            sr, cr = float(Q["sinrot"]), float(Q["cosrot"])
+            st.stage(k_v=f"({xm}) * {L(cr)} - ({ym}) * {L(sr)}",
+                     k_u=f"({ym}) * {L(cr)} + ({xm}) * {L(sr)} "
+                         f"+ {L(float(Q['u_0']))}")
+            vq, uq = col("k_v"), col("k_u")
+        st.stage(k_qp=f"exp(-({L(float(Q['BrA']))}) * {vq})")
+        qp = col("k_qp")
+        st.stage(k_bad=f"{qp} = 0.0D")
+        badc = col("k_bad")
+        st.stage(k_qs=f"CASE WHEN {badc} THEN 1.0D ELSE {qp} END")
+        qs = col("k_qs")
+        st.stage(k_sp=f"0.5D * ({qs} - 1.0D / {qs})",
+                 k_tp=f"0.5D * ({qs} + 1.0D / {qs})",
+                 k_vp=f"sin({L(float(Q['BrA']))} * {uq})")
+        sp, tp, vp = col("k_sp"), col("k_tp"), col("k_vp")
+        st.stage(k_up=f"({vp} * {L(cg)} + {sp} * {L(sg)}) / {tp}")
+        up = col("k_up")
+        st.stage(k_ap=f"abs(abs({up}) - 1.0D) < {L(EPS_O)}")
+        ap = col("k_ap")
+        # at-pole lanes feed ts=1 into phi2 exactly like the kernel's
+        # np.where BEFORE the power; (1-Up)=0 only at-pole, so the
+        # guarded CASE also keeps ANSI division happy
+        st.stage(k_ts0=f"CASE WHEN {ap} THEN 1.0D ELSE "
+                       f"power({L(float(Q['E']))} / sqrt((1.0D + {up})"
+                       f" / (1.0D - {up})), {L(1.0 / float(Q['B']))}) "
+                       f"END")
+        phi_i = _sql_phi2_stages(st, col("k_ts0"), P.e, "p2_")
+        st.stage(k_ph0=f"CASE WHEN {ap} THEN (CASE WHEN {up} < 0.0D "
+                       f"THEN {L(-H)} ELSE {L(H)} END) "
+                       f"ELSE {phi_i} END")
+        ph0 = col("k_ph0")
+        st.stage(k_ax=f"{sp} * {L(cg)} - {vp} * {L(sg)}",
+                 k_ay=f"cos({L(float(Q['BrA']))} * {uq})")
+        st.stage(k_la0=f"CASE WHEN {ap} THEN 0.0D ELSE "
+                       f"-({L(float(Q['rB']))}) * "
+                       f"{_sql_atan2_ieee(col('k_ax'), col('k_ay'))} "
+                       f"END")
+        st.stage(k_la1=f"CASE WHEN isnan({ph0}) THEN {_SQL_NAN} "
+                       f"ELSE {col('k_la0')} END")
+        st.stage(k_ph=f"CASE WHEN {badc} THEN {_SQL_NAN} "
+                      f"ELSE {ph0} END",
+                 k_lam=f"CASE WHEN {badc} THEN {_SQL_NAN} "
+                       f"ELSE {col('k_la1')} END")
+        phi, lam = col("k_ph"), col("k_lam")
     elif P.name == "eqearth":
         # eqearth.cpp:77-131 inverse: 12-iteration Newton on the
         # parametric latitude, then the closed de-projection (+ the
@@ -1786,6 +1841,124 @@ def _iter_inv_apply(df, P, x, y, z, t, degrees: bool,
         f"ELSE coalesce({phi}, {_SQL_NAN}) END AS `{out_prefix}y`",
         f"{st.col('zz')} AS `{out_prefix}z`",
         f"{st.col('tt')} AS `{out_prefix}t`",
+    ]
+    return st.apply(df, outs)
+
+
+def _omerc_fwd_jvm_ok(op, direction: str) -> bool:
+    """True for a bare Hotine oblique Mercator FORWARD (omerc.cpp:
+    closed form — W/S/T hyperbolics + the U log) with no modifiers."""
+    P = getattr(op, "P", None)
+    if P is None or direction != "fwd":
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    if getattr(P, "name", None) != "omerc":
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+def _omerc_fwd_apply(df, P, x, y, z, t, degrees: bool,
+                     z_supplied: bool, out_prefix: str):
+    """Staged Catalyst twin of the omerc forward (kernels/misc5.py,
+    omerc.cpp fwd): interior lanes run the closed hyperbolic form, the
+    pole lanes take the setup's v_pole constants; divisions that numpy
+    evaluates under errstate (E/ts^B at the exact pole, the U log at
+    |U|=1) sit inside interior/bad CASE branches so ANSI Spark never
+    hits them.  Parity pinned in
+    tests/test_engine.py::test_omerc_jvm_fast_path_parity."""
+    Q = P.opaque
+    L = _sql_dlit
+    EPS_O, TOL_O = 1.0e-10, 1.0e-7
+    A, B, E = float(Q["A"]), float(Q["B"]), float(Q["E"])
+    ArB = float(Q["ArB"])
+    sg, cg = float(Q["singam"]), float(Q["cosgam"])
+    st = _SqlStager()
+    col = st.col
+    _entry_stages(st, x, y, z, t, degrees, z_supplied)
+    st.stage(lamw1=_sql_adjlon(col("lam")))
+    st.stage(lamd=f"({col('lamw1')} - {L(P.lam0)})")
+    st.stage(lamw=_sql_adjlon(col("lamd")),
+             phic=f"least(greatest({col('phi')}, "
+                  f"{L(-math.pi / 2.0)}), {L(math.pi / 2.0)})")
+    lamw, phic = col("lamw"), col("phic")
+    st.stage(k_int=f"abs(abs({phic}) - {L(math.pi / 2.0)}) "
+                   f"> {L(EPS_O)}")
+    inter = col("k_int")
+    st.stage(k_sph=f"sin({phic})")
+    sph = col("k_sph")
+    st.stage(k_es=f"{L(P.e)} * {sph}")
+    esn = col("k_es")
+    # tsfn (tsfn.cpp:6-17); 1+e*sin > 0 always
+    st.stage(k_ts=f"tan(0.5D * ({L(math.pi / 2.0)} - {phic})) / "
+                  f"power((1.0D - {esn}) / (1.0D + {esn}), "
+                  f"{L(0.5 * P.e)})")
+    ts = col("k_ts")
+    # W = E/ts^B: guarded to 1 off-interior (exact-pole ts is 0/inf,
+    # where numpy's errstate division would be an ANSI error here)
+    st.stage(k_w=f"CASE WHEN {inter} THEN "
+                 f"{L(E)} / power({ts}, {L(B)}) ELSE 1.0D END")
+    w = col("k_w")
+    st.stage(k_wi=f"1.0D / {w}")
+    wi = col("k_wi")
+    st.stage(k_s=f"0.5D * ({w} - {wi})", k_t=f"0.5D * ({w} + {wi})",
+             k_vv=f"sin({L(B)} * {lamw})",
+             k_tc=f"cos({L(B)} * {lamw})")
+    sc, tc = col("k_s"), col("k_t")
+    vv, tcos = col("k_vv"), col("k_tc")
+    st.stage(k_u0=f"({sc} * {L(sg)} - {vv} * {L(cg)}) / {tc}")
+    uu = col("k_u0")
+    st.stage(k_bad=f"{inter} AND abs(abs({uu}) - 1.0D) < {L(EPS_O)}")
+    badc = col("k_bad")
+    st.stage(k_a1=f"{sc} * {L(cg)} + {vv} * {L(sg)}")
+    a1 = col("k_a1")
+    st.stage(k_ve=f"CASE WHEN NOT {inter} THEN "
+                  f"(CASE WHEN {phic} > 0.0D THEN "
+                  f"{L(float(Q['v_pole_n']))} ELSE "
+                  f"{L(float(Q['v_pole_s']))} END) "
+                  f"WHEN {badc} THEN {_SQL_NAN} ELSE "
+                  f"0.5D * {L(ArB)} * ln((1.0D - {uu}) / "
+                  f"(1.0D + {uu})) END",
+             k_ue=f"CASE WHEN NOT {inter} THEN {L(ArB)} * {phic} "
+                  f"WHEN abs({tcos}) < {L(TOL_O)} THEN "
+                  f"{L(A)} * {lamw} ELSE {L(ArB)} * "
+                  f"{_sql_atan2_ieee(a1, tcos)} END")
+    ve, ue = col("k_ve"), col("k_ue")
+    if Q["no_rot"]:
+        xk, yk = ue, ve
+    else:
+        sr, cr = float(Q["sinrot"]), float(Q["cosrot"])
+        st.stage(k_u2=f"{ue} - {L(float(Q['u_0']))}")
+        u2 = col("k_u2")
+        st.stage(k_xr=f"{ve} * {L(cr)} + {u2} * {L(sr)}",
+                 k_yr=f"{u2} * {L(cr)} - {ve} * {L(sr)}")
+        xk, yk = col("k_xr"), col("k_yr")
+    st.stage(k_xb=f"CASE WHEN {badc} THEN {_SQL_NAN} ELSE {xk} END",
+             k_yb=f"CASE WHEN {badc} THEN {_SQL_NAN} ELSE {yk} END")
+    st.stage(k_xe=f"{L(P.fr_meter)} * ({col('k_xb')} * {L(P.a)} "
+                  f"+ {L(P.x0)})",
+             k_ye=f"{L(P.fr_meter)} * ({col('k_yb')} * {L(P.a)} "
+                  f"+ {L(P.y0)})")
+    errc = col("err")
+    outs = [
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({col('k_xe')}, {_SQL_NAN}) END "
+        f"AS `{out_prefix}x`",
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({col('k_ye')}, {_SQL_NAN}) END "
+        f"AS `{out_prefix}y`",
+        f"{col('zz')} AS `{out_prefix}z`",
+        f"{col('tt')} AS `{out_prefix}t`",
     ]
     return st.apply(df, outs)
 
@@ -2692,6 +2865,15 @@ def transform(
         # merc inverses (bounded phi2/phi1 unroll with frozen lanes)
         out = _iter_inv_apply(df, op_probe.P, x, y, z, t, degrees,
                               z_supplied, out_prefix)
+        if not keep_errors:
+            out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                            & ~F.isnan(F.col(f"{out_prefix}x")))
+        return out
+
+    if jvm_fast_path and _omerc_fwd_jvm_ok(op_probe, direction):
+        # staged Hotine oblique Mercator forward twin (late r7)
+        out = _omerc_fwd_apply(df, op_probe.P, x, y, z, t, degrees,
+                               z_supplied, out_prefix)
         if not keep_errors:
             out = out.where(F.col(f"{out_prefix}x").isNotNull()
                             & ~F.isnan(F.col(f"{out_prefix}x")))

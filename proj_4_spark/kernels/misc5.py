@@ -114,6 +114,15 @@ def setup_omerc(P: PJ) -> PJ:
     v_pole_n = ArB * math.log(math.tan(C.M_FORTPI - Fh))
     v_pole_s = ArB * math.log(math.tan(C.M_FORTPI + Fh))
 
+    # expose the closure scalars for the engine's Catalyst twin
+    # (engine/spark.py recomputes nothing — same constants, same bits)
+    P.opaque.update({
+        "A": A, "B": B, "E": E, "ArB": ArB, "BrA": BrA, "rB": rB,
+        "singam": singam, "cosgam": cosgam,
+        "sinrot": sinrot, "cosrot": cosrot, "u_0": u_0,
+        "v_pole_n": v_pole_n, "v_pole_s": v_pole_s, "no_rot": no_rot,
+    })
+
     def fwd(lam, phi, z, t, _P):
         interior = np.abs(np.abs(phi) - C.M_HALFPI) > EPS
         with np.errstate(divide="ignore", invalid="ignore"):

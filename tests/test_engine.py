@@ -1211,11 +1211,11 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # moll/omerc inverses keep the UDF path; stere-e/sinu-e/eqdc-e/
-    # eqearth moved to the r7 staged twins
+    # moll/robin inverses keep the UDF path; stere-e/sinu-e/eqdc-e/
+    # eqearth/omerc moved to the r7 staged twins
     # (test_iter_inverse_jvm_fast_path_parity)
     for ps in ("+proj=moll +R=6371000",
-               "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=evrst69"):
+               "+proj=robin +R=6371000"):
         p = transform(df, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
@@ -1275,6 +1275,14 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         # eqearth 12-iteration Newton inverse (late r7)
         "+proj=eqearth +ellps=WGS84",
         "+proj=eqearth +R=6371000 +lon_0=150",
+        # omerc inverse (closed prep + phi2; late r7)
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31580995 "
+        "+gamma=53.13010236111111 +k_0=0.99984 +x_0=804671 "
+        "+ellps=evrst69",                                  # Borneo RSO
+        "+proj=omerc +lat_1=1 +lon_1=104 +lat_2=3 +lon_2=109 "
+        "+k_0=1 +ellps=WGS84",                             # two-point
+        "+proj=omerc +lat_0=45 +lonc=10 +alpha=30 +no_rot "
+        "+ellps=WGS84",
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
@@ -1313,6 +1321,51 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
         rp = rt.toPandas()
         assert np.allclose(rp["r_x"], rp["lon"], atol=1e-9), ps
         assert np.allclose(rp["r_y"], rp["lat"], atol=1e-9), ps
+
+
+def test_omerc_fwd_jvm_fast_path_parity(spark):
+    """late-r7 omerc FORWARD staged twin: Hotine oblique Mercator
+    (Borneo RSO / Alaska zone 1 / two-point / +no_rot / +no_off,
+    sphere + ellipsoid) plans with zero Python workers and matches
+    the UDF path (exact NaN pattern incl. the |U|=1 singularity and
+    the pole lanes)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -100.0, 0.0, 45.0, 115.0, 140.0, 200.0,
+            None, float("nan")]
+    lats = [-90.1, -90.0, -60.0, -30.0, 0.0, 4.0, 30.0, 60.0, 90.0,
+            None]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lon": lons * len(lats), "lat": np.repeat(lats, len(lons))}))
+    for ps in (
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31580995 "
+        "+gamma=53.13010236111111 +k_0=0.99984 +x_0=804671 "
+        "+ellps=evrst69",
+        "+proj=omerc +lat_0=57 +lonc=-133.6666666666667 "
+        "+alpha=323.1301023611111 +gamma=323.1301023611111 "
+        "+k_0=0.9999 +x_0=5000000 +y_0=-5000000 +ellps=GRS80",
+        "+proj=omerc +lat_1=1 +lon_1=104 +lat_2=3 +lon_2=109 +k_0=1 "
+        "+ellps=WGS84",
+        "+proj=omerc +lat_0=45 +lonc=10 +alpha=30 +no_rot +ellps=WGS84",
+        "+proj=omerc +lat_0=45 +lonc=10 +alpha=30 +no_off +R=6371000",
+    ):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas()
+        sp = slow.toPandas()
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
 
 
 def test_geos_jvm_fast_path_parity(spark):

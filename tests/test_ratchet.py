@@ -137,8 +137,7 @@ def test_r7_iterative_inverse_twins_stay_wired():
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
     for ps in ("+proj=merc +R=6371000",          # closed-form r5 twin
                "+proj=moll +R=6371000",          # off-roster family
-               "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 "
-               "+ellps=evrst69",
+               "+proj=robin +R=6371000",
                # sterea measured out (0.64x the UDF path; see
                # _iter_inv_sql_ok)
                "+proj=sterea +lat_0=52.2 +lon_0=5.4 +k=0.9999079 "
@@ -149,8 +148,16 @@ def test_r7_iterative_inverse_twins_stay_wired():
     for ps in ("+proj=utm +zone=32 +ellps=GRS80",
                "+proj=stere +ellps=WGS84 +lat_0=90 +lat_ts=70",
                "+proj=ups +ellps=WGS84",
-               "+proj=eqearth +ellps=WGS84"):
+               "+proj=eqearth +ellps=WGS84",
+               "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 "
+               "+ellps=evrst69"):
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
+    # the omerc FORWARD has its own staged twin
+    from proj_4_spark.engine.spark import _omerc_fwd_jvm_ok
+
+    assert _omerc_fwd_jvm_ok(create_operation(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=evrst69"),
+        "fwd")
     # geos joined the closed-form column twins, both directions
     from proj_4_spark.engine.spark import (
         _inv_jvm_fast_path_ok,
