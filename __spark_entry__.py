@@ -998,6 +998,36 @@ def _q_lcc_inverse(spark, sf_dir):
     )
 
 
+_GEOS_PS = "+proj=geos +h=35785831.0 +lon_0=0 +ellps=WGS84"
+
+
+def _q_geos_inverse(spark, sf_dir):
+    """Satellite scan-angle -> lonlat through the r7 geos INVERSE
+    Catalyst twin (Meteosat full-disc geometry): the closed-form
+    ray/ellipsoid intersection runs with zero Python workers — the
+    shape of every GOES/Meteosat L1b geolocation pass.  Inputs are a
+    deterministic grid inscribed in the visibility disc; the oracle
+    replays geos.cpp's inverse term-for-term in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 9973 % 7400000) - 3700000.0).alias("px"),
+        ((F.col("event_id") * 104729 % 7400000) - 3700000.0)
+        .alias("py"),
+    )
+    out = transform(pts, _GEOS_PS, x="px", y="py", direction="inv",
+                    out_prefix="i_")
+    return out.select(
+        "event_id",
+        _i(F.col("i_x"), 1000000).alias("ilon"),
+        _i(F.col("i_y"), 1000000).alias("ilat"),
+    )
+
+
 def _q_aea_inverse(spark, sf_dir):
     """Tile->lonlat through the r7 aea INVERSE Catalyst twin: the phi1
     Newton iteration (src/projections/aea.cpp:48-70) unrolled as
@@ -1833,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "laea_inverse": _q_laea_inverse,
         "lcc_inverse": _q_lcc_inverse,
         "aea_inverse": _q_aea_inverse,
+        "geos_inverse": _q_geos_inverse,
         "boundcrs_text_shift": _q_boundcrs_text_shift,
         "projjson_text_merc": _q_projjson_text_merc,
         "compound_geoid": _q_compound_geoid,
@@ -2169,6 +2200,41 @@ def oracle_sql() -> dict[str, str]:
                      "(event_id * 6271 % 4000000) - 2000000.0 as px, "
                      "(event_id * 104729 % 3000000) - 1500000.0 as py "
                      "from events")
+
+    # geos_inverse oracle: geos.cpp inverse (closed ray/ellipsoid
+    # intersection) replayed term-for-term; constants from the op's
+    # own setup (every input row is inside the visibility disc)
+    g_op = create_operation(_GEOS_PS)
+    g_h = g_op.P.param_f("h")
+    g_rg1 = g_h / g_op.P.a
+    g_rg = 1.0 + g_rg1
+    g_Cq = g_rg * g_rg - 1.0
+    g_rp = math.sqrt(g_op.P.one_es)
+    g_rpi2 = g_op.P.rone_es
+    g_bb = 2.0 * g_rg * -1.0
+    geos_steps = [
+        f"(px / {g_op.P.a!r}) as xm_",
+        f"(py / {g_op.P.a!r}) as ym_",
+        f"tan(xm_ / {g_rg1!r}) as vy_",
+        f"tan(ym_ / {g_rg1!r}) * sqrt(1.0 + vy_ * vy_) as vz_",
+        f"vz_ / {g_rp!r} as azp_",
+        "vy_ * vy_ + azp_ * azp_ + 1.0 as aa_",
+        f"{g_bb * g_bb!r} - 4.0 * aa_ * {g_Cq!r} as det_",
+        f"({-g_bb!r} - sqrt(greatest(det_, 0.0))) / (2.0 * aa_) as k_",
+        f"{g_rg!r} + k_ * -1.0 as vx2_",
+        "vy_ * k_ as vy2_",
+        "vz_ * k_ as vz2_",
+        "atan2(vy2_, vx2_) as lamk_",
+        f"atan({g_rpi2!r} * tan(atan(vz2_ * cos(lamk_) / vx2_)))"
+        " as phi_",
+        f"lamk_ + {g_op.P.lam0!r} as lam_",
+    ]
+    geos_q = ("select event_id, px, py from (select event_id, "
+              "(event_id * 9973 % 7400000) - 3700000.0 as px, "
+              "(event_id * 104729 % 7400000) - 3700000.0 as py "
+              "from events)")
+    for s in geos_steps:
+        geos_q = f"select *, {s} from ({geos_q})"
     la_apa = laq["apa"]
     la_authlat = (
         "(la_beta"
@@ -2291,6 +2357,11 @@ def oracle_sql() -> dict[str, str]:
             f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
             f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat "
             f"from ({_sql_conic_inv_select(conic_inv_src, _AEA_INV_PS)})"
+        ),
+        "geos_inverse": (
+            f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
+            f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat "
+            f"from ({geos_q})"
         ),
         "boundcrs_text_shift": boundcrs_sql,
         "projjson_text_merc": (
