@@ -164,6 +164,78 @@ def _sql_etmerc_fwd_select(src_sql: str, projstring: str, lon0_deg: float,
     return f"select event_id, fx, fy from ({q})"
 
 
+def _sql_etmerc_inv_select(src_sql: str, projstring: str,
+                           x0: float, y0: float) -> str:
+    """Generate a DuckDB SELECT computing the Poder-Engsager etmerc
+    INVERSE (src/projections/tmerc.cpp:419-489) — complex Clenshaw
+    over utg, spherical de-projection, gatg over cgb — with the series
+    coefficients inlined from the engine's own setup, mirroring the
+    staged Catalyst twin.  sinh is spelled via exp (DuckDB has no
+    sinh; ulp-level difference only).  Emits (event_id, lam_, phi_)
+    in radians relative to lon_0 + lam0 added; src must provide
+    (event_id, px, py) inside the |Ce| domain (the driver grid is)."""
+    from proj_4_spark.engine.plan import create_operation
+
+    op = create_operation(projstring)
+    Q = op.P.opaque["exact"]
+    utg, cgb = Q["utg"], Q["cgb"]
+    Qn, Zb = float(Q["Qn"]), float(Q["Zb"])
+    steps = [
+        f"(px - {x0!r}) / {_A!r} as xm_",
+        f"(py - {y0!r}) / {_A!r} as ym_",
+        f"(ym_ - {Zb!r}) / {Qn!r} as cn0_",
+        f"xm_ / {Qn!r} as ce0_",
+        "sin(2.0 * cn0_) as sar_",
+        "cos(2.0 * cn0_) as car_",
+        "exp(2.0 * ce0_) as e2c_",
+        "0.5 * e2c_ - 0.5 / e2c_ as shi_",
+        "0.5 * e2c_ + 0.5 / e2c_ as chi_",
+        "2.0 * car_ * chi_ as clr_",
+        "-2.0 * sar_ * shi_ as cli_",
+        f"{float(utg[-1])!r} as hr_0_", "0.0 as hi_0_",
+        "0.0 as hr1_0_", "0.0 as hi1_0_",
+    ]
+    hr, hi, hr1, hi1 = "hr_0_", "hi_0_", "hr1_0_", "hi1_0_"
+    for s, k in enumerate(range(len(utg) - 2, -1, -1), 1):
+        steps.append(f"-{hr1} + clr_ * {hr} - cli_ * {hi} + "
+                     f"{float(utg[k])!r} as hr_{s}_")
+        steps.append(f"-{hi1} + cli_ * {hr} + clr_ * {hi} as hi_{s}_")
+        hr1, hi1, hr, hi = hr, hi, f"hr_{s}_", f"hi_{s}_"
+    steps += [
+        "sar_ * chi_ as rr_",
+        "car_ * shi_ as ii_",
+        f"cn0_ + rr_ * {hr} - ii_ * {hi} as cn1_",
+        f"ce0_ + rr_ * {hi} + ii_ * {hr} as ce1_",
+        "sin(cn1_) as scn_", "cos(cn1_) as ccn_",
+        "exp(ce1_) as ev_",
+        "0.5 * ev_ - 0.5 / ev_ as she_",
+        "atan2(she_, ccn_) as ce2_",
+        "sqrt(she_ * she_ + ccn_ * ccn_) as mod_",
+        "atan2(scn_, mod_) as cn2_",
+        "2.0 * mod_ / (she_ * she_ + 1.0) as tmp_",
+        "scn_ * tmp_ as s2c_",
+        "tmp_ * mod_ - 1.0 as c2c_",
+        "2.0 * c2c_ as two_",
+        f"{float(cgb[-1])!r} as gh1_0_", "0.0 as gh2_0_",
+    ]
+    h1, h2 = "gh1_0_", "gh2_0_"
+    for s, k in enumerate(range(len(cgb) - 2, -1, -1), 1):
+        steps.append(f"-{h2} + two_ * {h1} + {float(cgb[k])!r}"
+                     f" as gh_{s}_")
+        h2, h1 = h1, f"gh_{s}_"
+    steps += [
+        f"cn2_ + {h1} * s2c_ as phi_",
+        f"ce2_ + {op.P.lam0!r} as lamr_",
+        "case when abs(lamr_) < pi() + 1e-12 then lamr_ else "
+        "(lamr_ + pi()) - 2.0*pi()*floor((lamr_ + pi())/(2.0*pi()))"
+        " - pi() end as lam_",
+    ]
+    q = f"select event_id, px, py from ({src_sql})"
+    for s in steps:
+        q = f"select *, {s} from ({q})"
+    return f"select event_id, lam_, phi_ from ({q})"
+
+
 def _sql_conic_inv_select(src_sql: str, projstring: str) -> str:
     """Generate a DuckDB SELECT computing the lcc or aea ELLIPSOIDAL
     INVERSE (src/projections/lcc.cpp:46-77 / aea.cpp:121-160)
@@ -1028,6 +1100,33 @@ def _q_geos_inverse(spark, sf_dir):
     )
 
 
+def _q_utm_inverse(spark, sf_dir):
+    """Projected UTM metres -> lonlat through the late-r7
+    Poder-Engsager INVERSE Catalyst twin (zone 32): the flagship
+    tile->lonlat workload runs with zero Python workers.  The oracle
+    replays tmerc.cpp:419-489 (complex Clenshaw over utg, spherical
+    de-projection, gatg over cgb) in DuckDB from the op's own series
+    coefficients."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 6761 % 800000) + 100000.0).alias("px"),
+        ((F.col("event_id") * 104729 % 9100000) + 100000.0)
+        .alias("py"),
+    )
+    out = transform(pts, "+proj=utm +zone=32 +ellps=GRS80",
+                    x="px", y="py", direction="inv", out_prefix="i_")
+    return out.select(
+        "event_id",
+        _i(F.col("i_x"), 1000000).alias("ilon"),
+        _i(F.col("i_y"), 1000000).alias("ilat"),
+    )
+
+
 def _q_aea_inverse(spark, sf_dir):
     """Tile->lonlat through the r7 aea INVERSE Catalyst twin: the phi1
     Newton iteration (src/projections/aea.cpp:48-70) unrolled as
@@ -1864,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_inverse": _q_lcc_inverse,
         "aea_inverse": _q_aea_inverse,
         "geos_inverse": _q_geos_inverse,
+        "utm_inverse": _q_utm_inverse,
         "boundcrs_text_shift": _q_boundcrs_text_shift,
         "projjson_text_merc": _q_projjson_text_merc,
         "compound_geoid": _q_compound_geoid,
@@ -2362,6 +2462,17 @@ def oracle_sql() -> dict[str, str]:
             f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
             f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat "
             f"from ({geos_q})"
+        ),
+        "utm_inverse": (
+            f"select event_id, {sqli(f'lam_ / {_D2R}', 1000000)} as "
+            f"ilon, {sqli(f'phi_ / {_D2R}', 1000000)} as ilat from ("
+            + _sql_etmerc_inv_select(
+                "select event_id, "
+                "(event_id * 6761 % 800000) + 100000.0 as px, "
+                "(event_id * 104729 % 9100000) + 100000.0 as py "
+                "from events",
+                "+proj=utm +zone=32 +ellps=GRS80",
+                x0=500000.0, y0=0.0) + ")"
         ),
         "boundcrs_text_shift": boundcrs_sql,
         "projjson_text_merc": (

@@ -282,7 +282,7 @@ def test_expression_twin_queries_have_no_python_workers(spark):
                  "webmerc_tiles", "docs_geo_pipeline", "lcc_fwd",
                  "pipeline_datum_shift", "towgs84_datum_shift",
                  "laea_inverse", "lcc_inverse", "aea_inverse",
-                 "geos_inverse", "utm_roundtrip",
+                 "geos_inverse", "utm_inverse", "utm_roundtrip",
                  "boundcrs_text_shift", "projjson_text_merc"):
         df = E.queries()[name](spark, SF)
         txt = formatted(df)

@@ -12,7 +12,7 @@ def test_driver_query_count_monotone():
 
     qs = E.queries()
     os_ = E.oracle_sql()
-    assert len(qs) >= 46, len(qs)
+    assert len(qs) >= 47, len(qs)
     # EVERY query is value-verified: r4 closed the last no_oracle rows
     assert set(os_) == set(qs), set(qs) ^ set(os_)
 
