@@ -1834,12 +1834,16 @@ def _iter_inv_apply(df, P, x, y, z, t, degrees: bool,
         lam = f"{lam} * {_sql_dlit(C.RAD_TO_DEG)}"
         phi = f"{phi} * {_sql_dlit(C.RAD_TO_DEG)}"
     errc = st.col("err")
+    zout = st.col("zz")
+    if P.vto_meter != 1.0 or P.z0 != 0.0:
+        # inv_prepare vertical scaling (inv.cpp: z = vto_meter*z - z0)
+        zout = f"{zout} * {_sql_dlit(P.vto_meter)} - {_sql_dlit(P.z0)}"
     outs = [
         f"CASE WHEN {errc} THEN {_SQL_NAN} "
         f"ELSE coalesce({lam}, {_SQL_NAN}) END AS `{out_prefix}x`",
         f"CASE WHEN {errc} THEN {_SQL_NAN} "
         f"ELSE coalesce({phi}, {_SQL_NAN}) END AS `{out_prefix}y`",
-        f"{st.col('zz')} AS `{out_prefix}z`",
+        f"{zout} AS `{out_prefix}z`",
         f"{st.col('tt')} AS `{out_prefix}t`",
     ]
     return st.apply(df, outs)
@@ -1950,6 +1954,10 @@ def _omerc_fwd_apply(df, P, x, y, z, t, degrees: bool,
              k_ye=f"{L(P.fr_meter)} * ({col('k_yb')} * {L(P.a)} "
                   f"+ {L(P.y0)})")
     errc = col("err")
+    zout = col("zz")
+    if P.vfr_meter != 1.0 or P.z0 != 0.0:
+        # fwd_finalize vertical scaling (fwd.cpp)
+        zout = f"{L(P.vfr_meter)} * ({zout} + {L(P.z0)})"
     outs = [
         f"CASE WHEN {errc} THEN {_SQL_NAN} "
         f"ELSE coalesce({col('k_xe')}, {_SQL_NAN}) END "
@@ -1957,7 +1965,7 @@ def _omerc_fwd_apply(df, P, x, y, z, t, degrees: bool,
         f"CASE WHEN {errc} THEN {_SQL_NAN} "
         f"ELSE coalesce({col('k_ye')}, {_SQL_NAN}) END "
         f"AS `{out_prefix}y`",
-        f"{col('zz')} AS `{out_prefix}z`",
+        f"{zout} AS `{out_prefix}z`",
         f"{col('tt')} AS `{out_prefix}t`",
     ]
     return st.apply(df, outs)
@@ -2088,12 +2096,16 @@ def _etmerc_jvm_apply(df, P, x, y, z, t, degrees: bool,
              ye=f"{L(P.fr_meter)} * ({col('yk')} * {L(P.a)} "
                 f"+ {L(P.y0)})")
     errc = col("err")
+    zout = col("zz")
+    if P.vfr_meter != 1.0 or P.z0 != 0.0:
+        # fwd_finalize vertical scaling (fwd.cpp)
+        zout = f"{L(P.vfr_meter)} * ({zout} + {L(P.z0)})"
     outs = [
         f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({col('xe')}, {NAN})"
         f" END AS `{out_prefix}x`",
         f"CASE WHEN {errc} THEN {NAN} ELSE coalesce({col('ye')}, {NAN})"
         f" END AS `{out_prefix}y`",
-        f"{col('zz')} AS `{out_prefix}z`",
+        f"{zout} AS `{out_prefix}z`",
         f"{col('tt')} AS `{out_prefix}t`",
     ]
     return st.apply(df, outs)
@@ -2851,6 +2863,11 @@ def transform(
               if t else F.lit(0.0))
         xo, yo = _inv_jvm_columns(
             op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
+        # inv_prepare vertical scaling (inv.cpp: z = vto_meter*z - z0;
+        # +units=km implies vto_meter=1000 when +vunits is absent)
+        if op_probe.P.vto_meter != 1.0 or op_probe.P.z0 != 0.0:
+            zc = zc * F.lit(op_probe.P.vto_meter) \
+                - F.lit(op_probe.P.z0)
         out = (df.withColumn(f"{out_prefix}x", xo)
                  .withColumn(f"{out_prefix}y", yo)
                  .withColumn(f"{out_prefix}z", zc)
@@ -2894,6 +2911,11 @@ def transform(
                   if t else F.lit(0.0))
             xo, yo = _webmerc_jvm_columns(
                 op_probe.P, F.col(x), F.col(y), zc, degrees, z_supplied)
+            # fwd_finalize vertical scaling (fwd.cpp:
+            # z = vfr_meter*(z + z0))
+            if op_probe.P.vfr_meter != 1.0 or op_probe.P.z0 != 0.0:
+                zc = F.lit(op_probe.P.vfr_meter) \
+                    * (zc + F.lit(op_probe.P.z0))
             out = (df.withColumn(f"{out_prefix}x", xo)
                      .withColumn(f"{out_prefix}y", yo)
                      .withColumn(f"{out_prefix}z", zc)

@@ -1594,3 +1594,52 @@ def test_eqearth_cass_ortho_gnom_jvm_fast_path_parity(spark):
         g = transform(df2, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
             g._jdf.queryExecution().executedPlan().toString(), ps
+
+
+def test_twin_vertical_unit_scaling_matches_udf(spark):
+    """r7 fix: the bare twins must apply the generic vertical scaling
+    the UDF path applies — fwd_finalize z = vfr_meter*(z+z0),
+    inv_prepare z = vto_meter*z - z0 (src/fwd.cpp / src/inv.cpp).
+    +units=km implies vto_meter=1000 when +vunits is absent, so a
+    z-carrying km transform used to pass z through unscaled on the
+    twin path (1.5 vs the UDF's 1500)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    idf = spark.createDataFrame(pd.DataFrame(
+        {"px": [1000.0, 578.8], "py": [2000.0, 4983.4],
+         "pz": [1.5, None]}))
+    fdf = spark.createDataFrame(pd.DataFrame(
+        {"lon": [10.0, -75.0], "lat": [45.0, 30.0],
+         "pz": [1500.0, None]}))
+    cases = [
+        ("+proj=webmerc +ellps=WGS84 +units=km", "inv", idf,
+         ("px", "py")),                              # column twin
+        ("+proj=utm +zone=32 +ellps=GRS80 +units=km", "inv", idf,
+         ("px", "py")),                              # staged inverse
+        ("+proj=lcc +lat_1=33 +lat_2=45 +ellps=GRS80 +units=km",
+         "inv", idf, ("px", "py")),
+        ("+proj=webmerc +ellps=WGS84 +units=km", "fwd", fdf,
+         ("lon", "lat")),                            # column twin
+        ("+proj=utm +zone=32 +ellps=GRS80 +units=km", "fwd", fdf,
+         ("lon", "lat")),                            # staged etmerc
+        ("+proj=omerc +lat_0=45 +lonc=10 +alpha=30 +ellps=WGS84 "
+         "+units=km", "fwd", fdf, ("lon", "lat")),   # staged omerc
+    ]
+    for ps, direc, d, cols in cases:
+        a = transform(d, ps, x=cols[0], y=cols[1], z="pz",
+                      direction=direc, out_prefix="a_").toPandas()
+        b = transform(d, ps, x=cols[0], y=cols[1], z="pz",
+                      direction=direc, out_prefix="b_",
+                      jvm_fast_path=False).toPandas()
+        for c in ("x", "y", "z"):
+            av = a[f"a_{c}"].to_numpy(dtype=np.float64,
+                                      na_value=np.nan)
+            bv = b[f"b_{c}"].to_numpy(dtype=np.float64,
+                                      na_value=np.nan)
+            assert (np.isnan(av) == np.isnan(bv)).all(), (ps, direc, c)
+            m = ~np.isnan(av)
+            assert np.allclose(av[m], bv[m], rtol=1e-9, atol=1e-6), (
+                ps, direc, c)
