@@ -66,7 +66,7 @@ def _inv_twin_name_ok(P) -> bool:
         return False
     return name in ("webmerc", "merc", "eqc", "cea", "laea",
                     "stere", "ups", "sinu", "eqdc", "cass", "ortho",
-                    "gnom", "geos")
+                    "gnom", "geos", "moll", "wag4", "wag5")
 
 
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
@@ -1020,6 +1020,20 @@ def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
         lam = atan2_ieee(xx, yy)
         phi = F.when(center, F.lit(P.phi0)).otherwise(phi)
         lam = F.when(center, F.lit(0.0)).otherwise(lam)
+    elif P.name in ("moll", "wag4", "wag5"):
+        # moll.cpp:45-58 inverse (closed form; the Newton is
+        # forward-only).  cos(asin(±1)) is ~6.1e-17, never exactly 0,
+        # so the lam division cannot hit ANSI divide-by-zero
+        C_x, C_y, C_p = (float(Qo["C_x"]), float(Qo["C_y"]),
+                         float(Qo["C_p"]))
+        ph1 = F.asin(clip1(ym / C_y))
+        lam_raw = xm / (F.lit(C_x) * F.cos(ph1))
+        ok = F.abs(lam_raw) < pi
+        ph2 = ph1 + ph1
+        phi = F.when(ok,
+                     F.asin(clip1((ph2 + F.sin(ph2)) / C_p))
+                     ).otherwise(nan)
+        lam = F.when(ok, lam_raw).otherwise(nan)
     elif P.name == "geos":
         # geos.cpp inverse (closed-form ray/ellipsoid intersection);
         # closure constants recomputed at plan time like the forward

@@ -1191,6 +1191,10 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
         "+proj=sinu +R=6371000 +lon_0=20",
         "+proj=eqdc +R=6371000 +lat_1=20 +lat_2=60 +lat_0=40",
         "+proj=eqdc +R=6371000 +lat_1=-20 +lat_2=-60",   # n < 0
+        # moll family (closed-form inverse; Newton is fwd-only) r7
+        "+proj=moll +R=6371000 +lon_0=20",
+        "+proj=wag4 +R=6371000",
+        "+proj=wag5 +R=6371000",
     )
     for ps in twins:
         fast = transform(df, ps, x="px", y="py", direction="inv",
@@ -1211,14 +1215,20 @@ def test_inverse_jvm_fast_path_parity_r6(spark):
             m = ~np.isnan(a)
             assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-9), (
                 ps, c, np.abs(a[m] - b[m]).max())
-    # moll/robin inverses keep the UDF path; stere-e/sinu-e/eqdc-e/
-    # eqearth/omerc moved to the r7 staged twins
+    # robin/poly inverses keep the UDF path; stere-e/sinu-e/eqdc-e/
+    # eqearth/omerc/moll moved to the r7 twins
     # (test_iter_inverse_jvm_fast_path_parity)
-    for ps in ("+proj=moll +R=6371000",
-               "+proj=robin +R=6371000"):
+    for ps in ("+proj=robin +R=6371000",
+               "+proj=poly +ellps=GRS80"):
         p = transform(df, ps, x="px", y="py", direction="inv")
         assert "EvalPython" in \
             p._jdf.queryExecution().executedPlan().toString(), ps
+    # moll/wag4/wag5 inverses are closed-form column twins (late r7;
+    # values pinned against the UDF path like the other column twins)
+    p = transform(df, "+proj=moll +R=6371000", x="px", y="py",
+                  direction="inv")
+    assert "EvalPython" not in \
+        p._jdf.queryExecution().executedPlan().toString()
 
 
 def test_iter_inverse_jvm_fast_path_parity(spark):
@@ -1501,7 +1511,7 @@ def test_datum_modified_jvm_fast_path_parity(spark):
     guards = [
         ("+proj=webmerc +datum=NAD27", "fwd"),          # nadgrids
         ("+proj=merc +towgs84=1,2,3 +axis=wsu", "fwd"),
-        ("+proj=moll +R=6371000 +towgs84=1,2,3",
+        ("+proj=robin +R=6371000 +towgs84=1,2,3",
          "inv"),                                 # off-roster family
         ("+proj=longlat +ellps=bessel +towgs84=1,2,3 +geoidgrids="
          "@egm96_15.gtx", "fwd"),
