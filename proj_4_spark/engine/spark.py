@@ -1985,6 +1985,102 @@ def _omerc_fwd_apply(df, P, x, y, z, t, degrees: bool,
     return st.apply(df, outs)
 
 
+def _moll_fwd_jvm_ok(op, direction: str) -> bool:
+    """True for a bare moll/wag4/wag5 FORWARD (moll.cpp:22-42, the
+    10-iteration Newton on the parametric angle) with no modifiers."""
+    P = getattr(op, "P", None)
+    if P is None or direction != "fwd":
+        return False
+    if getattr(op, "inverted", False):
+        return False
+    if getattr(P, "name", None) not in ("moll", "wag4", "wag5"):
+        return False
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
+def _moll_fwd_apply(df, P, x, y, z, t, degrees: bool,
+                    z_supplied: bool, out_prefix: str):
+    """Staged Catalyst twin of the moll-family forward
+    (kernels/pseudocyl.moll_s_forward, moll.cpp:22-42): the bounded
+    Newton on the parametric angle unrolls with the frozen-lane flag
+    (non-convergent lanes substitute the +-pi/2 pole like the kernel);
+    the exact-zero Newton denominator (1+cos == 0 at the float pi)
+    routes through num*Infinity to mirror numpy under ANSI mode.
+    Parity pinned in tests/test_engine.py."""
+    Q = P.opaque
+    L = _sql_dlit
+    C_x, C_y, C_p = (float(Q["C_x"]), float(Q["C_y"]),
+                     float(Q["C_p"]))
+    H = math.pi / 2.0
+    st = _SqlStager()
+    col = st.col
+    _entry_stages(st, x, y, z, t, degrees, z_supplied)
+    st.stage(lamw1=_sql_adjlon(col("lam")))
+    st.stage(lamd=f"({col('lamw1')} - {L(P.lam0)})")
+    st.stage(lamw=_sql_adjlon(col("lamd")),
+             phic=f"least(greatest({col('phi')}, "
+                  f"{L(-H)}), {L(H)})")
+    lamw, phic = col("lamw"), col("phic")
+    st.stage(k_k=f"{L(C_p)} * sin({phic})")
+    kk = col("k_k")
+    cur, done = phic, "false"
+    for i in range(1, 11):
+        st.stage(**{f"m_nu{i}":
+                    f"CASE WHEN {done} THEN 0.0D "
+                    f"ELSE {cur} + sin({cur}) - {kk} END",
+                    f"m_de{i}":
+                    f"CASE WHEN {done} THEN 1.0D "
+                    f"ELSE 1.0D + cos({cur}) END"})
+        nu, de = col(f"m_nu{i}"), col(f"m_de{i}")
+        st.stage(**{f"m_v{i}":
+                    f"CASE WHEN {done} THEN 0.0D "
+                    f"WHEN {de} = 0.0D THEN {nu} * {_SQL_INF} "
+                    f"ELSE {nu} / {de} END"})
+        vv = col(f"m_v{i}")
+        st.stage(**{f"m_ph{i}":
+                    f"CASE WHEN {done} THEN {cur} "
+                    f"ELSE {cur} - {vv} END",
+                    f"m_dn{i}": f"abs({vv}) < {L(1.0e-7)}"})
+        cur, done = col(f"m_ph{i}"), col(f"m_dn{i}")
+        if i == 5:
+            st.barrier()  # keep each codegen region JIT-compilable
+    st.stage(k_po=f"CASE WHEN {done} THEN 0.5D * {cur} ELSE "
+                  f"(CASE WHEN {cur} < 0.0D THEN {L(-H)} "
+                  f"ELSE {L(H)} END) END")
+    po = col("k_po")
+    st.stage(k_xk=f"{L(C_x)} * {lamw} * cos({po})",
+             k_yk=f"{L(C_y)} * sin({po})")
+    st.stage(k_xe=f"{L(P.fr_meter)} * ({col('k_xk')} * {L(P.a)} "
+                  f"+ {L(P.x0)})",
+             k_ye=f"{L(P.fr_meter)} * ({col('k_yk')} * {L(P.a)} "
+                  f"+ {L(P.y0)})")
+    errc = col("err")
+    zout = col("zz")
+    if P.vfr_meter != 1.0 or P.z0 != 0.0:
+        zout = f"{L(P.vfr_meter)} * ({zout} + {L(P.z0)})"
+    outs = [
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({col('k_xe')}, {_SQL_NAN}) END "
+        f"AS `{out_prefix}x`",
+        f"CASE WHEN {errc} THEN {_SQL_NAN} "
+        f"ELSE coalesce({col('k_ye')}, {_SQL_NAN}) END "
+        f"AS `{out_prefix}y`",
+        f"{zout} AS `{out_prefix}z`",
+        f"{col('tt')} AS `{out_prefix}t`",
+    ]
+    return st.apply(df, outs)
+
+
 def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     """True when the operation is a bare Poder-Engsager tmerc/etmerc/utm
     forward (the DEFAULT tmerc algorithm) with no datum/grid/axis
@@ -2905,6 +3001,15 @@ def transform(
         # staged Hotine oblique Mercator forward twin (late r7)
         out = _omerc_fwd_apply(df, op_probe.P, x, y, z, t, degrees,
                                z_supplied, out_prefix)
+        if not keep_errors:
+            out = out.where(F.col(f"{out_prefix}x").isNotNull()
+                            & ~F.isnan(F.col(f"{out_prefix}x")))
+        return out
+
+    if jvm_fast_path and _moll_fwd_jvm_ok(op_probe, direction):
+        # staged moll/wag4/wag5 forward twin (late r7)
+        out = _moll_fwd_apply(df, op_probe.P, x, y, z, t, degrees,
+                              z_supplied, out_prefix)
         if not keep_errors:
             out = out.where(F.col(f"{out_prefix}x").isNotNull()
                             & ~F.isnan(F.col(f"{out_prefix}x")))

@@ -1653,3 +1653,53 @@ def test_twin_vertical_unit_scaling_matches_udf(spark):
             m = ~np.isnan(av)
             assert np.allclose(av[m], bv[m], rtol=1e-9, atol=1e-6), (
                 ps, direc, c)
+
+
+def test_moll_fwd_jvm_fast_path_parity(spark):
+    """late-r7 moll/wag4/wag5 FORWARD staged twin (the 10-iteration
+    Newton on the parametric angle, moll.cpp:22-42): zero Python
+    workers, bit-exact against the UDF path on this grid (the frozen
+    unroll reproduces the masked-lane Newton update-for-update), and
+    the fwd-twin -> inv-twin roundtrip closes."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_4_spark.engine.spark import transform
+
+    lons = [-541.0, -180.0, -100.0, 0.0, 45.0, 140.0, 200.0, None,
+            float("nan")]
+    lats = [-90.1, -90.0, -60.0, -30.0, 0.0, 30.0, 60.0, 89.9999,
+            90.0, None]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lon": lons * len(lats), "lat": np.repeat(lats, len(lons))}))
+    for ps in ("+proj=moll +R=6371000",
+               "+proj=moll +ellps=WGS84 +lon_0=20 +x_0=100000",
+               "+proj=wag4 +R=6371000",
+               "+proj=wag5 +R=6371000"):
+        fast = transform(df, ps, x="lon", y="lat", out_prefix="f_")
+        assert "EvalPython" not in \
+            fast._jdf.queryExecution().executedPlan().toString(), ps
+        slow = transform(df, ps, x="lon", y="lat", out_prefix="s_",
+                         jvm_fast_path=False)
+        fp = fast.toPandas()
+        sp = slow.toPandas()
+        for c in ("x", "y"):
+            a = fp[f"f_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = sp[f"s_{c}"].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (ps, c)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m], rtol=1e-9, atol=1e-6), (
+                ps, c, np.abs(a[m] - b[m]).max())
+    gdf = spark.createDataFrame(pd.DataFrame(
+        {"lon": [-150.0, -20.0, 0.0, 45.0, 140.0] * 4,
+         "lat": np.repeat([-60.0, 0.0, 45.5, 85.0], 5)}))
+    rt = transform(
+        transform(gdf, "+proj=moll +R=6371000", x="lon", y="lat",
+                  out_prefix="p_"),
+        "+proj=moll +R=6371000", x="p_x", y="p_y", direction="inv",
+        out_prefix="r_")
+    assert "EvalPython" not in \
+        rt._jdf.queryExecution().executedPlan().toString()
+    rp = rt.toPandas()
+    assert np.allclose(rp["r_x"], rp["lon"], atol=1e-9)
+    assert np.allclose(rp["r_y"], rp["lat"], atol=1e-9)

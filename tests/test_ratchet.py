@@ -183,3 +183,12 @@ def test_r7_iterative_inverse_twins_stay_wired():
                "+proj=sinu +ellps=WGS84",
                "+proj=cass +ellps=GRS80"):
         assert _iter_inv_jvm_ok(create_operation(ps), "inv"), ps
+
+    # moll family: closed-form inverse column twins + the staged
+    # Newton forward (late r7)
+    from proj_4_spark.engine.spark import _moll_fwd_jvm_ok
+
+    for nm in ("moll", "wag4", "wag5"):
+        op_m = create_operation(f"+proj={nm} +R=6371000")
+        assert _inv_jvm_fast_path_ok(op_m, "inv"), nm
+        assert _moll_fwd_jvm_ok(op_m, "fwd"), nm
