@@ -1398,7 +1398,7 @@ def _q_ann_cosine(spark, sf_dir):
     queries = emb.where("vec_id < 20").selectExpr(
         "vec_id as q_id", "embedding"
     )
-    topk = cosine_topk(emb, queries, k=5, raw_cosine=True)
+    topk = cosine_topk(emb, queries, k=5, raw_cosine=True, dim=64)
     return topk.select(
         "q_id", "vec_id", "rank", _i(F.col("cosine"), 1000000).alias("cosine")
     )
@@ -1695,11 +1695,25 @@ def _ann_index_path(kind: str, sf_dir: str) -> str:
                         "benchdata", "ann_index", f"{kind}_{tag}")
 
 
+def _parquet_footer_rows(path: str) -> int:
+    """Row count from parquet footers only — no Spark job (r8: the
+    per-invocation `emb.count()` staleness check was a full scheduler
+    round trip inside the timed probe path).  Matches Spark's count
+    exactly (both read the same footer num_rows)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = ([path] if os.path.isfile(path)
+             else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
     """Build-once semantics for the prebuilt ANN queries: reuse the
     cached index when its sidecar params + corpus row count still match
     the sf dir, else (re)build.  The staleness check is one footer-only
-    parquet count — cheap at any sf."""
+    parquet count — cheap at any sf, and driver-local (no Spark job)."""
     from proj_4_spark.functions import ann_index
 
     path = _ann_index_path(kind, sf_dir)
@@ -1710,7 +1724,8 @@ def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
     try:
         meta = ann_index.read_meta(path)
         if (all(meta.get(k) == v for k, v in want.items())
-                and meta.get("corpus_rows") == emb.count()):
+                and meta.get("corpus_rows") ==
+                _parquet_footer_rows(f"{sf_dir}/embeddings.parquet")):
             return path
     except ValueError:
         pass

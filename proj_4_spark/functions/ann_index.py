@@ -41,12 +41,9 @@ import os
 import numpy as np
 
 from proj_4_spark.functions.similarity import (
-    _dot_col,
+    _corpus_tag_ivf_udf,
+    _corpus_tag_lsh_udf,
     _hyperplanes,
-    _i64,
-    _norm_col,
-    centroid_dots_col,
-    signature_col,
 )
 
 META_NAME = "_ann_meta.json"
@@ -80,9 +77,9 @@ def build_lsh_index(emb_df, path: str, *, dim: int, n_planes: int = 8,
     planes = _hyperplanes(dim, n_planes, seed)
     indexed = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-        _norm_col(F.col(vec_col)).alias("v_norm"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
+        _corpus_tag_lsh_udf(planes)(F.col(vec_col)).alias("_t"),
+    ).select("vec_id", "v", F.col("_t.v_norm").alias("v_norm"),
+             F.col("_t.bucket").alias("bucket"))
     # cluster by the partition key before partitionBy: without it every
     # write task emits a file into every bucket directory it touches
     # (n_tasks x n_buckets tiny files — measured 510 files for 2000 rows
@@ -126,9 +123,9 @@ def build_ivf_index(emb_df, path: str, *, dim: int, n_centroids: int = 16,
     # projection stops CollapseProject from inlining the matmul twice
     corpus = emb_df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
-        _norm_col(F.col(vec_col)).alias("v_norm"),
-        centroid_dots_col(F.col(vec_col), cents).alias("_cd"),
-    )
+        _corpus_tag_ivf_udf(cents)(F.col(vec_col)).alias("_t"),
+    ).select("vec_id", "v", F.col("_t.v_norm").alias("v_norm"),
+             F.col("_t.cd").alias("_cd"))
     corpus = corpus.withColumn(
         "list_id",
         F.array_position(F.col("_cd"), F.array_max(F.col("_cd")))
@@ -147,45 +144,34 @@ def build_ivf_index(emb_df, path: str, *, dim: int, n_centroids: int = 16,
     return meta
 
 
-def _ranked_topk(cand, k: int, raw_cosine: bool, dedup: bool):
-    """Shared re-rank tail: exact cosine on candidates, optional
-    adjacent-duplicate fold (multiprobe emits the same (q_id, vec_id)
-    from several probed buckets with an identical cosine — the lag()
-    trick folds the dedup into the ranking window's single Exchange;
-    see similarity.lsh_bucket_topk), row_number top-k."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    cand = cand.withColumn(
-        "cosine",
-        _dot_col(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")),
-    )
-    cos_out = F.col("cosine") if raw_cosine else F.round("cosine", 6)
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    out = cand.select("q_id", "vec_id", "cosine")
-    if dedup:
-        out = (out.withColumn("_prev", F.lag("vec_id").over(w))
-                  .where(F.col("_prev").isNull()
-                         | (F.col("_prev") != F.col("vec_id"))))
-    return (out.withColumn("rank", F.row_number().over(w))
-               .where(F.col("rank") <= k)
-               .select("q_id", "vec_id", "rank", cos_out.alias("cosine")))
-
-
 def lsh_topk_prebuilt(spark, path: str, query_df, k: int = 5,
                       multiprobe: int = 1, q_id_col: str = "q_id",
                       q_vec_col: str = "embedding",
                       raw_cosine: bool = False):
     """Probe-only LSH top-k against a persisted index.
 
-    Plan shape: query batch signed with the index's planes (JVM
-    expressions at bench dims), multiprobe-expanded; the distinct probe
-    buckets are collected (<= n_queries x (1 + n_planes + C(n_planes,2))
-    values — a driver-side list bounded by the QUERY batch, never the
-    corpus) and pushed as a literal `bucket IN (...)` partition filter;
-    then partition-pruned scan -> broadcast hash join -> exact re-rank.
-    Matches similarity.lsh_bucket_topk(multiprobe=...) value-exactly."""
+    Plan shape (r8): the query batch is collected ONCE (bounded by the
+    batch, never the corpus) and signed/probe-expanded driver-side with
+    the index's planes (exact sequential arithmetic — identical values
+    to the executor path); the distinct probe buckets become a literal
+    `bucket IN (...)` partition filter, so the corpus side is a
+    partition-PRUNED scan of precomputed (v, v_norm, bucket) rows; ONE
+    mapInArrow pass emits the exact candidate dots against the query
+    matrix held in closure (no join, no per-candidate vector shipping);
+    the only Exchange is the ranking window's.  Matches
+    similarity.lsh_bucket_topk(multiprobe=...) value-exactly."""
     from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.similarity import (
+        _candidates_map_arrow,
+        _CAND_SCHEMA,
+        _collect_query_batch,
+        _pack_signature,
+        _probe_masks,
+        _rank_candidate_rows,
+        _seq_dots,
+        _seq_norms,
+    )
 
     meta = read_meta(path)
     if meta.get("kind") != "lsh":
@@ -194,29 +180,24 @@ def lsh_topk_prebuilt(spark, path: str, query_df, k: int = 5,
     n_planes = meta["n_planes"]
     planes = _hyperplanes(meta["dim"], n_planes, meta["seed"])
 
-    queries = query_df.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
-        _norm_col(F.col(q_vec_col)).alias("q_norm"),
-        signature_col(F.col(q_vec_col), planes).alias("q_bucket"),
-    )
-    probes = [F.col("q_bucket")]
-    if multiprobe >= 1:
-        probes += [F.col("q_bucket")
-                   .bitwiseXOR(F.lit(_i64(1 << i)).cast("long"))
-                   for i in range(n_planes)]
-    if multiprobe >= 2:
-        probes += [F.col("q_bucket")
-                   .bitwiseXOR(F.lit(_i64((1 << i) | (1 << j))).cast("long"))
-                   for i in range(n_planes)
-                   for j in range(i + 1, n_planes)]
-    queries = queries.withColumn("bucket", F.explode(F.array(*probes)))
+    q_ids, Q = _collect_query_batch(query_df, q_id_col, q_vec_col)
+    qsig = _pack_signature(
+        _seq_dots(Q, np.ascontiguousarray(planes, dtype=np.float64))
+    ) if len(q_ids) else np.zeros(0, dtype=np.int64)
+    probe_map: dict = {}
+    for ki, s in enumerate(qsig):
+        for m in _probe_masks(n_planes, multiprobe):
+            probe_map.setdefault(int(s) ^ m, []).append(ki)
 
-    bucket_list = sorted(
-        r[0] for r in queries.select("bucket").distinct().collect())
     corpus = (spark.read.parquet(path)
-              .where(F.col("bucket").isin(bucket_list)))
-    cand = corpus.join(F.broadcast(queries), "bucket")
-    return _ranked_topk(cand, k, raw_cosine, dedup=multiprobe >= 1)
+              .where(F.col("bucket").isin(sorted(probe_map)))
+              .select("vec_id", "v", "v_norm",
+                      F.col("bucket").cast("long").alias("bucket")))
+    cand = corpus.mapInArrow(
+        _candidates_map_arrow(probe_map, Q, key_col="bucket",
+                              norm_col="v_norm"), _CAND_SCHEMA)
+    return _rank_candidate_rows(cand, q_ids, _seq_norms(Q), k,
+                                raw_cosine)
 
 
 def ivf_topk_prebuilt(spark, path: str, query_df, k: int = 5,
@@ -225,10 +206,23 @@ def ivf_topk_prebuilt(spark, path: str, query_df, k: int = 5,
                       raw_cosine: bool = False):
     """Probe-only IVF top-k against a persisted index: each query's
     n_probe best centroid lists (from the sidecar's exact centroid
-    matrix) become a literal `list_id IN (...)` partition filter +
-    broadcast probe join.  Matches similarity.ivf_topk (same centroids)
-    value-exactly."""
+    matrix, selected driver-side with JVM-identical argsort semantics)
+    become a literal `list_id IN (...)` partition filter; ONE
+    mapInArrow pass over the pruned inverted lists emits the exact
+    candidate dots against the closure-held query matrix (r8 — no
+    broadcast join, no per-candidate vector shipping).  Matches
+    similarity.ivf_topk (same centroids) value-exactly."""
     from pyspark.sql import functions as F
+
+    from proj_4_spark.functions.similarity import (
+        _candidates_map_arrow,
+        _CAND_SCHEMA,
+        _collect_query_batch,
+        _probe_lists_np,
+        _rank_candidate_rows,
+        _seq_dots,
+        _seq_norms,
+    )
 
     meta = read_meta(path)
     if meta.get("kind") != "ivf":
@@ -236,33 +230,20 @@ def ivf_topk_prebuilt(spark, path: str, query_df, k: int = 5,
                          "not ivf")
     cents = np.asarray(meta["centroids"], dtype=np.float64)
 
-    q = query_df.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q"),
-        _norm_col(F.col(q_vec_col)).alias("q_norm"),
-        centroid_dots_col(F.col(q_vec_col), cents).alias("cd"),
-    )
-    # probe the n_probe best centroid lists per query (argsort by
-    # descending dot, index-ascending ties — same as similarity.ivf_topk)
-    q = q.withColumn(
-        "probes",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        F.col("cd"),
-                        lambda d, i: F.struct((-d).alias("nd"),
-                                              i.alias("i")),
-                    )
-                ),
-                lambda s: s["i"],
-            ),
-            1, n_probe,
-        ),
-    ).withColumn("list_id", F.explode("probes")).drop("cd", "probes")
+    q_ids, Q = _collect_query_batch(query_df, q_id_col, q_vec_col)
+    probe_map: dict = {}
+    if len(q_ids):
+        for ki, lists in enumerate(_probe_lists_np(_seq_dots(Q, cents),
+                                                   n_probe)):
+            for lid in lists:
+                probe_map.setdefault(int(lid), []).append(ki)
 
-    list_ids = sorted(
-        r[0] for r in q.select("list_id").distinct().collect())
     corpus = (spark.read.parquet(path)
-              .where(F.col("list_id").isin(list_ids)))
-    cand = corpus.join(F.broadcast(q), "list_id")
-    return _ranked_topk(cand, k, raw_cosine, dedup=False)
+              .where(F.col("list_id").isin(sorted(probe_map)))
+              .select("vec_id", "v", "v_norm",
+                      F.col("list_id").cast("long").alias("list_id")))
+    cand = corpus.mapInArrow(
+        _candidates_map_arrow(probe_map, Q, key_col="list_id",
+                              norm_col="v_norm"), _CAND_SCHEMA)
+    return _rank_candidate_rows(cand, q_ids, _seq_norms(Q), k,
+                                raw_cosine)
