@@ -10,6 +10,10 @@ pandas-UDF stage (SURVEY.md §7.0 "no per-row Python").
 
 from __future__ import annotations
 
+import itertools
+
+_cg_seq = itertools.count()
+
 _LON_RE = r"[?&]lon=(-?[0-9.]+)"
 _LAT_RE = r"[?&]lat=(-?[0-9.]+)"
 _CRS_RE = r"[?&]crs=([A-Za-z0-9:]+)"
@@ -29,13 +33,21 @@ def explode_media_points(docs_df, keep_doc_cols: bool = True):
         "doc_id",
         F.posexplode("spans").alias("span_idx", "span"),
     ).where(F.col("span.kind") == "media")
-    return ex.select(
+    out = ex.select(
         "doc_id",
         F.col("span.offset").alias("span_offset"),
         F.regexp_extract("span.media_ref", _LON_RE, 1).cast("double").alias("lon"),
         F.regexp_extract("span.media_ref", _LAT_RE, 1).cast("double").alias("lat"),
         F.regexp_extract("span.media_ref", _CRS_RE, 1).alias("crs"),
     )
+    # r8: close the whole-stage-codegen region here.  Fused with a
+    # downstream projection twin (the doc-geo pipeline's webmerc leg)
+    # the combined method reached 10,218 bytecodes — past HotSpot's
+    # 8000-byte JIT ceiling, so the hottest headline region ran
+    # interpreted.  The observe costs one row-count accumulator and
+    # splits explode+regex from the projection math (both sub-8k).
+    return out.observe(f"_media_cg_{next(_cg_seq)}",
+                       F.count(F.lit(1)).alias("rows"))
 
 
 def span_fingerprint(docs_df, col: str = "span_fp"):

