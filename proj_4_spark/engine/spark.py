@@ -2550,6 +2550,22 @@ class _SqlStager:
         if pending:
             out = out.selectExpr("*", *pending)
         if final_exprs:
+            # replace-in-place contract (r8, VERDICT r7 #4): with the
+            # documented default call shape (columns named x/y,
+            # out_prefix="") appending the outputs produced DUPLICATE
+            # x/y columns and any downstream select("x") threw
+            # AMBIGUOUS_REFERENCE — the UDF path and the Column twins
+            # replace via withColumn.  Every final_exprs list
+            # references only staged temp columns (the entry stages
+            # capture the inputs), so the colliding originals can be
+            # dropped first.  (The replaced column moves to the end of
+            # the schema rather than keeping its position — select by
+            # name, as every caller does.)
+            out_names = {e.rsplit(" AS ", 1)[1].strip().strip("`")
+                         for e in final_exprs}
+            clash_out = [c for c in out.columns if c in out_names]
+            if clash_out:
+                out = out.drop(*clash_out)
             out = out.selectExpr("*", *final_exprs)
         return out.drop(*[c for c in self.tmp if c in out.columns])
 

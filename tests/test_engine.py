@@ -1703,3 +1703,29 @@ def test_moll_fwd_jvm_fast_path_parity(spark):
     rp = rt.toPandas()
     assert np.allclose(rp["r_x"], rp["lon"], atol=1e-9)
     assert np.allclose(rp["r_y"], rp["lat"], atol=1e-9)
+
+
+def test_staged_twin_replaces_default_named_columns(spark):
+    """Regression (VERDICT r7 #4): with the documented default call
+    shape — input columns named x/y, out_prefix="" — every STAGED twin
+    path (etmerc/utm fwd+inv, iterative inverses, omerc, moll, geos,
+    ellipsoidal laea) must REPLACE x/y in place like the UDF path and
+    the Column twins, not append duplicates that make any downstream
+    select("x") throw AMBIGUOUS_REFERENCE."""
+    from pyspark.sql import functions as F
+
+    from proj_4_spark.engine.spark import transform
+
+    pts = spark.range(1, 50).select(
+        ((F.col("id") * 7 % 12) + 3.0).alias("x"),
+        ((F.col("id") * 11 % 60) + 10.0).alias("y"),
+    )
+    for ps in ("+proj=utm +zone=32 +ellps=GRS80",       # staged etmerc
+               "+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80"):  # staged
+        fwd = transform(pts, ps)                       # out_prefix=""
+        assert fwd.columns.count("x") == 1, (ps, fwd.columns)
+        assert fwd.columns.count("y") == 1, (ps, fwd.columns)
+        back = transform(fwd, ps, direction="inv")     # chain again
+        assert back.columns.count("x") == 1, (ps, back.columns)
+        rows = back.select("x", "y").limit(5).collect()  # no ambiguity
+        assert rows and all(r["x"] is not None for r in rows), ps
