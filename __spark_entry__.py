@@ -1229,18 +1229,36 @@ def _q_proj_factors(spark, sf_dir):
 
 
 def _q_pip_rect(spark, sf_dir):
+    """Per-zone containment counts over PLAN-TIME-LITERAL rectangles.
+
+    r8: the broadcast nested-loop join + groupBy evaluated the join
+    machinery per (point x zone) pair (measured 0.8-1.4 s at sf1 for
+    12M pair visits producing 72k hits); with the zone list literal at
+    plan time the same counts compile to ONE whole-stage-codegen
+    conditional aggregate over the points scan — zero joins, map-side
+    partials, one tiny final exchange — 0.61 s, identical rows/schema
+    (inner-join semantics preserved by the n > 0 filter: zones with no
+    hits never appeared).  The general polygon operators
+    (spatial/pip.pip_join, pip_join_cells) remain the non-literal path
+    and keep their own gates/oracles."""
     from pyspark.sql import functions as F
 
     pts = _geo_points(spark, sf_dir)
-    zones = spark.createDataFrame(
-        RECT_ZONES, "zone_id string, zmin_lon double, zmin_lat double, zmax_lon double, zmax_lat double"
-    )
-    hits = pts.join(
-        F.broadcast(zones),
-        (F.col("lon") >= F.col("zmin_lon")) & (F.col("lon") < F.col("zmax_lon"))
-        & (F.col("lat") >= F.col("zmin_lat")) & (F.col("lat") < F.col("zmax_lat")),
-    )
-    return hits.groupBy("zone_id").agg(F.count("*").alias("n"))
+    aggs = [
+        F.sum(
+            F.when(
+                (F.col("lon") >= z[1]) & (F.col("lon") < z[3])
+                & (F.col("lat") >= z[2]) & (F.col("lat") < z[4]),
+                1,
+            ).otherwise(0)
+        ).alias(f"n{i}")
+        for i, z in enumerate(RECT_ZONES)
+    ]
+    one = pts.agg(*aggs)
+    stack = ", ".join(f"'{z[0]}', n{i}" for i, z in enumerate(RECT_ZONES))
+    return (one.selectExpr(f"stack({len(RECT_ZONES)}, {stack}) "
+                           "as (zone_id, n)")
+               .where(F.col("n") > 0))
 
 
 def _q_pip_cells(spark, sf_dir):

@@ -54,18 +54,29 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
     -> (doc_id, span_offset, zone_id).
 
     zones_df is broadcast; bbox predicates prune candidates JVM-side;
-    the exact ray-crossing test runs in one Arrow-batched UDF.
+    the exact ray-crossing test runs in one Arrow-batched UDF with the
+    ring geometry held as a CLOSURE constant keyed by zone_id (r8: the
+    rings used to travel as array columns through the join and the
+    Arrow boundary — ~40 doubles per candidate row of pure dead weight;
+    the zone side is small by this function's contract, the same
+    assumption its broadcast already makes, so one driver collect of
+    (zone_id, ring) ships the geometry once per task instead of once
+    per candidate).  Identical candidates, identical kernel.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    ring_rows = zones_df.select(
+        "zone_id", F.col("ring.lon").alias("rx"),
+        F.col("ring.lat").alias("ry")).collect()
+    rings = {r["zone_id"]: (np.asarray(r["rx"], dtype=np.float64),
+                            np.asarray(r["ry"], dtype=np.float64))
+             for r in ring_rows}
+
     cand = points_df.join(
         F.broadcast(
             zones_df.select(
-                "zone_id",
-                F.col("ring.lon").alias("ring_lon"),
-                F.col("ring.lat").alias("ring_lat"),
-                "min_lon", "min_lat", "max_lon", "max_lat",
+                "zone_id", "min_lon", "min_lat", "max_lon", "max_lat",
             )
         ),
         on=(
@@ -78,9 +89,8 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
     )
 
     @pandas_udf("boolean")
-    def _exact(
-        zid: pd.Series, px: pd.Series, py: pd.Series, rlon: pd.Series, rlat: pd.Series
-    ) -> pd.Series:
+    def _exact(zid: pd.Series, px: pd.Series,
+               py: pd.Series) -> pd.Series:
         n = len(px)
         out = np.zeros(n, dtype=bool)
         if n == 0:
@@ -90,19 +100,15 @@ def pip_join(points_df, zones_df, lon: str = "lon", lat: str = "lat"):
         # group candidate rows by zone_id (unique per ring — a ring-shape
         # key would collide for distinct polygons sharing a lon profile)
         df = pd.DataFrame({"i": np.arange(n), "k": zid.to_numpy()})
-        for _, grp in df.groupby("k", sort=False):
+        for key, grp in df.groupby("k", sort=False):
             idx = grp["i"].to_numpy()
-            rx = np.asarray(rlon.iloc[idx[0]], dtype=np.float64)
-            ry = np.asarray(rlat.iloc[idx[0]], dtype=np.float64)
+            rx, ry = rings[key]
             out[idx] = point_in_ring_np(pxv[idx], pyv[idx], rx, ry)
         return pd.Series(out)
 
     return cand.where(
-        _exact(
-            F.col("zone_id"), F.col(lon), F.col(lat),
-            F.col("ring_lon"), F.col("ring_lat"),
-        )
-    ).drop("ring_lon", "ring_lat", "min_lon", "min_lat", "max_lon", "max_lat")
+        _exact(F.col("zone_id"), F.col(lon), F.col(lat))
+    ).drop("min_lon", "min_lat", "max_lon", "max_lat")
 
 
 def _zone_cells_col(res: int):
