@@ -12,7 +12,7 @@ def test_driver_query_count_monotone():
 
     qs = E.queries()
     os_ = E.oracle_sql()
-    assert len(qs) >= 47, len(qs)
+    assert len(qs) >= 49, len(qs)
     # EVERY query is value-verified: r4 closed the last no_oracle rows
     assert set(os_) == set(qs), set(qs) ^ set(os_)
 
@@ -76,7 +76,9 @@ def test_r6_twin_roster_and_text_formats():
         "+proj=merc +R=6371000",
         "+proj=eqc +ellps=WGS84",
         "+proj=cea +ellps=WGS84",       # ellipsoidal authlat series
-        "+proj=laea +ellps=GRS80 +lat_0=52",
+        "+proj=laea +R=6371000 +lat_0=52",  # ellipsoidal laea moved to
+        # the STAGED twin in r8 (its Column tree's 64 KB method ran
+        # interpreted); asserted in the r8 block below
         "+proj=stere +R=6371000 +lat_0=90",
         "+proj=sinu +R=6371000",
         "+proj=eqdc +R=6371000 +lat_1=20 +lat_2=60",
@@ -158,7 +160,13 @@ def test_r7_iterative_inverse_twins_stay_wired():
     assert _omerc_fwd_jvm_ok(create_operation(
         "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +ellps=evrst69"),
         "fwd")
-    # geos joined the closed-form column twins, both directions
+    # geos forward stays a closed-form column twin; its INVERSE (and
+    # the ellipsoidal laea inverse) moved to the STAGED twin in r8 —
+    # the raw Column trees produced a janino compile failure (geos,
+    # ~22.8k-line method, silent interpreted fallback) resp. a 64,030-
+    # byte method 8x over the HotSpot JIT ceiling (laea); both are now
+    # served by _emit_iter_inv_kernel and gated by the codegen-health
+    # test in tests/test_plans.py
     from proj_4_spark.engine.spark import (
         _inv_jvm_fast_path_ok,
         _webmerc_jvm_fast_path_ok as _fwd_ok,
@@ -166,7 +174,14 @@ def test_r7_iterative_inverse_twins_stay_wired():
 
     geos = create_operation("+proj=geos +h=35785831.0 +ellps=GRS80")
     assert _fwd_ok(geos, "fwd")
-    assert _inv_jvm_fast_path_ok(geos, "inv")
+    assert not _inv_jvm_fast_path_ok(geos, "inv")
+    assert _iter_inv_jvm_ok(geos, "inv")
+    laea_e = create_operation("+proj=laea +ellps=GRS80 +lat_0=52")
+    assert not _inv_jvm_fast_path_ok(laea_e, "inv")
+    assert _iter_inv_jvm_ok(laea_e, "inv")
+    # spherical laea keeps the closed-form column twin
+    assert _inv_jvm_fast_path_ok(
+        create_operation("+proj=laea +R=6371000 +lat_0=52"), "inv")
 
     # the COMPOSED datum-modified inverse accepts the iterative
     # families too (+towgs84 conic zone inverses run Python-free)
