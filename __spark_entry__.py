@@ -1290,6 +1290,27 @@ def _knn_karney_fixture_path() -> str:
                              FX.knn_karney_expected_table)
 
 
+def _knn_res(sf_dir: str, base: int = 4, base_rows: int = 100_000) -> int:
+    """Scale-adaptive kNN cell resolution (guide §2: partitioning must
+    not be a constant tuned for one scale).  res=4 was sized for the
+    sf0.1 density (100k points); at sf1 the same cells hold ~10x the
+    points, so ring-1 candidate generation exploded to ~170M
+    (point, query) Karney evaluations and the query ran for minutes.
+    Each +1 of res quarters the cell area; holding rows-per-cell
+    roughly constant keeps per-query candidates flat as the corpus
+    grows.  At the driver's correctness SFs (<= 100k events) this
+    returns exactly r7's res=4, and the ring-guarantee machinery makes
+    the RESULT invariant in res at any scale (certified top-k or brute
+    fallback; parity re-verified at sf1).  Footer-only row count — no
+    Spark job."""
+    import math
+
+    n = _parquet_footer_rows(f"{sf_dir}/events.parquet")
+    if n <= base_rows:
+        return base
+    return min(base + round(math.log(n / base_rows, 4)), 9)
+
+
 def _q_knn(spark, sf_dir):
     """Cell-partitioned kNN with the production ellipsoidal-Karney
     metric.  Value-verified: the DuckDB oracle re-ranks a driver-side
@@ -1307,7 +1328,8 @@ def _q_knn(spark, sf_dir):
     queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
         F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
     )
-    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3)
+    out = knn_join(pts, queries, k=5, res=_knn_res(sf_dir),
+                   ring=1, max_ring=3)
     return out.select(
         "q_id", "doc_id", "rank", _i(F.col("dist_m"), 1000).alias("dist_mm")
     )
@@ -1329,8 +1351,8 @@ def _q_knn_haversine(spark, sf_dir):
     queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
         F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
     )
-    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
-                   metric="haversine")
+    out = knn_join(pts, queries, k=5, res=_knn_res(sf_dir),
+                   ring=1, max_ring=3, metric="haversine")
     return out.select(
         "q_id", "doc_id", "rank", _i(F.col("dist_m"), 1000).alias("dist_mm")
     )
@@ -1355,8 +1377,9 @@ def _q_knn_karney_sphere(spark, sf_dir):
     queries = _geo_points(spark, sf_dir).where("event_id % 211 = 0").select(
         F.col("event_id").cast("string").alias("q_id"), "lon", "lat"
     )
-    out = knn_join(pts, queries, k=5, res=4, ring=1, max_ring=3,
-                   metric="karney", a=6378137.0, f=0.0)
+    out = knn_join(pts, queries, k=5, res=_knn_res(sf_dir),
+                   ring=1, max_ring=3, metric="karney", a=6378137.0,
+                   f=0.0)
     return out.select(
         "q_id", "doc_id", "rank", _i(F.col("dist_m"), 100).alias("dist_cm")
     )
@@ -1377,6 +1400,23 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+def _read_docs_fanout(spark, sf_dir: str):
+    """documents.parquet with a conditional fan-out: the fixture is ONE
+    parquet row group, which Spark cannot split — every per-doc Python
+    UDF (minhash shingles, simhash, language-ID, text stats) would run
+    on a single task no matter how many cores exist (guide §2.5: one
+    huge unsplittable file -> repartition right after the read).  The
+    round-robin repartition costs one shuffle of the text payload and
+    buys full-cluster parallelism for the Arrow batches; the condition
+    makes it a no-op for inputs that already arrive well-partitioned
+    (at 100 TB the scan has thousands of splits and nothing moves)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
+
+
 def _q_text_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1386,7 +1426,7 @@ def _q_text_stats(spark, sf_dir):
         token_count_col,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs_fanout(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
@@ -1400,7 +1440,7 @@ def _q_lang_id(spark, sf_dir):
 
     from proj_4_spark.functions.text import lang_id_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs_fanout(spark, sf_dir)
     return (
         docs.select(lang_id_col(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang").agg(F.count("*").alias("n"))
@@ -1681,7 +1721,7 @@ def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates; value-verified against a DuckDB
     oracle that recomputes the full FNV-shingle -> (a*x+b) mod p
     signatures and band-joins on raw band values."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs_fanout(spark, sf_dir)
     return __import__(
         "proj_4_spark.functions.dedup", fromlist=["minhash_lsh_pairs"]
     ).minhash_lsh_pairs(docs, "text", "doc_id", num_perm=32, bands=8)
@@ -1727,6 +1767,17 @@ def _parquet_footer_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def _parquet_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file/dir — a content
+    fingerprint that (unlike a bare row count) changes whenever the
+    source data is regenerated with different values."""
+    import glob
+
+    files = ([path] if os.path.isfile(path)
+             else sorted(glob.glob(os.path.join(path, "*.parquet"))))
+    return sum(os.path.getsize(f) for f in files)
+
+
 def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
     """Build-once semantics for the prebuilt ANN queries: reuse the
     cached index when its sidecar params + corpus row count still match
@@ -1739,19 +1790,25 @@ def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
     want = ({"kind": "lsh", "dim": 64, "n_planes": 8, "seed": 42}
             if kind == "lsh"
             else {"kind": "ivf", "dim": 64, "n_centroids": 16, "seed": 42})
+    src = f"{sf_dir}/embeddings.parquet"
     try:
         meta = ann_index.read_meta(path)
         if (all(meta.get(k) == v for k, v in want.items())
-                and meta.get("corpus_rows") ==
-                _parquet_footer_rows(f"{sf_dir}/embeddings.parquet")):
+                and meta.get("corpus_rows") == _parquet_footer_rows(src)
+                and meta.get("corpus_bytes") == _parquet_bytes(src)):
             return path
     except ValueError:
         pass
     if kind == "lsh":
-        ann_index.build_lsh_index(emb, path, dim=64, n_planes=8, seed=42)
+        meta = ann_index.build_lsh_index(emb, path, dim=64, n_planes=8,
+                                         seed=42)
     else:
-        ann_index.build_ivf_index(emb, path, dim=64, n_centroids=16,
-                                  seed=42)
+        meta = ann_index.build_ivf_index(emb, path, dim=64,
+                                         n_centroids=16, seed=42)
+    # source-content fingerprint for the reuse check above (r8: a bare
+    # row count cannot see regenerated-same-size source data)
+    meta["corpus_bytes"] = _parquet_bytes(src)
+    ann_index._write_meta(path, meta)
     return path
 
 
@@ -1802,7 +1859,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 
     from proj_4_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs_fanout(spark, sf_dir)
     out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
                               num_perm=32, bands=8)
     return out.select("id_a", "id_b", _i(F.col("jaccard"), 10000).alias("jac"))
@@ -1811,7 +1868,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 def _q_simhash(spark, sf_dir):
     from proj_4_spark.functions.dedup import simhash_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_docs_fanout(spark, sf_dir)
     return simhash_col(docs, "text", "doc_id").select("doc_id", "simhash")
 
 

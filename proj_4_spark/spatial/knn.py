@@ -155,6 +155,16 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("q_id", "q_lon", "q_lat", "doc_id", "span_offset", "dist_m", "rank")
         )
+        # r8: materialize each round's top-k ONCE (it is tiny: <= k rows
+        # per query).  Without the checkpoint the round's candidate join
+        # + distance UDF + window re-executed from scratch for every
+        # downstream action — the per-round isEmpty(), the next round's
+        # anti-join lineage, and the caller's final action each replayed
+        # the full join (measured ~3x redundant work at sf1).  Local
+        # (non-replicated) checkpoint is the right durability trade for
+        # a driver-side loop; the cached `pts` above already makes the
+        # same call.
+        topk = topk.localCheckpoint(eager=True)
         # guarantee: unexplored cells are at least `cur_ring * cell_h` of
         # latitude away OR the equivalent (cos-lat-shrunk) longitude span;
         # the latitude component alone gives a safe meters lower bound
@@ -173,7 +183,10 @@ def knn_join(
         done_q = agg.where((F.col("n_found") >= k) & (F.col("kth_dist") <= guard))
         got = topk.join(done_q.select("q_id"), "q_id", "left_semi")
         results = got if results is None else results.unionByName(got)
-        remaining = remaining.join(done_q.select("q_id"), "q_id", "left_anti")
+        # tiny (query-count) frame: checkpoint so the next round's plan
+        # does not re-derive it through this round's join
+        remaining = remaining.join(done_q.select("q_id"), "q_id",
+                                   "left_anti").localCheckpoint(eager=True)
         if remaining.isEmpty():
             break
         cur_ring += 1
