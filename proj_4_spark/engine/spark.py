@@ -82,6 +82,27 @@ def _inv_twin_name_ok(P) -> bool:
                     "gnom", "moll", "wag4", "wag5")
 
 
+def _bare_op_ok(P) -> bool:
+    """Shared twin-gate modifier guard (ADVICE r7): True only for a
+    BARE op — no datum/grid/axis hooks and none of the prepare/finalize
+    modifiers (+over/+geoc/long-wrap/non-Greenwich meridian) that the
+    expression twins do not model.  Every gate must call this instead
+    of copy-pasting the block: a future modifier added to one gate but
+    not another would silently route a modified op through a twin that
+    ignores it."""
+    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
+                 "cart_wgs84", "axisswap"):
+        if getattr(P, attr, None) is not None:
+            return False
+    if getattr(P, "over", False) or getattr(P, "geoc", False):
+        return False
+    if getattr(P, "is_long_wrap_set", False):
+        return False
+    if getattr(P, "from_greenwich", 0.0) != 0.0:
+        return False
+    return True
+
+
 def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     """True when the operation is a bare webmerc/merc forward that the
     JVM expression twin below reproduces exactly: single op, no
@@ -109,17 +130,7 @@ def _webmerc_jvm_fast_path_ok(op, direction: str) -> bool:
     # ortho (sphere + EPSG ellipsoidal), gnom (sphere formulas)
     if getattr(P, "name", None) not in _FWD_TWIN_NAMES:
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 def _webmerc_jvm_columns(P, xcol, ycol, zcol, degrees: bool, z_supplied: bool):
@@ -772,17 +783,7 @@ def _inv_jvm_fast_path_ok(op, direction: str) -> bool:
         return False
     if not _inv_twin_name_ok(P):
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 def _inv_jvm_columns(P, xcol, ycol, zcol, degrees: bool,
@@ -1180,17 +1181,7 @@ def _iter_inv_jvm_ok(op, direction: str) -> bool:
         return False
     if not _iter_inv_sql_ok(P):
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 _SQL_INF = "CAST('Infinity' AS DOUBLE)"
@@ -2024,17 +2015,7 @@ def _omerc_fwd_jvm_ok(op, direction: str) -> bool:
         return False
     if getattr(P, "name", None) != "omerc":
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 def _omerc_fwd_apply(df, P, x, y, z, t, degrees: bool,
@@ -2146,17 +2127,7 @@ def _moll_fwd_jvm_ok(op, direction: str) -> bool:
         return False
     if getattr(P, "name", None) not in ("moll", "wag4", "wag5"):
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 def _moll_fwd_apply(df, P, x, y, z, t, degrees: bool,
@@ -2246,17 +2217,7 @@ def _etmerc_jvm_fast_path_ok(op, direction: str) -> bool:
         return False
     if getattr(P, "fwd", None) is not exact_e_fwd:
         return False
-    for attr in ("hgridshift", "vgridshift", "helmert", "cart",
-                 "cart_wgs84", "axisswap"):
-        if getattr(P, attr, None) is not None:
-            return False
-    if getattr(P, "over", False) or getattr(P, "geoc", False):
-        return False
-    if getattr(P, "is_long_wrap_set", False):
-        return False
-    if getattr(P, "from_greenwich", 0.0) != 0.0:
-        return False
-    return True
+    return _bare_op_ok(P)
 
 
 _CE_LIMIT_JVM = 2.623395162778  # kernels/tmerc._CE_LIMIT (tmerc.cpp:409)

@@ -19,12 +19,13 @@ Prints one line per configuration.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PS = "+proj=hgridshift +grids=BETA2007.gsb"
 BATCH = 131072
