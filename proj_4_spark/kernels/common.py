@@ -79,6 +79,13 @@ def phi2(ts0: np.ndarray, e: float) -> np.ndarray:
         nxt[active] = still
         active = nxt
     out = M_HALFPI - 2.0 * np.arctan(ts)
+    # Documented deviation (ADVICE r7): a lane whose |dphi| first drops
+    # within TOL exactly ON the 15th update is NaN-masked here
+    # (count <= 0), whereas the reference's `if (--i == 0 && ...)` order
+    # (src/phi2.cpp:55-66) accepts convergence on the final pass.  The
+    # SQL staged twin (_sql_phi2_stages) replicates THIS kernel, so
+    # twin/UDF parity is exact; the edge is unreachable for real inputs
+    # (the Snyder iteration converges in <= 6 passes for e < 0.9).
     return np.where(count <= 0, np.nan, out)
 
 

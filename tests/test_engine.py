@@ -1246,7 +1246,11 @@ def test_iter_inverse_jvm_fast_path_parity(spark):
 
     xs = [-3.3e7, -2.5e6, -1e6, -1e4, 0.0, 1.5e5, 2.0e6, 3.3e7,
           None, float("nan")]
-    ys = [-4.5e7, -3e6, -1e6, 0.0, 1e5, 2.3e6, 5e6, 4.5e7, None]
+    # 1e10: |y| far beyond ±745*k0*a — exp(-y/k0) overflows to +Inf on
+    # the ellipsoidal-merc path and the lane must FREEZE at phi=-pi/2
+    # on both the kernel and the twin (ADVICE r7: pin the overflow lane)
+    ys = [-4.5e7, -1e10, -3e6, -1e6, 0.0, 1e5, 2.3e6, 5e6, 4.5e7, 1e10,
+          None]
     pdf = pd.DataFrame({"px": xs * len(ys), "py": np.repeat(ys, len(xs))})
     df = spark.createDataFrame(pdf)
     twins = (
