@@ -1400,21 +1400,36 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
-def _read_docs_fanout(spark, sf_dir: str):
-    """documents.parquet with a conditional fan-out: the fixture is ONE
-    parquet row group, which Spark cannot split — every per-doc Python
-    UDF (minhash shingles, simhash, language-ID, text stats) would run
-    on a single task no matter how many cores exist (guide §2.5: one
-    huge unsplittable file -> repartition right after the read).  The
-    round-robin repartition costs one shuffle of the text payload and
-    buys full-cluster parallelism for the Arrow batches; the condition
-    makes it a no-op for inputs that already arrive well-partitioned
-    (at 100 TB the scan has thousands of splits and nothing moves)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _read_fanout(spark, path: str,
+                 min_bytes: int = 32 * 1024 * 1024):
+    """Parquet read with a conditional fan-out: the fixture tables are
+    ONE parquet row group each, which Spark cannot split — any per-row
+    Python stage (minhash shingles, simhash, language-ID, text stats,
+    the ANN corpus pass) would run on a single task no matter how many
+    cores exist (guide §2.5: one huge unsplittable file -> repartition
+    right after the read).  The round-robin repartition costs one
+    shuffle of the payload and buys full-cluster parallelism for the
+    Arrow batches; the conditions make it a no-op for inputs that
+    already arrive well-partitioned (at 100 TB the scan has thousands
+    of splits and nothing moves) and for SMALL single-file inputs,
+    where the one-task pass is cheaper than the shuffle it would buy
+    (measured at sf1: the 5 MB embeddings corpus pays ~0.2 s for a
+    fan-out that saves ~0.2 s; at sf100 the 500 MB single row group
+    serializes an 8 s pass onto one core).  `min_bytes` is the
+    worth-it floor, set per call site by the per-byte cost of the
+    downstream work (document shingling is ~10x costlier per byte than
+    the ANN dot pass, so the docs sites fan out sooner)."""
+    df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    return docs
+    if (_parquet_bytes(path) >= min_bytes
+            and df.rdd.getNumPartitions() < target):
+        df = df.repartition(target)
+    return df
+
+
+def _read_docs_fanout(spark, sf_dir: str):
+    return _read_fanout(spark, f"{sf_dir}/documents.parquet",
+                        min_bytes=4 * 1024 * 1024)
 
 
 def _q_text_stats(spark, sf_dir):
@@ -1453,10 +1468,14 @@ def _q_ann_cosine(spark, sf_dir):
     from proj_4_spark.functions.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # corpus side fans out (single-row-group file, guide §2.5);
+    # the query side keeps the pruned scan for its tiny collect
+    corpus = _read_fanout(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where("vec_id < 20").selectExpr(
         "vec_id as q_id", "embedding"
     )
-    topk = cosine_topk(emb, queries, k=5, raw_cosine=True, dim=64)
+    topk = cosine_topk(corpus, queries, k=5, raw_cosine=True,
+                       dim=64)
     return topk.select(
         "q_id", "vec_id", "rank", _i(F.col("cosine"), 1000000).alias("cosine")
     )
@@ -1473,9 +1492,12 @@ def _q_ann_ivf(spark, sf_dir):
     from proj_4_spark.functions.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # corpus side fans out (single-row-group file, guide §2.5);
+    # the query side keeps the pruned scan for its tiny collect
+    corpus = _read_fanout(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
-    topk = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6, dim=64,
-                    raw_cosine=True)
+    topk = ivf_topk(corpus, queries, k=5, n_centroids=16,
+                    n_probe=6, dim=64, raw_cosine=True)
     return topk.select("q_id", "vec_id", "rank",
                        _i(F.col("cosine"), 1000000).alias("cosine"))
 
@@ -1738,8 +1760,12 @@ def _q_ann_lsh(spark, sf_dir):
     from proj_4_spark.functions.similarity import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # corpus side fans out (single-row-group file, guide §2.5);
+    # the query side keeps the pruned scan for its tiny collect
+    corpus = _read_fanout(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.where("vec_id < 20").selectExpr("vec_id as q_id", "embedding")
-    topk = lsh_bucket_topk(emb, queries, k=5, n_planes=8, dim=64, multiprobe=2,
+    topk = lsh_bucket_topk(corpus, queries, k=5, n_planes=8,
+                           dim=64, multiprobe=2,
                            raw_cosine=True)
     return topk.select("q_id", "vec_id", "rank",
                        _i(F.col("cosine"), 1000000).alias("cosine"))
@@ -1786,7 +1812,10 @@ def _ensure_ann_index(spark, sf_dir: str, kind: str) -> str:
     from proj_4_spark.functions import ann_index
 
     path = _ann_index_path(kind, sf_dir)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # build-side fan-out: the tag UDF runs BEFORE the partitionBy
+    # shuffle, so a single-row-group source would serialize the whole
+    # index build onto one task (guide §2.5)
+    emb = _read_fanout(spark, f"{sf_dir}/embeddings.parquet")
     want = ({"kind": "lsh", "dim": 64, "n_planes": 8, "seed": 42}
             if kind == "lsh"
             else {"kind": "ivf", "dim": 64, "n_centroids": 16, "seed": 42})
